@@ -1,0 +1,208 @@
+"""GPT-2 language model, functional JAX with a static-shape KV cache.
+
+Backs every decoder family in the framework: DeCap/CapDec (4-layer GPT-2 with
+a linear prefix mapper — reference: src/decap/decap.py:61-79), ViECap/MeaCap
+and ClipCap (full pretrained GPT-2 with soft/hard prompts).
+
+The reference's batched greedy decode re-feeds the *entire* growing
+`inputs_embeds` every step — O(T²·L) recompute with dynamic shapes
+(src/decap/decap.py:116-183). Here decoding is a `lax.scan` over a
+pre-allocated KV cache: fixed shapes, one compile, O(T·L) per sequence, and
+the scan body is a single fused step on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "GPT2Config",
+    "DECAP_DECODER_CONFIG",
+    "GPT2_BASE_CONFIG",
+    "init_gpt2",
+    "gpt2_forward",
+    "init_kv_cache",
+    "gpt2_step",
+    "KVCache",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+# The DeCap decoder config, values from the reference's decoder_config.pkl
+# (src/decap/decap.py:67-69): a 4-layer / 4-head / 768-wide GPT-2.
+DECAP_DECODER_CONFIG = GPT2Config(n_layer=4, n_head=4, n_embd=768)
+GPT2_BASE_CONFIG = GPT2Config()
+
+
+def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
+    keys = iter(jax.random.split(key, 2 + 4 * cfg.n_layer))
+    d = cfg.n_embd
+
+    def dense(k, fi, fo, std=0.02):
+        return {
+            "w": jax.random.normal(k, (fi, fo), jnp.float32) * std,
+            "b": jnp.zeros((fo,), jnp.float32),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    params = {
+        "wte": jax.random.normal(next(keys), (cfg.vocab_size, d), jnp.float32) * 0.02,
+        "wpe": jax.random.normal(next(keys), (cfg.n_positions, d), jnp.float32) * 0.01,
+        "ln_f": ln(),
+        "blocks": [],
+    }
+    for _ in range(cfg.n_layer):
+        params["blocks"].append(
+            {
+                "ln_1": ln(),
+                "attn": {
+                    "c_attn": dense(next(keys), d, 3 * d),
+                    "c_proj": dense(next(keys), d, d),
+                },
+                "ln_2": ln(),
+                "mlp": {
+                    "c_fc": dense(next(keys), d, 4 * d),
+                    "c_proj": dense(next(keys), 4 * d, d),
+                },
+            }
+        )
+    return params
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def _gelu_new(x):
+    # HF "gelu_new" == tanh approximation.
+    return jax.nn.gelu(x, approximate=True)
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, H, T_max, hd)
+    v: jax.Array  # (L, B, H, T_max, hd)
+    length: jax.Array  # () int32 — number of valid positions
+
+
+def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int,
+                  dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
+    return KVCache(
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32)
+    )
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def _attn_full(q, k, v, scale):
+    t, s = q.shape[-2], k.shape[-2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+    causal = jnp.tril(jnp.ones((t, s), bool), k=s - t)
+    logits = jnp.where(causal, logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
+                 pos_offset: int = 0) -> jax.Array:
+    """Full-sequence forward over input embeddings -> logits (B, T, V).
+
+    Matches HF `GPT2LMHeadModel(inputs_embeds=...)`: add wpe positions, run
+    blocks, final LN, logits via tied wte.
+    """
+    b, t, d = embeds.shape
+    x = embeds.astype(cfg.dtype) + params["wpe"][pos_offset : pos_offset + t].astype(
+        cfg.dtype
+    )
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    for blk in params["blocks"]:
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = _attn_full(
+            _split_heads(q, cfg.n_head),
+            _split_heads(k, cfg.n_head),
+            _split_heads(v, cfg.n_head),
+            scale,
+        )
+        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    x = _ln(x, params["ln_f"], cfg.ln_eps)
+    return (x @ params["wte"].T).astype(jnp.float32)
+
+
+def gpt2_step(
+    params: dict, embed: jax.Array, cache: KVCache, cfg: GPT2Config
+) -> tuple[jax.Array, KVCache]:
+    """One decode step: (B, D) embedding at position cache.length -> logits
+    (B, V) and the updated cache. Jit-safe inside lax.scan (static shapes)."""
+    b, d = embed.shape
+    idx = cache.length
+    x = embed.astype(cfg.dtype) + jnp.take(params["wpe"], idx, axis=0).astype(cfg.dtype)
+    x = x[:, None, :]  # (B, 1, D)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    max_len = cache.k.shape[-2]
+    pos_mask = (jnp.arange(max_len) <= idx)[None, None, :]  # (1,1,T)
+
+    new_k, new_v = cache.k, cache.v
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.n_head)  # (B, H, 1, hd)
+        k = _split_heads(k, cfg.n_head)[:, :, 0]  # (B, H, hd)
+        v = _split_heads(v, cfg.n_head)[:, :, 0]
+        # store k/v at (layer li, position idx)
+        new_k = new_k.at[li, :, :, idx, :].set(k.astype(new_k.dtype))
+        new_v = new_v.at[li, :, :, idx, :].set(v.astype(new_v.dtype))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, new_k[li].astype(q.dtype)
+        ).astype(jnp.float32)
+        logits = jnp.where(pos_mask[:, :, None, :], logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", w, new_v[li].astype(x.dtype))
+        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    x = _ln(x, params["ln_f"], cfg.ln_eps)
+    logits = (x[:, 0] @ params["wte"].T).astype(jnp.float32)
+    return logits, KVCache(new_k, new_v, idx + 1)

@@ -1,0 +1,321 @@
+"""DINOv2-style ViT encoder, functional JAX.
+
+Replaces the reference's torch.hub DINOv2 + forward-hook attention capture
+(src/model.py:343,589-590; src/dino_extraction.py) with a single pure function
+that returns the token dict *and* the last-block fused-qkv activations as
+first-class outputs — no hooks, one jit-compiled trace, bf16-friendly.
+
+Architecture parity targets facebookresearch/dinov2 ViT (patch-embed conv,
+CLS + optional 4 register tokens, pre-LN blocks with LayerScale, exact GELU,
+final LayerNorm) and the timm/OpenAI CLIP ViT variant (quick-GELU, pre/post
+LN, attention pooling skipped — see clip_vit.py).
+
+Params are plain nested dicts (easy torch checkpoint porting — io/torch_port.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ViTConfig", "init_vit", "vit_forward", "process_self_attention",
+           "reorder_qkv_params", "interpolate_pos_embed"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_registers: int = 4  # 0 for non-"reg" variants
+    layerscale: bool = True
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
+    # Attention-extraction quirks — the reference hard-codes 16 heads and a
+    # 0.125 scale for *all* non-small models, regardless of the true head
+    # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
+    # parity requires reproducing that exact (wrong) head split.
+    extract_heads: int = 16
+    extract_scale: float = 0.125
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def num_global_tokens(self) -> int:
+        return 1 + self.num_registers
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_global_tokens + self.num_patches
+
+    @property
+    def stored_pos_grid(self) -> int:
+        return self.pos_grid if self.pos_grid is not None else self.grid_size
+
+
+VARIANTS = {
+    # name fragments follow torch.hub dinov2 ids (reference: src/model.py:343)
+    "dinov2_vits14": dict(embed_dim=384, depth=12, num_heads=6, num_registers=0,
+                          extract_heads=6),
+    "dinov2_vitb14": dict(embed_dim=768, depth=12, num_heads=12, num_registers=0),
+    "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16, num_registers=0),
+    "dinov2_vits14_reg": dict(embed_dim=384, depth=12, num_heads=6, num_registers=4,
+                              extract_heads=6),
+    "dinov2_vitb14_reg": dict(embed_dim=768, depth=12, num_heads=12, num_registers=4),
+    "dinov2_vitl14_reg": dict(embed_dim=1024, depth=24, num_heads=16, num_registers=4),
+}
+
+
+def config_for(dino_model: str, img_size: int = 518, **overrides) -> ViTConfig:
+    if dino_model not in VARIANTS:
+        raise ValueError(f"unknown DINOv2 variant: {dino_model}")
+    kw = dict(VARIANTS[dino_model])
+    kw.update(overrides)
+    # DINOv2 checkpoints store the 518px (37x37) pos-embed grid.
+    kw.setdefault("pos_grid", 37)
+    return ViTConfig(img_size=img_size, **kw)
+
+
+# ------------------------------------------------------------------- init
+
+
+def init_vit(key: jax.Array, cfg: ViTConfig) -> dict:
+    """Random init matching DINOv2's layout (trunc-normal-ish; exactness of
+    init doesn't matter — real use ports pretrained weights)."""
+    d = cfg.embed_dim
+    h = int(d * cfg.mlp_ratio)
+    keys = iter(jax.random.split(key, 8 + 8 * cfg.depth))
+
+    def dense(k, fan_in, fan_out):
+        w = jax.random.normal(k, (fan_in, fan_out), jnp.float32) * (
+            1.0 / math.sqrt(fan_in)
+        )
+        return {"w": w, "b": jnp.zeros((fan_out,), jnp.float32)}
+
+    params = {
+        "patch_embed": dense(
+            next(keys), cfg.patch_size * cfg.patch_size * 3, d
+        ),
+        "cls_token": jax.random.normal(next(keys), (1, 1, d), jnp.float32) * 0.02,
+        "pos_embed": jax.random.normal(
+            next(keys), (1, 1 + cfg.stored_pos_grid**2, d), jnp.float32
+        )
+        * 0.02,
+        "norm": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "blocks": [],
+    }
+    if cfg.num_registers:
+        params["register_tokens"] = (
+            jax.random.normal(next(keys), (1, cfg.num_registers, d), jnp.float32)
+            * 0.02
+        )
+    for _ in range(cfg.depth):
+        blk = {
+            "norm1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "qkv": dense(next(keys), d, 3 * d),
+            "proj": dense(next(keys), d, d),
+            "norm2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "fc1": dense(next(keys), d, h),
+            "fc2": dense(next(keys), h, d),
+        }
+        if cfg.layerscale:
+            blk["ls1"] = jnp.full((d,), 1e-5)
+            blk["ls2"] = jnp.full((d,), 1e-5)
+        params["blocks"].append(blk)
+    return params
+
+
+# ---------------------------------------------------------------- forward
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) -> jax.Array:
+    """Bicubic pos-embed interpolation (CLS kept, patch grid resized) —
+    mirrors dinov2's interpolate_pos_encoding semantics."""
+    if src_grid == dst_grid:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].reshape(1, src_grid, src_grid, -1)
+    patch_pos = jax.image.resize(
+        patch_pos,
+        (1, dst_grid, dst_grid, patch_pos.shape[-1]),
+        method="bicubic",
+    )
+    return jnp.concatenate(
+        [cls_pos, patch_pos.reshape(1, dst_grid * dst_grid, -1)], axis=1
+    )
+
+
+def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
+    b, n, d = x_norm.shape
+    nh = cfg.num_heads
+    hd = d // nh
+    qkv = _dense(x_norm, blk["qkv"])  # (B, N, 3D)
+    q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd), 3, axis=2)
+    q = q.squeeze(2).transpose(0, 2, 1, 3)  # (B, H, N, hd)
+    k = k.squeeze(2).transpose(0, 2, 1, 3)
+    v = v.squeeze(2).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x_norm.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = _dense(out, blk["proj"])
+    return (out, qkv) if return_qkv else (out, None)
+
+
+def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False):
+    a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg, return_qkv)
+    if cfg.layerscale:
+        a = a * blk["ls1"]
+    x = x + a
+    m = _dense(
+        jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
+                    approximate=False),
+        blk["fc2"],
+    )
+    if cfg.layerscale:
+        m = m * blk["ls2"]
+    return x + m, qkv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "return_block_input"))
+def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
+                return_block_input: bool = False) -> dict:
+    """Run the encoder.
+
+    Args:
+      params: nested param dict (init_vit / io.torch_port).
+      pixels: (B, H, W, 3) normalized images (NHWC — TPU-native layout).
+      cfg: static ViTConfig.
+      return_block_input: also return the input to the last block (the
+        reference's `get_layer_n_output` hook, used by double-DINO bbox mode).
+
+    Returns dict:
+      x_norm_clstoken (B, D), x_norm_regtokens (B, R, D),
+      x_norm_patchtokens (B, N, D), x_prenorm (B, T, D),
+      qkv_last (B, T, 3D) — last block's fused qkv activations,
+      [last_block_input (B, T, D)].
+    """
+    b, hh, ww, _ = pixels.shape
+    g = hh // cfg.patch_size
+    x = pixels.astype(cfg.dtype)
+    # Patch embed: conv14x14/s14 == reshape to patches + one matmul (MXU).
+    x = x.reshape(b, g, cfg.patch_size, g, cfg.patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
+    x = _dense(x, params["patch_embed"])
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype), (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], cfg.stored_pos_grid, g)
+    x = x + pos.astype(cfg.dtype)
+    if cfg.num_registers:
+        regs = jnp.broadcast_to(
+            params["register_tokens"].astype(cfg.dtype),
+            (b, cfg.num_registers, x.shape[-1]),
+        )
+        x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+
+    last_input = None
+    qkv_last = None
+    for i, blk in enumerate(params["blocks"]):
+        is_last = i == len(params["blocks"]) - 1
+        if is_last:
+            last_input = x
+        x, qkv = _block(x, blk, cfg, return_qkv=is_last)
+        if is_last:
+            qkv_last = qkv
+
+    x_norm = _ln(x, params["norm"], cfg.ln_eps)
+    ng = cfg.num_global_tokens
+    out = {
+        "x_norm_clstoken": x_norm[:, 0],
+        "x_norm_regtokens": x_norm[:, 1:ng],
+        "x_norm_patchtokens": x_norm[:, ng:],
+        "x_prenorm": x,
+        "qkv_last": qkv_last,
+    }
+    if return_block_input:
+        out["last_block_input"] = last_input
+    return out
+
+
+# --------------------------------------------------- attention extraction
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "num_global_tokens", "scale"))
+def process_self_attention(
+    qkv: jax.Array,
+    *,
+    num_heads: int,
+    num_global_tokens: int,
+    scale: float = 0.125,
+) -> tuple[jax.Array, jax.Array]:
+    """CLS→patch attention from last-block fused qkv activations.
+
+    Bit-matches the reference quirk chain (src/dino_extraction.py:24-34):
+    reshape with the *configured* head count (16 for ViT-B — not the true 12),
+    q·kᵀ with hard-coded scale, take the CLS row, mean over heads *then*
+    softmax. Returns (self_attn (B, P), self_attn_maps (B, H, P) pre-softmax).
+    """
+    b, n, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    qkv = qkv.reshape(b, n, 3, num_heads, hd)
+    q = qkv[:, :, 0].astype(jnp.float32) * scale  # (B, N, H, hd)
+    k = qkv[:, :, 1].astype(jnp.float32)
+    # Only the CLS query row is ever used — skip the full NxN product.
+    q_cls = q[:, 0]  # (B, H, hd)
+    attn_cls = jnp.einsum("bhd,bnhd->bhn", q_cls, k)  # (B, H, N)
+    maps = attn_cls[:, :, num_global_tokens:]  # (B, H, P)
+    self_attn = jax.nn.softmax(jnp.mean(maps, axis=1), axis=-1)
+    return self_attn, maps
+
+
+def reorder_qkv_params(params: dict, attention_type: str) -> dict:
+    """KKV-style attention rewiring: rebuild the last block's fused qkv from
+    the requested component order, e.g. 'kkv' uses Keys as Queries
+    (reference: src/model.py:569-582).
+    """
+    if attention_type == "qkv":
+        return params
+    if sorted(set(attention_type)) and any(c not in "qkv" for c in attention_type):
+        raise ValueError(f"invalid attention_type: {attention_type}")
+    idx = {"q": 0, "k": 1, "v": 2}
+    blk = params["blocks"][-1]
+    w = blk["qkv"]["w"]  # (D, 3D) in our layout
+    bias = blk["qkv"]["b"]  # (3D,)
+    d = w.shape[0]
+    w3 = w.reshape(d, 3, d)  # columns grouped by (q, k, v)
+    b3 = bias.reshape(3, d)
+    new_w = jnp.concatenate([w3[:, idx[c], :] for c in attention_type], axis=-1)
+    new_b = jnp.concatenate([b3[idx[c]] for c in attention_type], axis=-1)
+    new_params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    new_params["blocks"] = list(params["blocks"])
+    new_params["blocks"][-1] = dict(blk)
+    new_params["blocks"][-1]["qkv"] = {"w": new_w, "b": new_b}
+    return new_params

@@ -1,0 +1,47 @@
+"""Standalone CLIP BPE tokenizer tests (goldens verified against the
+reference SimpleTokenizer, src/clip/simple_tokenizer.py)."""
+
+from patchioner_tpu.text.clip_bpe import (
+    EOT_TOKEN,
+    SOT_TOKEN,
+    VOCAB_SIZE,
+    get_tokenizer,
+)
+
+
+def test_golden_encode():
+    tok = get_tokenizer()
+    assert tok.encode("A man riding a horse on the beach.") == [
+        320, 786, 6765, 320, 4558, 525, 518, 2117, 269,
+    ]
+
+
+def test_roundtrip_and_cleanup():
+    tok = get_tokenizer()
+    ids = tok.encode("two dogs playing; it's 42 degrees!!")
+    assert tok.decode(ids) == "two dogs playing ; it 's 4 2 degrees !! "
+    # whitespace/html cleanup + lowercasing
+    assert tok.encode("Weird   SPACING\tand &amp; entities") == tok.encode(
+        "weird spacing and & entities"
+    )
+
+
+def test_multibyte_spans_tokens():
+    tok = get_tokenizer()
+    text = "emoji 🐕 and cjk 犬が走る mixed"
+    assert tok.decode(tok.encode(text)).strip() == text
+
+
+def test_caption_postprocessing():
+    tok = get_tokenizer()
+    ids = [SOT_TOKEN] + tok.encode("a cat sits") + [EOT_TOKEN] + tok.encode("junk")
+    assert tok.decode_caption(ids) == "a cat sits "
+
+
+def test_batch_tokenize_shape():
+    tok = get_tokenizer()
+    out = tok.tokenize(["hello world", "a longer caption about dogs"], 16)
+    assert out.shape == (2, 16)
+    assert out[0, 0] == SOT_TOKEN
+    assert EOT_TOKEN in out[0]
+    assert VOCAB_SIZE == 49408

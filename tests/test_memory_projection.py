@@ -1,0 +1,121 @@
+"""Parity tests for the support-memory projection op.
+
+Oracle = literal reference math (im2txtprojection.py:353-383) in torch:
+sim against normalized bank, softmax(sim/T), recombination with the
+UN-normalized bank.
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from patchioner_tpu.ops import memory_projection as mp
+
+
+def oracle(features, bank, temperature=0.01, normalize=False):
+    f = torch.from_numpy(features).float()
+    b = torch.from_numpy(bank).float()
+    bn = b / b.norm(dim=-1, keepdim=True)
+    f = f / f.norm(dim=-1, keepdim=True)
+    sim = f @ bn.T
+    w = (sim / temperature).softmax(dim=-1)
+    out = w @ b
+    if normalize:
+        out = out / out.norm(dim=-1, keepdim=True)
+    return out.numpy()
+
+
+def make_data(b=5, m=700, d=128, seed=0):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal((b, d)).astype(np.float32)
+    bank = rng.standard_normal((m, d)).astype(np.float32)
+    return f, bank
+
+
+def test_xla_parity():
+    f, bank = make_data()
+    for norm in (False, True):
+        want = oracle(f, bank, normalize=norm)
+        got = mp.memory_project_xla(jnp.asarray(f), jnp.asarray(bank), normalize=norm)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_interpret_parity():
+    f, bank = make_data()
+    want = oracle(f, bank, normalize=True)
+    got = mp.memory_project_pallas(
+        jnp.asarray(f),
+        jnp.asarray(bank),
+        normalize=True,
+        block_b=8,
+        block_m=256,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_prepared_bank_and_padding():
+    # m deliberately not a multiple of block_m; masked pads must not leak.
+    f, bank = make_data(b=3, m=130, d=128)
+    prepared = mp.prepare_bank(jnp.asarray(bank), block_m=64)
+    assert prepared.rows.shape[0] == 192
+    want = oracle(f, bank)
+    got = mp.memory_project_pallas(
+        jnp.asarray(f), prepared, block_b=8, block_m=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_partial_combine_matches_full():
+    f, bank = make_data(m=512)
+    shards = np.split(bank, 4)
+    parts = [mp.project_partial(jnp.asarray(f), jnp.asarray(s)) for s in shards]
+    stacked = mp.PartialProjection(
+        jnp.stack([p.max_sim for p in parts]),
+        jnp.stack([p.denom for p in parts]),
+        jnp.stack([p.acc for p in parts]),
+    )
+    got = mp.combine_partials(stacked)
+    want = oracle(f, bank)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_bank_tensor_parallel():
+    """Bank sharded over a mesh axis; psum/pmax combine must equal the
+    single-device projection (the TP path for >HBM banks / throughput)."""
+    from jax import shard_map
+
+    f, bank = make_data(b=4, m=512, d=128)
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("mp",))
+
+    def tp_project(feats, bank_shard):
+        part = mp.project_partial(feats, bank_shard)
+        return mp.combine_partials(part, axis_name="mp")
+
+    fn = shard_map(
+        tp_project,
+        mesh=mesh,
+        in_specs=(P(), P("mp", None)),
+        out_specs=P(),
+    )
+    got = fn(jnp.asarray(f), jnp.asarray(bank))
+    want = oracle(f, bank)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_argmax_and_topk():
+    f, bank = make_data()
+    fn = torch.from_numpy(f) / torch.from_numpy(f).norm(dim=-1, keepdim=True)
+    bn = torch.from_numpy(bank) / torch.from_numpy(bank).norm(dim=-1, keepdim=True)
+    sim = fn @ bn.T
+    np.testing.assert_array_equal(
+        np.asarray(mp.memory_argmax(jnp.asarray(f), jnp.asarray(bank))),
+        sim.argmax(dim=-1).numpy(),
+    )
+    want = sim.sort(dim=-1, descending=True).values[:, :5].numpy()
+    got = mp.memory_topk_sims(jnp.asarray(f), jnp.asarray(bank), 5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)

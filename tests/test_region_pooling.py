@@ -1,0 +1,253 @@
+"""Parity tests for patchioner_tpu.ops.region_pooling.
+
+Each oracle below re-executes the *semantics* of the reference math
+(src/bbox_utils.py, src/model.py:45-94,1049-1054) as literal per-box Python
+loops in torch, then we assert the vectorized JAX ops match.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from patchioner_tpu.ops import region_pooling as rp
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def oracle_bbox_feats(
+    patch_embeddings,
+    bboxes,
+    gaussian_avg=False,
+    gaussian_bbox_variance=0.5,
+    single=False,
+    patch_size=14,
+    attention_map=None,
+):
+    """Literal re-execution of the reference per-box loop semantics."""
+    N = patch_embeddings.shape[0]
+    n_boxes = bboxes.shape[1]
+    grid = int(patch_embeddings.shape[1] ** 0.5)
+    bboxes = torch.div(bboxes, patch_size, rounding_mode="floor").int()
+    pe = patch_embeddings.view(N, grid, grid, -1)
+    if attention_map is not None:
+        attention_map = attention_map.clone().view(N, grid, grid)
+    total_w = torch.zeros(N, grid, grid)
+    x1, y1, w, h = bboxes.unbind(-1)
+    x2, y2 = x1 + w, y1 + h
+    means = []
+    for i in range(N):
+        row = []
+        for j in range(n_boxes):
+            if bboxes[i, j].sum().item() < 0 and single:
+                continue
+            region = pe[i, y1[i, j] : y2[i, j] + 1, x1[i, j] : x2[i, j] + 1, :]
+            hs, ws = region.shape[:2]
+            if attention_map is not None:
+                pw = attention_map[i, y1[i, j] : y2[i, j] + 1, x1[i, j] : x2[i, j] + 1]
+                pw /= pw.sum()  # in-place: later overlapping boxes see this
+                total_w[i, y1[i, j] : y2[i, j] + 1, x1[i, j] : x2[i, j] + 1] += pw
+                m = (region * pw.unsqueeze(-1)).sum(dim=(0, 1))
+            elif gaussian_avg:
+                yc, xc = torch.meshgrid(
+                    torch.linspace(-1, 1, hs), torch.linspace(-1, 1, ws), indexing="ij"
+                )
+                if gaussian_bbox_variance == 0:
+                    pw = torch.zeros(hs, ws)
+                    cy = hs // 2 if hs % 2 == 1 else hs // 2 - 1  # 'low' choice
+                    cx = ws // 2 if ws % 2 == 1 else ws // 2 - 1
+                    pw[cy, cx] = 1.0
+                else:
+                    pw = torch.exp(-(xc**2 + yc**2) / gaussian_bbox_variance)
+                    pw = pw / pw.sum()
+                total_w[i, y1[i, j] : y2[i, j] + 1, x1[i, j] : x2[i, j] + 1] += pw
+                m = (region * pw.unsqueeze(-1)).sum(dim=(0, 1))
+            else:
+                pw = torch.ones(hs, ws) / (hs * ws)
+                total_w[i, y1[i, j] : y2[i, j] + 1, x1[i, j] : x2[i, j] + 1] += pw
+                m = region.mean(dim=(0, 1))
+            row.append(m)
+        if not single:
+            means.append(torch.stack(row))
+    total_w = total_w / total_w.sum(dim=(1, 2), keepdim=True)
+    if not single:
+        return torch.stack(means)
+    return (total_w.unsqueeze(-1) * pe).sum(dim=(1, 2))
+
+
+def oracle_region_means(patch_embeddings, variance):
+    N = patch_embeddings.shape[0]
+    grid = int(patch_embeddings.shape[1] ** 0.5)
+    pe = patch_embeddings.view(N, grid, grid, -1)
+    y = torch.linspace(-1, 1, grid)
+    yy, xx = torch.meshgrid(y, y, indexing="ij")
+    if variance == 0:
+        w = torch.zeros(N, grid, grid)
+        c = grid // 2 if grid % 2 == 1 else grid // 2 - 1  # 'low' choice
+        w[:, c, c] = 1.0
+    elif variance >= 100:
+        w = torch.full((N, grid, grid), 1.0 / (grid * grid))
+    else:
+        ww = torch.exp(-(xx**2 + yy**2) / variance)
+        w = (ww / ww.sum()).unsqueeze(0).expand(N, -1, -1)
+    return (pe * w.unsqueeze(-1)).sum(dim=(1, 2))
+
+
+def oracle_trace_grid(traces, n_patch):
+    grid = torch.zeros((n_patch, n_patch))
+    for t in traces:
+        x, y = t["x"], t["y"]
+        if 0 <= x <= 1 and 0 <= y <= 1:
+            gx, gy = int(x * n_patch), int(y * n_patch)
+            grid[min(gy, n_patch - 1), min(gx, n_patch - 1)] += 1
+    return grid
+
+
+# ----------------------------------------------------------------- helpers
+
+G = 9  # small grid for tests
+D = 16
+PATCH = 14
+
+
+def random_boxes(rng, b, nb, grid=G, patch=PATCH):
+    """Pixel-space [x1, y1, w, h] boxes inside a grid*patch image."""
+    img = grid * patch
+    x1 = rng.uniform(0, img - patch, (b, nb))
+    y1 = rng.uniform(0, img - patch, (b, nb))
+    w = rng.uniform(1, img - x1 - 1, (b, nb))
+    h = rng.uniform(1, img - y1 - 1, (b, nb))
+    return np.stack([x1, y1, w, h], -1).astype(np.float32)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    tokens = rng.standard_normal((3, G * G, D)).astype(np.float32)
+    boxes = random_boxes(rng, 3, 4)
+    attn = rng.uniform(0.01, 1.0, (3, G * G)).astype(np.float32)
+    return tokens, boxes, attn
+
+
+# ------------------------------------------------------------------- tests
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(),
+        dict(gaussian_avg=True, gaussian_bbox_variance=0.5),
+        dict(gaussian_avg=True, gaussian_bbox_variance=2.0),
+        dict(gaussian_avg=True, gaussian_bbox_variance=0.0),
+    ],
+)
+def test_bbox_features_parity(data, kwargs):
+    tokens, boxes, _ = data
+    want = oracle_bbox_feats(
+        torch.from_numpy(tokens), torch.from_numpy(boxes.copy()), patch_size=PATCH, **kwargs
+    ).numpy()
+    got = rp.extract_bbox_features(
+        jnp.asarray(tokens), jnp.asarray(boxes), patch_size=PATCH, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_bbox_features_attention_parity_with_overlap(data):
+    tokens, boxes, attn = data
+    # Force overlaps: duplicate box 0 into slot 1 so the in-place
+    # normalization aliasing is exercised.
+    boxes = boxes.copy()
+    boxes[:, 1] = boxes[:, 0]
+    want = oracle_bbox_feats(
+        torch.from_numpy(tokens),
+        torch.from_numpy(boxes.copy()),
+        patch_size=PATCH,
+        attention_map=torch.from_numpy(attn.copy()),
+    ).numpy()
+    got = rp.extract_bbox_features(
+        jnp.asarray(tokens),
+        jnp.asarray(boxes),
+        patch_size=PATCH,
+        attention_map=jnp.asarray(attn),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("gaussian", [False, True])
+def test_bbox_single_embedding_parity(data, gaussian):
+    tokens, boxes, _ = data
+    # Add a dummy (negative) box that must be skipped.
+    boxes = boxes.copy()
+    boxes[:, 2] = np.array([-100.0, -100.0, -1.0, -1.0], np.float32)
+    want = oracle_bbox_feats(
+        torch.from_numpy(tokens),
+        torch.from_numpy(boxes.copy()),
+        patch_size=PATCH,
+        gaussian_avg=gaussian,
+        single=True,
+    ).numpy()
+    got = rp.extract_bbox_features_single(
+        jnp.asarray(tokens),
+        jnp.asarray(boxes),
+        patch_size=PATCH,
+        gaussian_avg=gaussian,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("variance", [0.0, 1.0, 150.0, 0.5])
+def test_region_means_parity(data, variance):
+    tokens, _, _ = data
+    want = oracle_region_means(torch.from_numpy(tokens), variance).numpy()
+    got = rp.compute_region_means(jnp.asarray(tokens), variance)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_traces_to_grid_parity():
+    rng = np.random.default_rng(1)
+    # Include out-of-range points that must be dropped, and boundary 1.0.
+    pts = rng.uniform(-0.2, 1.2, (40, 2)).astype(np.float32)
+    pts[0] = [1.0, 1.0]
+    traces = [{"x": float(x), "y": float(y)} for x, y in pts]
+    want = oracle_trace_grid(traces, G).numpy()
+    got = rp.traces_to_grid(
+        jnp.asarray(pts)[None], jnp.ones((1, len(pts))), G
+    )[0]
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_trace_pool_matches_reference_mean_semantics(data):
+    tokens, _, attn = data
+    rng = np.random.default_rng(2)
+    grid = rng.integers(0, 3, (3, G, G)).astype(np.float32)
+    # Reference: (w.unsqueeze(-1) * patches.view(b,g,g,d)).mean(dim=(1,2))
+    pe = torch.from_numpy(tokens).view(3, G, G, D)
+    want = (torch.from_numpy(grid).unsqueeze(-1) * pe).mean(dim=(1, 2)).numpy()
+    got = rp.trace_pool(jnp.asarray(tokens), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # With attention weighting
+    want2 = (
+        (torch.from_numpy(grid * attn.reshape(3, G, G)).unsqueeze(-1) * pe)
+        .mean(dim=(1, 2))
+        .numpy()
+    )
+    got2 = rp.trace_pool(jnp.asarray(tokens), jnp.asarray(grid), jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=2e-5, atol=2e-5)
+
+
+def test_ctx_cleaner():
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((2, 5, 8)).astype(np.float32)
+    c = rng.standard_normal((2, 8)).astype(np.float32)
+    dt, ct = torch.from_numpy(d), torch.from_numpy(c).unsqueeze(1)
+    proj = (dt @ ct.transpose(-1, -2)) / (torch.norm(ct, dim=-1, keepdim=True) ** 2)
+    want = (dt - 0.7 * proj * ct).numpy()
+    got = rp.ctx_cleaner(jnp.asarray(d), jnp.asarray(c), "orthogonal_projection", 0.7)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    mask = 1 - ct / (torch.norm(ct, p=2, dim=2, keepdim=True) + 1e-6)
+    want2 = (dt * mask).numpy()
+    got2 = rp.ctx_cleaner(jnp.asarray(d), jnp.asarray(c), "contrastive_mask")
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-5, atol=1e-5)

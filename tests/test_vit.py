@@ -1,0 +1,171 @@
+"""ViT encoder parity vs a random-init transformers Dinov2WithRegistersModel.
+
+The HF implementation mirrors facebookresearch/dinov2 (the reference's
+backbone, src/model.py:343), so porting its random weights and matching
+outputs validates the whole encoder stack without any network download.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from patchioner_tpu.io import torch_port
+from patchioner_tpu.models import vit
+
+
+def make_hf_model(num_registers=4, img=56, patch=14, dim=64, heads=4, depth=3):
+    from transformers import (
+        Dinov2WithRegistersConfig,
+        Dinov2WithRegistersModel,
+    )
+
+    cfg = Dinov2WithRegistersConfig(
+        hidden_size=dim,
+        num_hidden_layers=depth,
+        num_attention_heads=heads,
+        intermediate_size=dim * 4,
+        image_size=img,
+        patch_size=patch,
+        num_register_tokens=num_registers,
+        layerscale_value=0.5,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model = Dinov2WithRegistersModel(cfg).eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def ported():
+    model, hf_cfg = make_hf_model()
+    cfg = vit.ViTConfig(
+        img_size=56,
+        patch_size=14,
+        embed_dim=64,
+        depth=3,
+        num_heads=4,
+        num_registers=4,
+        extract_heads=4,
+    )
+    params = torch_port.port_hf_dinov2(model.state_dict(), cfg.depth, cfg.num_registers)
+    return model, cfg, params
+
+
+def test_forward_parity(ported):
+    model, cfg, params = ported
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = model(torch.from_numpy(x)).last_hidden_state.numpy()
+    out = vit.vit_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)
+    ours = np.concatenate(
+        [
+            np.asarray(out["x_norm_clstoken"])[:, None],
+            np.asarray(out["x_norm_regtokens"]),
+            np.asarray(out["x_norm_patchtokens"]),
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(ours, hf_out, rtol=1e-4, atol=1e-4)
+
+
+def test_pos_embed_interpolation_changes_grid(ported):
+    _, cfg, params = ported
+    pos = jnp.asarray(params["pos_embed"])
+    up = vit.interpolate_pos_embed(pos, 4, 8)
+    assert up.shape == (1, 1 + 64, cfg.embed_dim)
+    # identity when grids match
+    same = vit.interpolate_pos_embed(pos, 4, 4)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(pos))
+
+
+def test_process_self_attention_matches_reference_math(ported):
+    """Oracle: the reference's exact quirk chain (src/dino_extraction.py:24-34)
+    on a random fused-qkv activation."""
+    _, cfg, _ = ported
+    b, n, d, h, ng = 2, 21, 64, 4, 5
+    rng = np.random.default_rng(1)
+    qkv_out = rng.standard_normal((b, n, 3 * d)).astype(np.float32)
+
+    t = torch.from_numpy(qkv_out)
+    tq = t.reshape(b, n, 3, h, d // h).permute(2, 0, 3, 1, 4)
+    q, k = tq[0] * 0.125, tq[1]
+    attn = q @ k.transpose(-2, -1)
+    maps = attn[:, :, 0, ng:]
+    want_attn = maps.mean(dim=1).softmax(dim=-1).numpy()
+
+    got_attn, got_maps = vit.process_self_attention(
+        jnp.asarray(qkv_out), num_heads=h, num_global_tokens=ng, scale=0.125
+    )
+    np.testing.assert_allclose(np.asarray(got_attn), want_attn, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_maps), maps.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_kkv_reorder(ported):
+    """'kkv' rewiring must equal recomputing attention with K used as Q
+    (reference: src/model.py:569-582)."""
+    _, cfg, params = ported
+    re = vit.reorder_qkv_params(params, "kkv")
+    w = np.asarray(params["blocks"][-1]["qkv"]["w"])  # (D, 3D)
+    d = w.shape[0]
+    got = np.asarray(re["blocks"][-1]["qkv"]["w"])
+    np.testing.assert_array_equal(got[:, :d], w[:, d : 2 * d])  # q slot <- k
+    np.testing.assert_array_equal(got[:, d : 2 * d], w[:, d : 2 * d])
+    np.testing.assert_array_equal(got[:, 2 * d :], w[:, 2 * d :])
+    # identity case returns params untouched
+    assert vit.reorder_qkv_params(params, "qkv") is params
+
+
+def test_hub_layout_port_equals_hf_layout(ported):
+    """Build a synthetic torch-hub-style state dict from the HF one and check
+    both porters agree (covers the layout the real dinov2 checkpoints use)."""
+    model, cfg, params_hf = ported
+    sd = model.state_dict()
+    hub = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "register_tokens": sd["embeddings.register_tokens"],
+        "patch_embed.proj.weight": sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias": sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for i in range(cfg.depth):
+        p, q = f"blocks.{i}", f"encoder.layer.{i}"
+        hub[f"{p}.norm1.weight"] = sd[f"{q}.norm1.weight"]
+        hub[f"{p}.norm1.bias"] = sd[f"{q}.norm1.bias"]
+        hub[f"{p}.attn.qkv.weight"] = torch.cat(
+            [
+                sd[f"{q}.attention.attention.query.weight"],
+                sd[f"{q}.attention.attention.key.weight"],
+                sd[f"{q}.attention.attention.value.weight"],
+            ]
+        )
+        hub[f"{p}.attn.qkv.bias"] = torch.cat(
+            [
+                sd[f"{q}.attention.attention.query.bias"],
+                sd[f"{q}.attention.attention.key.bias"],
+                sd[f"{q}.attention.attention.value.bias"],
+            ]
+        )
+        hub[f"{p}.attn.proj.weight"] = sd[f"{q}.attention.output.dense.weight"]
+        hub[f"{p}.attn.proj.bias"] = sd[f"{q}.attention.output.dense.bias"]
+        hub[f"{p}.ls1.gamma"] = sd[f"{q}.layer_scale1.lambda1"]
+        hub[f"{p}.ls2.gamma"] = sd[f"{q}.layer_scale2.lambda1"]
+        hub[f"{p}.norm2.weight"] = sd[f"{q}.norm2.weight"]
+        hub[f"{p}.norm2.bias"] = sd[f"{q}.norm2.bias"]
+        hub[f"{p}.mlp.fc1.weight"] = sd[f"{q}.mlp.fc1.weight"]
+        hub[f"{p}.mlp.fc1.bias"] = sd[f"{q}.mlp.fc1.bias"]
+        hub[f"{p}.mlp.fc2.weight"] = sd[f"{q}.mlp.fc2.weight"]
+        hub[f"{p}.mlp.fc2.bias"] = sd[f"{q}.mlp.fc2.bias"]
+    params_hub = torch_port.port_dinov2(hub, cfg.depth, cfg.num_registers)
+
+    flat_hf = jnp.concatenate(
+        [x.reshape(-1) for x in __import__("jax").tree_util.tree_leaves(params_hf)]
+    )
+    flat_hub = jnp.concatenate(
+        [x.reshape(-1) for x in __import__("jax").tree_util.tree_leaves(params_hub)]
+    )
+    np.testing.assert_allclose(np.asarray(flat_hf), np.asarray(flat_hub))
