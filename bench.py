@@ -1,0 +1,172 @@
+"""Benchmark: LN-COCO-style trace captioning throughput on one TPU chip.
+
+Measures the full flagship pipeline (DINOv2-B/14-reg @ 518px -> attention
+extraction -> trace aggregation -> 591k x 768 support-memory projection ->
+30-step greedy decode) in captions/sec, steady state.
+
+`vs_baseline` is measured, not assumed: the same pipeline with the
+reference's *algorithms* faithfully ported to XLA — no KV cache (full-context
+re-forward every decode step, src/decap/decap.py:131,155) and the unfused
+two-matmul + materialized-softmax memory projection
+(im2txtprojection.py:367-377) — run on the same chip. That isolates the
+TPU-native design wins from the hardware change. (The reference repo
+publishes no GPU numbers to compare against — BASELINE.md.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _build(batch: int, bank_size: int):
+    import __graft_entry__ as ge
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    vit_cfg, vit_params, gcfg, decoder, bank = ge._flagship(bank_size)
+    step = jax.jit(ge.make_caption_step(vit_cfg, gcfg, on_tpu, bank.num_real))
+    state = {
+        "vit": vit_params,
+        "decoder": decoder,
+        "bank_rows": bank.rows,
+        "bank_inv": bank.inv_norm,
+    }
+
+    def fn(pixels, pts, valid):
+        return step(state, pixels, pts, valid)
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((batch, 518, 518, 3)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, 1, (batch, 64, 2)), jnp.float32)
+    valid = jnp.ones((batch, 64), jnp.float32)
+    args = (pixels, pts, valid)
+    return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank)
+
+
+def _naive_reference_port(model, batch: int):
+    """Reference algorithms on the same chip: growing-context decode, unfused
+    projection with materialized (B, M) softmax."""
+    from patchioner_tpu.models import gpt2 as gpt2_mod
+    from patchioner_tpu.models import decap as decap_mod
+    from patchioner_tpu.models import vit as vit_mod
+    from patchioner_tpu.ops import region_pooling as rp
+    from patchioner_tpu.ops import memory_projection as memproj
+
+    vit_cfg, vit_params, gcfg, decoder, bank = model
+    bank_rows = bank.rows[: bank.num_real]
+
+    @jax.jit
+    def _enc(vp, brows, pixels, pts, valid):
+        outs = vit_mod.vit_forward(vp, pixels, vit_cfg)
+        self_attn, _ = vit_mod.process_self_attention(
+            outs["qkv_last"],
+            num_heads=vit_cfg.extract_heads,
+            num_global_tokens=vit_cfg.num_global_tokens,
+            scale=vit_cfg.extract_scale,
+        )
+        grid = rp.traces_to_grid(pts, valid, vit_cfg.grid_size)
+        feats = rp.trace_pool(outs["x_norm_patchtokens"], grid, self_attn)
+        return memproj.memory_project_xla(feats, brows, normalize=True)
+
+    def encode_and_project(pixels, pts, valid):
+        return _enc(vit_params, bank_rows, pixels, pts, valid)
+
+    # Growing-context greedy decode: the reference re-forwards the full
+    # inputs_embeds at every step (one program per prefix length — 30 jit
+    # compiles). Compiling all 30 over this harness is wasteful, so we time
+    # representative lengths and integrate the per-step cost curve (it's
+    # linear in t for full-context attention at these sizes).
+    @jax.jit
+    def _step(gp, e):
+        return jnp.argmax(gpt2_mod.gpt2_forward(gp, e, gcfg)[:, -1], -1)
+
+    def step_at(tlen):
+        return lambda e: _step(decoder.gpt2, e)
+
+    def naive_decode_time(prefix, iters):
+        import numpy as np
+        import time as _t
+
+        b = prefix.shape[0]
+        emb0 = decap_mod.decap_project_prefix(decoder, prefix)[:, None, :]
+        sample_lens = [1, 10, 20, decap_mod.ENTRY_LENGTH]
+        costs = {}
+        for tlen in sample_lens:
+            e = jnp.broadcast_to(emb0, (b, tlen, emb0.shape[-1]))
+            f = step_at(tlen)
+            out = f(e)
+            jax.block_until_ready(out)  # compile
+            t0 = _t.perf_counter()
+            for _ in range(iters):
+                out = f(e)
+                jax.block_until_ready(out)
+            costs[tlen] = (_t.perf_counter() - t0) / iters
+        # Linear interpolation of per-step cost over all 30 lengths.
+        xs = np.array(sample_lens, float)
+        ys = np.array([costs[t] for t in sample_lens], float)
+        total = 0.0
+        for t in range(1, decap_mod.ENTRY_LENGTH + 1):
+            total += float(np.interp(t, xs, ys))
+        return total
+
+    return encode_and_project, naive_decode_time
+
+
+def bench_fn(fn, args, iters: int, warmup: int = 2):
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 32 if on_tpu else 2))
+    bank_size = int(
+        os.environ.get("PATCHIONER_BENCH_BANK", 591753 if on_tpu else 2048)
+    )
+    iters = int(os.environ.get("PATCHIONER_BENCH_ITERS", 10 if on_tpu else 2))
+
+    fn, args, model = _build(batch, bank_size)
+    dt = bench_fn(fn, args, iters)
+    captions_per_sec = batch / dt
+
+    vs_baseline = None
+    if os.environ.get("PATCHIONER_BENCH_SKIP_BASELINE", "0") != "1":
+        naive_iters = max(1, iters // 5)
+        encode_and_project, naive_decode_time = _naive_reference_port(model, batch)
+        prefix = encode_and_project(*args)
+        jax.block_until_ready(prefix)
+        t0 = time.perf_counter()
+        for _ in range(naive_iters):
+            prefix = encode_and_project(*args)
+            jax.block_until_ready(prefix)
+        dt_encode = (time.perf_counter() - t0) / naive_iters
+        dt_decode = naive_decode_time(prefix, naive_iters)
+        naive_cps = batch / (dt_encode + dt_decode)
+        vs_baseline = round(captions_per_sec / naive_cps, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "trace_captions_per_sec_per_chip",
+                "value": round(captions_per_sec, 3),
+                "unit": "captions/s",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,327 @@
+"""CLIP (OpenAI ViT) visual + text towers, functional JAX.
+
+Backs the reference's CLIP-based configurations: decap_B16/decap_B32 backbones
+(timm OpenAI CLIP ViT loaded at src/model.py:358-377, tokens head-projected to
+the shared space :786-796), the text encoder used for memory-bank building and
+decoder training (decoderTraining.py:300), and the CLIP-S/PAC-S metrics
+(pacsMetric/pac_score.py).
+
+Layout matches openai/CLIP: visual = conv patch embed (no bias) + class
+embedding + pos embed + ln_pre + resblocks (quick-GELU MLP) + ln_post +
+projection; text = token embed + pos embed + causal resblocks + ln_final +
+EOT-token pooling + text projection.
+
+Ports from HF `transformers.CLIPModel` state dicts (io/torch_port-style
+conventions, see `port_hf_clip`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ClipVisionConfig",
+    "ClipTextConfig",
+    "clip_visual_forward",
+    "clip_text_forward",
+    "port_hf_clip_vision",
+    "port_hf_clip_text",
+    "init_clip_vision",
+    "init_clip_text",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipVisionConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    proj_dim: int = 512
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return 1 + self.grid_size**2
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipTextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    depth: int = 12
+    heads: int = 8
+    proj_dim: int = 512
+    ln_eps: float = 1e-5
+    eot_token: int = 49407
+    dtype: jnp.dtype = jnp.float32
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False):
+    b, t, d = x.shape
+    hd = d // heads
+    h = _ln(x, blk["ln_1"], eps)
+    qkv = _dense(h, blk["qkv"])  # fused (D, 3D)
+    q, k, v = jnp.split(qkv.reshape(b, t, 3, heads, hd), 3, axis=2)
+    q = q.squeeze(2).transpose(0, 2, 1, 3)
+    k = k.squeeze(2).transpose(0, 2, 1, 3)
+    v = v.squeeze(2).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k).astype(jnp.float32)
+    if causal_mask is not None:
+        logits = jnp.where(causal_mask, logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+    x = x + _dense(a, blk["out_proj"])
+    h = _ln(x, blk["ln_2"], eps)
+    x = x + _dense(_quick_gelu(_dense(h, blk["fc1"])), blk["fc2"])
+    return (x, qkv) if return_qkv else (x, None)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "skip_last_layers"))
+def clip_visual_forward(
+    params: dict, pixels: jax.Array, cfg: ClipVisionConfig,
+    skip_last_layers: int = 0,
+) -> dict:
+    """(B, H, W, 3) -> dict with projected cls/patch tokens + last-block qkv.
+
+    `skip_last_layers` covers the INViTE variant (vendored CLIP fork whose
+    visual forward can skip the last k resblocks and return all tokens,
+    reference src/INViTE/clipfolder/model.py:258-283).
+    """
+    b, hh, ww, _ = pixels.shape
+    g = hh // cfg.patch_size
+    x = pixels.astype(cfg.dtype)
+    x = x.reshape(b, g, cfg.patch_size, g, cfg.patch_size, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
+    x = x @ params["patch_embed_w"]  # conv, no bias
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(cfg.dtype), (b, 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(cfg.dtype)
+    x = _ln(x, params["ln_pre"], cfg.ln_eps)
+    qkv_last = None
+    depth = len(params["blocks"]) - skip_last_layers
+    for i, blk in enumerate(params["blocks"][:depth]):
+        is_last = i == depth - 1
+        x, qkv = _resblock(x, blk, cfg.heads, cfg.ln_eps, return_qkv=is_last)
+        if is_last:
+            qkv_last = qkv
+    x = _ln(x, params["ln_post"], cfg.ln_eps)
+    proj = x @ params["proj"]
+    return {
+        "x_norm_clstoken": proj[:, 0],
+        "x_norm_patchtokens": proj[:, 1:],
+        "tokens_preproj": x,
+        "qkv_last": qkv_last,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def clip_text_forward(params: dict, tokens: jax.Array, cfg: ClipTextConfig) -> jax.Array:
+    """(B, 77) int tokens -> (B, proj_dim) text embedding (EOT pooled)."""
+    b, t = tokens.shape
+    x = params["token_embedding"][tokens].astype(cfg.dtype)
+    x = x + params["pos_embed"][:t].astype(cfg.dtype)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    for blk in params["blocks"]:
+        x, _ = _resblock(x, blk, cfg.heads, cfg.ln_eps, causal_mask=causal)
+    x = _ln(x, params["ln_final"], cfg.ln_eps)
+    eot_idx = jnp.argmax((tokens == cfg.eot_token).astype(jnp.int32), axis=-1)
+    pooled = x[jnp.arange(b), eot_idx]
+    return pooled @ params["text_projection"]
+
+
+# -------------------------------------------------------------------- port
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _port_blocks_hf(sd: Mapping, prefix: str, depth: int) -> list:
+    blocks = []
+    for i in range(depth):
+        p = f"{prefix}.layers.{i}"
+        qw = _np(sd[f"{p}.self_attn.q_proj.weight"])
+        kw = _np(sd[f"{p}.self_attn.k_proj.weight"])
+        vw = _np(sd[f"{p}.self_attn.v_proj.weight"])
+        qb = _np(sd[f"{p}.self_attn.q_proj.bias"])
+        kb = _np(sd[f"{p}.self_attn.k_proj.bias"])
+        vb = _np(sd[f"{p}.self_attn.v_proj.bias"])
+        blocks.append(
+            {
+                "ln_1": {
+                    "scale": _np(sd[f"{p}.layer_norm1.weight"]),
+                    "bias": _np(sd[f"{p}.layer_norm1.bias"]),
+                },
+                "qkv": {
+                    "w": np.concatenate([qw, kw, vw], 0).T,
+                    "b": np.concatenate([qb, kb, vb]),
+                },
+                "out_proj": {
+                    "w": _np(sd[f"{p}.self_attn.out_proj.weight"]).T,
+                    "b": _np(sd[f"{p}.self_attn.out_proj.bias"]),
+                },
+                "ln_2": {
+                    "scale": _np(sd[f"{p}.layer_norm2.weight"]),
+                    "bias": _np(sd[f"{p}.layer_norm2.bias"]),
+                },
+                "fc1": {
+                    "w": _np(sd[f"{p}.mlp.fc1.weight"]).T,
+                    "b": _np(sd[f"{p}.mlp.fc1.bias"]),
+                },
+                "fc2": {
+                    "w": _np(sd[f"{p}.mlp.fc2.weight"]).T,
+                    "b": _np(sd[f"{p}.mlp.fc2.bias"]),
+                },
+            }
+        )
+    return blocks
+
+
+def port_hf_clip_vision(sd: Mapping, depth: int) -> dict:
+    """Port transformers CLIPVisionModelWithProjection-style keys
+    (vision_model.* + visual_projection)."""
+    conv = _np(sd["vision_model.embeddings.patch_embedding.weight"])  # (D,3,P,P)
+    d, c, p, _ = conv.shape
+    return {
+        "patch_embed_w": np.ascontiguousarray(
+            conv.transpose(2, 3, 1, 0).reshape(p * p * c, d)
+        ),
+        "class_embedding": _np(sd["vision_model.embeddings.class_embedding"]).reshape(
+            1, 1, -1
+        ),
+        "pos_embed": _np(sd["vision_model.embeddings.position_embedding.weight"])[
+            None
+        ],
+        "ln_pre": {
+            "scale": _np(sd["vision_model.pre_layrnorm.weight"]),
+            "bias": _np(sd["vision_model.pre_layrnorm.bias"]),
+        },
+        "blocks": _port_blocks_hf(sd, "vision_model.encoder", depth),
+        "ln_post": {
+            "scale": _np(sd["vision_model.post_layernorm.weight"]),
+            "bias": _np(sd["vision_model.post_layernorm.bias"]),
+        },
+        "proj": _np(sd["visual_projection.weight"]).T,
+    }
+
+
+def port_hf_clip_text(sd: Mapping, depth: int) -> dict:
+    return {
+        "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),
+        "pos_embed": _np(sd["text_model.embeddings.position_embedding.weight"]),
+        "blocks": _port_blocks_hf(sd, "text_model.encoder", depth),
+        "ln_final": {
+            "scale": _np(sd["text_model.final_layer_norm.weight"]),
+            "bias": _np(sd["text_model.final_layer_norm.bias"]),
+        },
+        "text_projection": _np(sd["text_projection.weight"]).T,
+    }
+
+
+# -------------------------------------------------------------------- init
+
+
+def init_clip_vision(key: jax.Array, cfg: ClipVisionConfig) -> dict:
+    ks = iter(jax.random.split(key, 4 + 4 * cfg.depth))
+    d = cfg.width
+
+    def dense(k, fi, fo):
+        return {
+            "w": jax.random.normal(k, (fi, fo)) / math.sqrt(fi),
+            "b": jnp.zeros((fo,)),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    params = {
+        "patch_embed_w": jax.random.normal(
+            next(ks), (cfg.patch_size**2 * 3, d)
+        )
+        * 0.02,
+        "class_embedding": jax.random.normal(next(ks), (1, 1, d)) * 0.02,
+        "pos_embed": jax.random.normal(next(ks), (1, cfg.num_tokens, d)) * 0.01,
+        "ln_pre": ln(),
+        "ln_post": ln(),
+        "proj": jax.random.normal(next(ks), (d, cfg.proj_dim)) / math.sqrt(d),
+        "blocks": [],
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append(
+            {
+                "ln_1": ln(),
+                "qkv": dense(next(ks), d, 3 * d),
+                "out_proj": dense(next(ks), d, d),
+                "ln_2": ln(),
+                "fc1": dense(next(ks), d, 4 * d),
+                "fc2": dense(next(ks), 4 * d, d),
+            }
+        )
+    return params
+
+
+def init_clip_text(key: jax.Array, cfg: ClipTextConfig) -> dict:
+    ks = iter(jax.random.split(key, 4 + 4 * cfg.depth))
+    d = cfg.width
+
+    def dense(k, fi, fo):
+        return {
+            "w": jax.random.normal(k, (fi, fo)) / math.sqrt(fi),
+            "b": jnp.zeros((fo,)),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    params = {
+        "token_embedding": jax.random.normal(next(ks), (cfg.vocab_size, d)) * 0.02,
+        "pos_embed": jax.random.normal(next(ks), (cfg.context_length, d)) * 0.01,
+        "ln_final": ln(),
+        "text_projection": jax.random.normal(next(ks), (d, cfg.proj_dim))
+        / math.sqrt(d),
+        "blocks": [],
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append(
+            {
+                "ln_1": ln(),
+                "qkv": dense(next(ks), d, 3 * d),
+                "out_proj": dense(next(ks), d, d),
+                "ln_2": ln(),
+                "fc1": dense(next(ks), d, 4 * d),
+                "fc2": dense(next(ks), 4 * d, d),
+            }
+        )
+    return params

@@ -1,0 +1,184 @@
+"""DeCap/CapDec decoder training — text-only reconstruction, mesh-sharded.
+
+Reference: src/decap/decoderTraining.py:62-387. A frozen text encoder embeds
+captions; the embedding is optionally memory-projected (`--im_proj`,
+normalize=True) and optionally noised (CapDec, re-normalized); DeCap
+reconstructs the caption with CE loss (ignore_index=0, label smoothing 0.1),
+AdamW + linear-warmup schedule.
+
+The reference scales with torch DDP over NCCL (:78,232-238). Here the whole
+step is ONE jitted program over a `jax.sharding.Mesh`:
+  * batch sharded over the 'dp' axis (DistributedSampler equivalent),
+  * the support-memory bank sharded over 'mp' (tensor parallelism for the
+    projection's (B, M) softmax — XLA inserts the psum/pmax collectives),
+  * gradient all-reduce emerges from the sharding, like DDP's but fused.
+Metric reductions (loss/accuracy all_reduce, :364-372) fall out of the same
+program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from patchioner_tpu.models import decap as decap_mod
+from patchioner_tpu.models import gpt2 as gpt2_mod
+
+__all__ = ["TrainConfig", "decap_loss", "make_train_step", "make_optimizer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-5  # reference CLI default (decoderTraining.py:418)
+    warmup_steps: int = 5000
+    total_steps: int = 100_000
+    weight_decay: float = 0.0
+    label_smoothing: float = 0.1  # :229
+    gaussian_noise: float = 0.0  # CapDec variant (:314-316)
+    grad_clip: Optional[float] = None
+
+
+def _smoothed_ce(logits, targets, label_smoothing, ignore_index=0):
+    """torch.nn.CrossEntropyLoss(ignore_index=0, label_smoothing=0.1) parity:
+    mean over non-ignored positions of smoothed NLL."""
+    vocab = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    mask = (targets != ignore_index).astype(jnp.float32)
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0), mask
+
+
+def decap_loss(
+    params: decap_mod.DecapParams,
+    features: jax.Array,
+    tokens: jax.Array,
+    gpt2_cfg: gpt2_mod.GPT2Config,
+    *,
+    label_smoothing: float = 0.1,
+):
+    """CE reconstruction loss.
+
+    features: (B, prefix) already projected/noised/normalized.
+    tokens:   (B, T) caption token ids, 0-padded.
+
+    Logit/target alignment matches the reference (:323-330): the prefix
+    occupies position 0, logits[:, :-1] predict tokens[:, :].
+    """
+    prefix_emb = decap_mod.decap_project_prefix(params, features)[:, None, :]
+    tok_emb = params.gpt2["wte"][tokens]
+    embeds = jnp.concatenate([prefix_emb, tok_emb], axis=1)
+    logits = gpt2_mod.gpt2_forward(params.gpt2, embeds, gpt2_cfg)[:, :-1]
+    loss, mask = _smoothed_ce(logits, tokens, label_smoothing)
+    acc = jnp.sum((jnp.argmax(logits, -1) == tokens) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+    return loss, acc
+
+
+def prepare_features(
+    features: jax.Array,
+    *,
+    key: Optional[jax.Array] = None,
+    gaussian_noise: float = 0.0,
+    bank=None,
+    use_pallas: bool = False,
+):
+    """The frozen input pipeline (:303-316): optional memory projection
+    (normalize=True), L2 normalize, optional CapDec noise + re-normalize."""
+    from patchioner_tpu.ops import memory_projection as memproj
+
+    if bank is not None:
+        features = memproj.memory_project(
+            features, bank, normalize=True, use_pallas=use_pallas
+        )
+    features = features / jnp.linalg.norm(features, axis=-1, keepdims=True)
+    if gaussian_noise != 0.0:
+        features = features + gaussian_noise * jax.random.normal(
+            key, features.shape, features.dtype
+        )
+        features = features / jnp.linalg.norm(features, axis=-1, keepdims=True)
+    return features
+
+
+def make_optimizer(cfg: TrainConfig):
+    """AdamW + linear warmup then linear decay
+    (reference: get_linear_schedule_with_warmup, :255,265-267)."""
+    sched = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+            optax.linear_schedule(
+                cfg.lr, 0.0, max(cfg.total_steps - cfg.warmup_steps, 1)
+            ),
+        ],
+        [cfg.warmup_steps],
+    )
+    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def make_train_step(
+    gpt2_cfg: gpt2_mod.GPT2Config,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    use_bank: bool = False,
+    mesh=None,
+    dp_axis: str = "dp",
+    mp_axis: str = "mp",
+):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    Signature: step(params, opt_state, features, tokens, key[, bank_rows])
+    -> (params, opt_state, metrics dict).
+
+    With a mesh: features/tokens shard over `dp_axis`, bank rows over
+    `mp_axis`, params/opt-state replicated — XLA inserts the gradient
+    all-reduce and the projection's softmax collectives.
+    """
+
+    def step(params, opt_state, features, tokens, key, bank_rows=None):
+        feats = prepare_features(
+            features,
+            key=key,
+            gaussian_noise=train_cfg.gaussian_noise,
+            bank=bank_rows if use_bank else None,
+            use_pallas=False,
+        )
+
+        def loss_fn(p):
+            return decap_loss(
+                p, feats, tokens, gpt2_cfg,
+                label_smoothing=train_cfg.label_smoothing,
+            )
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "acc": acc}
+
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(dp_axis))
+    mp = NamedSharding(mesh, P(mp_axis))
+    in_shardings = [repl, repl, dp, dp, repl]
+    if use_bank:
+        in_shardings.append(mp)
+    return jax.jit(
+        step,
+        in_shardings=tuple(in_shardings),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,172 @@
+"""Integration tests for the Patchioner orchestrator (tiny shapes, CPU)."""
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.models import decap, gpt2, vit
+from patchioner_tpu.models.patchioner import Patchioner
+from patchioner_tpu.ops import memory_projection as memproj
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    key = jax.random.PRNGKey(0)
+    vit_cfg = vit.ViTConfig(
+        img_size=56,
+        patch_size=14,
+        embed_dim=128,
+        depth=2,
+        num_heads=4,
+        num_registers=4,
+        extract_heads=4,
+        pos_grid=4,
+    )
+    gcfg = gpt2.GPT2Config(vocab_size=49408, n_layer=2, n_head=4, n_embd=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    bank_emb = jax.random.normal(k3, (200, 128))
+    return Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=vit.init_vit(k1, vit_cfg),
+        gpt2_cfg=gcfg,
+        decoder=decap.init_decap(k2, gcfg, prefix_size=128),
+        bank=memproj.prepare_bank(bank_emb),
+        bank_texts=[f"caption {i}" for i in range(200)],
+        normalize=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+
+
+def test_forward_all_global_modes(tiny_model, imgs):
+    outs = tiny_model.forward(
+        imgs,
+        get_cls_capt=True,
+        get_avg_self_attn_capt=True,
+        get_avg_patch_capt=True,
+        get_attn_heads_capt=True,
+        get_patch_capts=True,
+        get_register_capts=True,
+    )
+    assert isinstance(outs["cls_capt"][0], str) and len(outs["cls_capt"]) == 2
+    assert len(outs["avg_self_attn_capt"]) == 2
+    assert len(outs["avg_patch_capt"]) == 2
+    assert len(outs["attn_heads_capts"]) == 2
+    assert len(outs["attn_heads_capts"][0]) == 4  # extract_heads
+    assert len(outs["patch_tokens_capts"][0]) == 16  # 4x4 grid
+    assert len(outs["register_capts"][0]) == 4
+
+
+def test_forward_nchw_input_equivalence(tiny_model, imgs):
+    a = tiny_model.forward(imgs, get_cls_capt=True)
+    b = tiny_model.forward(imgs.transpose(0, 3, 1, 2), get_cls_capt=True)
+    assert a["cls_capt"] == b["cls_capt"]
+
+
+def test_bbox_captions_nesting_and_scores(tiny_model, imgs):
+    boxes = np.array(
+        [[[0, 0, 28, 28], [14, 14, 28, 28], [0, 0, 1, 1]]] * 2, np.float32
+    )
+    outs = tiny_model.forward(
+        imgs,
+        get_cls_capt=False,
+        bboxes=boxes,
+        gaussian_avg=True,
+        compute_scores=True,
+        return_n_best_sims=3,
+    )
+    assert len(outs["bbox_capts"]) == 2
+    assert len(outs["bbox_capts"][0]) == 3
+    assert len(outs["bbox_scores"][0]) == 3
+    assert len(outs["bbox_sims"][0]) == 3
+    assert len(outs["bbox_sims"][0][0]) == 3  # top-3 sims per box
+
+
+def test_controllable_and_trace_captions(tiny_model, imgs):
+    boxes = np.array([[[0, 0, 28, 28], [-100, -100, -1, -1]]] * 2, np.float32)
+    traces = [
+        [{"x": 0.1, "y": 0.2}, {"x": 0.5, "y": 0.5}],
+        [{"x": 0.9, "y": 0.9}],
+    ]
+    outs = tiny_model.forward(
+        imgs,
+        get_cls_capt=False,
+        bboxes=boxes,
+        get_controllable_capts=True,
+        traces=traces,
+        use_attention_tracing=True,
+    )
+    assert len(outs["set_controllable_capts"]) == 2
+    assert len(outs["trace_capts"]) == 2
+
+
+def test_cleaning_paths(tiny_model, imgs):
+    for after in (True, False):
+        outs = tiny_model.forward(
+            imgs,
+            get_cls_capt=False,
+            get_patch_capts=True,
+            cleaning_type="orthogonal_projection",
+            clean_after_projection=after,
+            alpha=0.8,
+        )
+        assert len(outs["patch_tokens_capts"][0]) == 16
+
+
+def test_caption_tokens_matches_manual_pipeline(tiny_model, imgs):
+    enc = tiny_model.encode_images(imgs)
+    cls = enc["x_norm_clstoken"]
+    prefix = memproj.memory_project_xla(
+        cls, tiny_model.bank.rows[: tiny_model.bank.num_real], normalize=True
+    )
+    toks, _ = decap.greedy_decode(tiny_model.decoder, prefix, tiny_model.gpt2_cfg)
+    want = [tiny_model.tokenizer.decode_caption(r) for r in np.asarray(toks)]
+    got = tiny_model.caption_tokens(cls)
+    assert got == want
+
+
+def test_argmax_text_mode(tiny_model, imgs):
+    tiny_model.calculate_argmax_text = True
+    try:
+        outs = tiny_model.forward(imgs, get_cls_capt=True)
+        assert all(c.startswith("caption ") for c in outs["cls_capt"])
+    finally:
+        tiny_model.calculate_argmax_text = False
+
+
+def test_from_config_full_size(tmp_path):
+    cfg = {
+        "decap_weights": "/nonexistent/decap.pt",
+        "prefix_size": 768,
+        "support_memory_size": 2000,
+        "dino_model": "dinov2_vitb14_reg",
+        "normalize": True,
+        "projection_type": "coco",
+        "kkv_attention": False,
+    }
+    p = tmp_path / "model.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.warns(UserWarning, match="kkv_attention"):
+        model = Patchioner.from_config(
+            str(p), allow_missing_weights=True, random_bank_size=256
+        )
+    assert model.vit_cfg.embed_dim == 768
+    assert model.vit_cfg.num_registers == 4
+    assert model.vit_cfg.grid_size == 37
+    assert model.bank.num_real == 256
+    assert model.gpt2_cfg.n_layer == 4
+
+    with pytest.raises(FileNotFoundError):
+        Patchioner.from_config(str(p))  # strict mode needs real weights
+
+    cfg["viecap"] = {"x": 1}
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(NotImplementedError):
+        Patchioner.from_config(str(p), allow_missing_weights=True)
