@@ -100,12 +100,10 @@ def _naive_reference_port(model, batch: int):
         for tlen in sample_lens:
             e = jnp.broadcast_to(emb0, (b, tlen, emb0.shape[-1]))
             f = step_at(tlen)
-            out = f(e)
-            jax.block_until_ready(out)  # compile
+            np.asarray(f(e))  # compile + sync
             t0 = _t.perf_counter()
             for _ in range(iters):
-                out = f(e)
-                jax.block_until_ready(out)
+                np.asarray(f(e))
             costs[tlen] = (_t.perf_counter() - t0) / iters
         # Linear interpolation of per-step cost over all 30 lengths.
         xs = np.array(sample_lens, float)
@@ -118,14 +116,20 @@ def _naive_reference_port(model, batch: int):
     return encode_and_project, naive_decode_time
 
 
+def _sync(out):
+    """Force completion via a device->host copy of one small leaf —
+    block_until_ready is unreliable on the experimental remote-TPU backend."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+    return out
+
+
 def bench_fn(fn, args, iters: int, warmup: int = 2):
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -145,12 +149,10 @@ def main():
     if os.environ.get("PATCHIONER_BENCH_SKIP_BASELINE", "0") != "1":
         naive_iters = max(1, iters // 5)
         encode_and_project, naive_decode_time = _naive_reference_port(model, batch)
-        prefix = encode_and_project(*args)
-        jax.block_until_ready(prefix)
+        prefix = _sync(encode_and_project(*args))
         t0 = time.perf_counter()
         for _ in range(naive_iters):
-            prefix = encode_and_project(*args)
-            jax.block_until_ready(prefix)
+            prefix = _sync(encode_and_project(*args))
         dt_encode = (time.perf_counter() - t0) / naive_iters
         dt_decode = naive_decode_time(prefix, naive_iters)
         naive_cps = batch / (dt_encode + dt_decode)

@@ -170,6 +170,35 @@ def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
     return (x @ params["wte"].T).astype(jnp.float32)
 
 
+def gpt2_prefill(
+    params: dict, embeds: jax.Array, cfg: GPT2Config, max_len: int
+) -> tuple[jax.Array, KVCache]:
+    """Full-prompt prefill: run causal attention over (B, T, D) embeddings,
+    return last-position logits and a KV cache of capacity `max_len` primed
+    with the prompt's keys/values (positions 0..T-1)."""
+    b, t, d = embeds.shape
+    cache = init_kv_cache(cfg, b, max_len)
+    x = embeds.astype(cfg.dtype) + params["wpe"][:t].astype(cfg.dtype)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    new_k, new_v = cache.k, cache.v
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.n_head)
+        k = _split_heads(k, cfg.n_head)
+        v = _split_heads(v, cfg.n_head)
+        new_k = new_k.at[li, :, :, :t, :].set(k.astype(new_k.dtype))
+        new_v = new_v.at[li, :, :, :t, :].set(v.astype(new_v.dtype))
+        a = _attn_full(q, k, v, scale)
+        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    x = _ln(x, params["ln_f"], cfg.ln_eps)
+    logits = (x[:, -1] @ params["wte"].T).astype(jnp.float32)
+    return logits, KVCache(new_k, new_v, jnp.asarray(t, jnp.int32))
+
+
 def gpt2_step(
     params: dict, embed: jax.Array, cache: KVCache, cfg: GPT2Config
 ) -> tuple[jax.Array, KVCache]:

@@ -1,0 +1,231 @@
+"""MeaCap — memory-augmented entity captioning (ViECap subclass family).
+
+Reference: src/meacap/entrypoint.py. Identical decode path to ViECap
+(mapping network soft prompt + hard prompt + GPT-2 greedy/beam), but the hard
+prompt comes from *memory retrieval* instead of an entity vocabulary:
+cosine similarity of the image feature against a caption memory
+(models/clip_utils.py:129-143) selects the top `memory_caption_num` (5)
+captions; a flan-T5 scene-graph parser + SentenceBERT merge distills them
+into at most 4 key concepts (utils/detect_utils.py:20-43).
+
+Host/device split: retrieval runs on-device (one matmul + top-k); the parser
+and SentenceBERT are host-side HF models behind the pluggable
+`concept_extractor` callable — `hf_concept_extractor` wires the real
+flan-T5/SBERT pipeline when those checkpoints are available locally;
+`frequency_concept_extractor` is a dependency-free fallback (NOT parity,
+clearly marked) so the pipeline stays runnable offline.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchioner_tpu.models import viecap as viecap_mod
+
+__all__ = [
+    "retrieve_memory_captions",
+    "frequency_concept_extractor",
+    "hf_concept_extractor",
+    "MeaCap",
+]
+
+_STOPWORDS = frozenset(
+    """a an the of in on at to with and or is are was were be been being it its
+    this that these those there here his her their our your my some any each
+    for from by as into over under above below between during before after""".split()
+)
+
+
+def retrieve_memory_captions(
+    image_features: jax.Array,
+    memory_clip_embeddings: jax.Array,
+    k: int,
+) -> np.ndarray:
+    """Top-k memory caption indices by cosine similarity
+    (entrypoint.py:151-163 + clip_utils.py:129-143 — the logit scale doesn't
+    change the top-k order)."""
+    f = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    m = memory_clip_embeddings / jnp.linalg.norm(
+        memory_clip_embeddings, axis=-1, keepdims=True
+    )
+    sim = f @ m.T
+    return np.asarray(jax.lax.top_k(sim, k)[1])
+
+
+def frequency_concept_extractor(captions: Sequence[str], image_embeds=None,
+                                max_concepts: int = 4) -> List[str]:
+    """Offline fallback concept extractor: most frequent non-stopword tokens
+    across the retrieved captions. NOT parity with the reference's
+    flan-T5 scene-graph parse + SentenceBERT merge — use
+    `hf_concept_extractor` with real checkpoints for that."""
+    counts: Counter = Counter()
+    order: dict = {}
+    for cap in captions:
+        for w in re.findall(r"[a-z]+", cap.lower()):
+            if w in _STOPWORDS or len(w) < 3:
+                continue
+            counts[w] += 1
+            order.setdefault(w, len(order))
+    ranked = sorted(counts, key=lambda w: (-counts[w], order[w]))
+    return ranked[:max_concepts]
+
+
+def hf_concept_extractor(
+    parser_checkpoint: str,
+    wte_model_path: str,
+    device: str = "cpu",
+    max_concepts: int = 4,
+) -> Callable:
+    """Build the reference concept pipeline (flan-T5 scene-graph parser +
+    SentenceBERT merge, src/meacap/utils/detect_utils.py:20-43) as a host
+    callable. Requires local HF checkpoints."""
+    from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(parser_checkpoint, local_files_only=True)
+    parser = AutoModelForSeq2SeqLM.from_pretrained(
+        parser_checkpoint, local_files_only=True
+    ).eval()
+
+    from sentence_transformers import SentenceTransformer  # optional dep
+
+    wte = SentenceTransformer(wte_model_path, device=device)
+
+    def extract(captions: Sequence[str], image_embeds=None) -> List[str]:
+        import torch
+
+        prompts = [f"Generate Scene Graph: {c}" for c in captions]
+        enc = tok(prompts, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            out = parser.generate(**enc, max_length=128)
+        graphs = tok.batch_decode(out, skip_special_tokens=True)
+        # Entities = first element of each (subject, relation, object) triple.
+        entities: List[str] = []
+        for g in graphs:
+            for triple in re.findall(r"\(([^)]*)\)", g):
+                parts = [p.strip() for p in triple.split(",")]
+                if parts and parts[0]:
+                    entities.append(parts[0])
+        if not entities:
+            return []
+        # SentenceBERT merge: cluster near-duplicate entities, keep the most
+        # frequent representative of each cluster.
+        embs = wte.encode(entities, convert_to_numpy=True)
+        embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+        counts = Counter(entities)
+        uniq = list(dict.fromkeys(entities))
+        kept: List[str] = []
+        for e in sorted(uniq, key=lambda x: -counts[x]):
+            ei = embs[entities.index(e)]
+            if all(
+                float(ei @ embs[entities.index(k)]) < 0.9 for k in kept
+            ):
+                kept.append(e)
+        return kept[:max_concepts]
+
+    return extract
+
+
+class MeaCap(viecap_mod.VieCap):
+    """ViECap with memory-retrieved hard prompts (entrypoint.py:24-218)."""
+
+    def __init__(
+        self,
+        cfg: viecap_mod.ViecapConfig,
+        gpt2_cfg,
+        gpt2_params: dict,
+        mapping_params: dict,
+        memory_captions: Sequence[str],
+        memory_clip_embeddings,
+        tokenizer,
+        *,
+        memory_caption_num: int = 5,
+        concept_extractor: Optional[Callable] = None,
+    ):
+        super().__init__(
+            cfg, gpt2_cfg, gpt2_params, mapping_params,
+            entities=[], texts_embeddings=np.zeros((1, 1), np.float32),
+            tokenizer=tokenizer,
+        )
+        self.memory_captions = list(memory_captions)
+        self.memory_clip_embeddings = jnp.asarray(memory_clip_embeddings)
+        self.memory_caption_num = memory_caption_num
+        self.concept_extractor = concept_extractor or frequency_concept_extractor
+
+    @classmethod
+    def load_memory(cls, memory_base_path: str, memory_id: str):
+        """Load the reference memory bank artifacts
+        (memory/{id}/memory_captions.json + memory_clip_embeddings.pt)."""
+        import os
+
+        import torch
+
+        base = f"{memory_base_path}/memory/{memory_id}"
+        with open(os.path.join(base, "memory_captions.json")) as f:
+            captions = json.load(f)
+        clip_emb = torch.load(
+            os.path.join(base, "memory_clip_embeddings.pt"), map_location="cpu"
+        ).float().numpy()
+        return captions, clip_emb
+
+    def forward(self, image_features, compute_scores: bool = False):
+        cfg = self.cfg
+        f = jnp.asarray(image_features)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        d_model = self.gpt2_cfg.n_embd
+        soft = viecap_mod.mapping_network_forward(
+            self.mapping_params, f, cfg, d_model
+        )
+
+        if cfg.using_hard_prompt:
+            idx = retrieve_memory_captions(
+                f, self.memory_clip_embeddings, self.memory_caption_num
+            )
+            token_rows = []
+            for i in range(idx.shape[0]):
+                caps = [self.memory_captions[j] for j in idx[i]]
+                concepts = self.concept_extractor(caps, image_embeds=f)
+                token_rows.append(
+                    self.tokenizer.encode(
+                        viecap_mod.compose_discrete_prompt(concepts)
+                    )
+                )
+            maxlen = max(len(r) for r in token_rows)
+            padded = np.full((len(token_rows), maxlen), self._pad_id, np.int32)
+            for i, r in enumerate(token_rows):
+                padded[i, : len(r)] = r
+            hard = self.gpt2_params["wte"][jnp.asarray(padded)]
+            if cfg.only_hard_prompt:
+                embeds = hard
+            elif cfg.soft_prompt_first:
+                embeds = jnp.concatenate([soft, hard], axis=1)
+            else:
+                embeds = jnp.concatenate([hard, soft], axis=1)
+        else:
+            embeds = soft
+
+        if cfg.using_greedy_search:
+            sentences = viecap_mod.greedy_search(
+                self.gpt2_params, embeds, self.gpt2_cfg, self.tokenizer,
+                max_len=cfg.max_len,
+            )
+        else:
+            sentences = [
+                viecap_mod.beam_search(
+                    self.gpt2_params, embeds[i : i + 1], self.gpt2_cfg,
+                    self.tokenizer, beam_width=cfg.beam_width,
+                    max_len=cfg.max_len,
+                )[0]
+                for i in range(embeds.shape[0])
+            ]
+        if compute_scores:
+            return sentences, self.compute_perplexity(sentences)
+        return sentences
+
+    __call__ = forward

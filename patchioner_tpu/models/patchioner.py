@@ -53,6 +53,179 @@ def _as_nhwc(imgs) -> jnp.ndarray:
     return x
 
 
+class _FallbackWordTokenizer:
+    """Whitespace tokenizer used ONLY when the GPT-2 BPE vocab files are
+    unavailable (zero-egress) and allow_missing_weights=True — keeps the
+    ViECap/ClipCap pipelines runnable; NOT caption parity."""
+
+    pad_token_id = 0
+
+    def __init__(self):
+        self.vocab, self.rev = {}, {}
+
+    def _id(self, w):
+        if w not in self.vocab:
+            i = len(self.vocab) + 10
+            self.vocab[w] = i
+            self.rev[i] = w
+        return self.vocab[w]
+
+    def encode(self, text):
+        return [self._id(w) for w in text.strip().split(" ") if w]
+
+    def decode(self, ids):
+        return " ".join(self.rev.get(int(i), "") for i in ids).strip()
+
+
+def _get_gpt2_tokenizer(allow_fallback: bool):
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained("gpt2", local_files_only=True)
+    except Exception:
+        if allow_fallback:
+            warnings.warn(
+                "GPT-2 tokenizer files unavailable locally — using a "
+                "whitespace fallback tokenizer (not caption parity)"
+            )
+            return _FallbackWordTokenizer()
+        raise
+
+
+def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
+                         allow_missing_weights: bool, gpt2_tokenizer,
+                         concept_extractor):
+    """Build VieCap or MeaCap from the nested `viecap:` config block
+    (reference: src/model.py:107-113, viecap/entrypoint.py:61-96)."""
+    import jax as _jax
+
+    from patchioner_tpu.models import viecap as viecap_mod
+
+    vd = dict(vcfg_dict)
+    mea = vd.pop("meacap", None)
+    clip_hidden = vd.get("clip_hidden_size") or (
+        640 if clip_model_name and "RN" in clip_model_name else 512
+    )
+    cfg = viecap_mod.ViecapConfig(
+        continuous_prompt_length=vd.get("continuous_prompt_length", 10),
+        clip_project_length=vd.get("clip_project_length", 10),
+        clip_hidden_size=clip_hidden,
+        temperature=vd.get("temperature", 0.01),
+        top_k=vd.get("top_k", 3),
+        threshold=vd.get("threshold", 0.2),
+        using_hard_prompt=vd.get("using_hard_prompt", False),
+        soft_prompt_first=vd.get("soft_prompt_first", False),
+        only_hard_prompt=vd.get("only_hard_prompt", False),
+        using_greedy_search=vd.get("using_greedy_search", False),
+        beam_width=vd.get("beam_width", 5),
+        name_of_entities_text=vd.get(
+            "name_of_entities_text", "vinvl_vgoi_entities"
+        ),
+        prompt_ensemble=vd.get("prompt_ensemble", False),
+    )
+    gpt2_cfg = gpt2_mod.GPT2_BASE_CONFIG
+
+    weight_path = vd.get("weight_path")
+    if weight_path and os.path.exists(weight_path):
+        import torch
+
+        sd = torch.load(weight_path, map_location="cpu")
+        mapping = viecap_mod.port_mapping_network(sd, num_layers=cfg.num_layers)
+        if any(k.startswith("gpt.") for k in sd):
+            from patchioner_tpu.io import torch_port
+
+            gpt2_params = torch_port.port_hf_gpt2_lmhead(
+                {k[4:]: v for k, v in sd.items() if k.startswith("gpt.")},
+                gpt2_cfg.n_layer,
+            )
+        else:
+            gpt2_params = None
+    elif allow_missing_weights:
+        mapping = viecap_mod.init_mapping_network(rng_key, cfg, gpt2_cfg.n_embd)
+        gpt2_params = None
+    else:
+        raise FileNotFoundError(f"ViECap weights not found: {weight_path}")
+    if gpt2_params is None:
+        if not allow_missing_weights:
+            raise FileNotFoundError(
+                "pretrained GPT-2 weights unavailable locally for ViECap"
+            )
+        gpt2_params = gpt2_mod.init_gpt2(rng_key, gpt2_cfg)
+    gpt2_params = jax.tree_util.tree_map(jnp.asarray, gpt2_params)
+    # None biases (bias=False linears) are empty pytree nodes — skipped.
+    mapping = jax.tree_util.tree_map(jnp.asarray, mapping)
+
+    tokenizer = gpt2_tokenizer or _get_gpt2_tokenizer(allow_missing_weights)
+
+    if mea is not None:
+        from patchioner_tpu.models import meacap as meacap_mod
+
+        base = mea.get("memory_base_path", "")
+        mem_id = mea.get("memory_id", "")
+        mem_dir = os.path.join(base, "memory", mem_id)
+        if os.path.exists(mem_dir):
+            captions, clip_emb = meacap_mod.MeaCap.load_memory(base, mem_id)
+        elif allow_missing_weights:
+            captions = [f"synthetic memory caption {i}" for i in range(64)]
+            clip_emb = np.asarray(
+                _jax.random.normal(rng_key, (64, clip_hidden)), np.float32
+            )
+        else:
+            raise FileNotFoundError(f"MeaCap memory bank not found: {mem_dir}")
+        return meacap_mod.MeaCap(
+            cfg, gpt2_cfg, gpt2_params, mapping, captions, clip_emb, tokenizer,
+            memory_caption_num=mea.get("memory_caption_num", 5),
+            concept_extractor=concept_extractor,
+        )
+
+    # Entity vocabulary + embeddings (vendored reference data artifacts).
+    from patchioner_tpu.models.viecap import VOCAB_DIR, load_entities_text
+
+    suffix = (vd.get("suffix") or (clip_model_name or "ViT-B/32")).replace("/", "")
+    name = cfg.name_of_entities_text
+    vocab_files = {
+        "coco_entities": "coco_categories.json",
+        "vinvl_vgoi_entities": "vgcocooiobjects_v1_class2ind.json",
+        "visual_genome_entities": "all_objects_attributes_relationships.pickle",
+        "open_image_entities": "oidv7-class-descriptions-boxable.csv",
+        "vinvl_vg_entities": "VG-SGG-dicts-vgoi6-clipped.json",
+    }
+    emb_stems = {
+        "coco_entities": "coco_embeddings",
+        "vinvl_vgoi_entities": "vgoi_embeddings",
+        "visual_genome_entities": "visual_genome_embedding",
+        "open_image_entities": "open_image_embeddings",
+        "vinvl_vg_entities": "vg_embeddings",
+    }
+    files_path = vd.get("files_path", "")
+    vocab_dir = os.path.join(files_path, "annotations/vocabulary")
+    if not os.path.exists(vocab_dir):
+        vocab_dir = VOCAB_DIR
+    entities = load_entities_text(
+        name, os.path.join(vocab_dir, vocab_files[name])
+    )
+    ens = "_with_ensemble" if cfg.prompt_ensemble else ""
+    emb_path = os.path.join(vocab_dir, f"{emb_stems[name]}_{suffix}{ens}.pickle")
+    if os.path.exists(emb_path):
+        import pickle as _pickle
+
+        with open(emb_path, "rb") as f:
+            emb = _pickle.load(f)
+        emb = np.asarray(
+            emb.detach().cpu().numpy() if hasattr(emb, "detach") else emb,
+            np.float32,
+        )
+    elif allow_missing_weights:
+        emb = np.asarray(
+            _jax.random.normal(rng_key, (len(entities), clip_hidden)), np.float32
+        )
+    else:
+        raise FileNotFoundError(f"entity embeddings not found: {emb_path}")
+    return viecap_mod.VieCap(
+        cfg, gpt2_cfg, gpt2_params, mapping, entities, emb, tokenizer
+    )
+
+
 def _traces_to_arrays(traces, max_points: Optional[int] = None):
     """Reference trace format (list per image of point dicts {'x','y'} — the
     flattened Localized-Narratives traces, src/bbox_utils.py:158) -> padded
@@ -94,6 +267,8 @@ class Patchioner:
         tokenizer=None,
         entry_length: int = decap_mod.ENTRY_LENGTH,
         config: Optional[dict] = None,
+        viecap=None,
+        clipcap=None,
     ):
         self.vit_cfg = vit_cfg
         self.vit_params = vit_params
@@ -108,6 +283,8 @@ class Patchioner:
         self.tokenizer = tokenizer or clip_bpe.get_tokenizer()
         self.entry_length = entry_length
         self.config = config or {}
+        self.viecap = viecap  # VieCap or MeaCap instance (delegated decoding)
+        self.clipcap = clipcap  # ClipCap instance
         self.patch_size = vit_cfg.patch_size
         self.crop_dim = vit_cfg.img_size
         self.resize_dim = int(self.config.get("resize_dim", vit_cfg.img_size))
@@ -124,6 +301,8 @@ class Patchioner:
         allow_missing_weights: bool = False,
         random_bank_size: Optional[int] = None,
         dtype=jnp.float32,
+        gpt2_tokenizer=None,
+        concept_extractor=None,
     ) -> "Patchioner":
         """Build from the reference YAML schema (path, dict, or HF model id —
         remote ids require local cache in this zero-egress build).
@@ -150,13 +329,13 @@ class Patchioner:
                 "use attention_type: 'kkv'"
             )
 
-        for unsupported in ("viecap", "clipcap", "regionclip_config",
-                            "invite_config", "denseclip_config",
-                            "alphaclip_config", "proxyclip_clipmodel"):
+        for unsupported in ("regionclip_config", "invite_config",
+                            "denseclip_config", "alphaclip_config",
+                            "proxyclip_clipmodel"):
             if config.get(unsupported) is not None:
                 raise NotImplementedError(
-                    f"backbone/decoder family '{unsupported}' is not wired "
-                    "into the TPU build yet"
+                    f"backbone family '{unsupported}' is not wired into the "
+                    "TPU build yet"
                 )
 
         dino_model = config.get("dino_model", None)
@@ -283,6 +462,64 @@ class Patchioner:
             inversion = t2d.build_inversion(t2d_params)
             embed_inversion = True
 
+        # --- alternative decoder families (nested config blocks)
+        viecap = None
+        clipcap = None
+        if config.get("viecap") is not None:
+            viecap = _build_viecap_family(
+                config["viecap"],
+                config.get("clip_model_name"),
+                jax.random.PRNGKey(rng_seed + 1),
+                allow_missing_weights,
+                gpt2_tokenizer,
+                concept_extractor,
+            )
+        if config.get("clipcap") is not None:
+            from patchioner_tpu.models import clipcap as clipcap_mod
+
+            cd = dict(config["clipcap"])
+            ccfg = clipcap_mod.ClipCapConfig(
+                prefix_length=cd.get("prefix_length", 10),
+                clip_length=cd.get("clip_length", 10),
+                num_layers=cd.get("num_layers", 8),
+                mapping_type=cd.get("mapping_type", "mlp").lower(),
+                temperature=cd.get("temperature", 1.0),
+                top_p=cd.get("top_p", 0.8),
+                entry_length=cd.get("entry_length", 67),
+                stop_token=cd.get("stop_token", "."),
+                normalize_prefix=cd.get("normalize_prefix", False),
+            )
+            g_cfg = gpt2_mod.GPT2_BASE_CONFIG
+            k_cc = jax.random.PRNGKey(rng_seed + 2)
+            wp = cd.get("weight_path")
+            gpt2_params_cc = None
+            if wp and os.path.exists(wp):
+                import torch
+
+                sd = torch.load(wp, map_location="cpu")
+                ported_cc = clipcap_mod.port_clipcap(sd, ccfg, g_cfg.n_layer)
+                mapper = ported_cc["mapper"]
+                gpt2_params_cc = ported_cc.get("gpt2")
+            elif allow_missing_weights:
+                mapper = clipcap_mod.init_mlp_mapper(
+                    k_cc, prefix_size, ccfg.prefix_length, g_cfg.n_embd
+                )
+            else:
+                raise FileNotFoundError(f"ClipCap weights not found: {wp}")
+            if gpt2_params_cc is None:
+                if not allow_missing_weights:
+                    raise FileNotFoundError(
+                        "pretrained GPT-2 weights unavailable for ClipCap"
+                    )
+                gpt2_params_cc = gpt2_mod.init_gpt2(k_cc, g_cfg)
+            tok = gpt2_tokenizer or _get_gpt2_tokenizer(allow_missing_weights)
+            clipcap = clipcap_mod.ClipCap(
+                ccfg, g_cfg,
+                jax.tree_util.tree_map(jnp.asarray, gpt2_params_cc),
+                jax.tree_util.tree_map(jnp.asarray, mapper),
+                tok, prefix_size=prefix_size,
+            )
+
         return cls(
             vit_cfg=vit_cfg,
             vit_params=vit_params,
@@ -295,6 +532,8 @@ class Patchioner:
             embed_inversion=embed_inversion,
             inversion=inversion,
             config=config,
+            viecap=viecap,
+            clipcap=clipcap,
         )
 
     # ------------------------------------------------------------ device fns
@@ -344,8 +583,17 @@ class Patchioner:
         compute_scores: bool = False,
     ):
         """(N, D) features -> N caption strings (reference
-        src/model.py:1392-1423 semantics, including the argmax-text mode)."""
+        src/model.py:1392-1423 semantics, including the argmax-text mode and
+        the ViECap/MeaCap/ClipCap delegation)."""
         feats = jnp.asarray(feats)
+        if self.viecap is not None:
+            if return_n_best_sims:
+                raise Exception("return_n_best_sims is not supported with viecap")
+            return self.viecap.forward(feats, compute_scores=compute_scores)
+        if self.clipcap is not None:
+            if return_n_best_sims:
+                raise Exception("return_n_best_sims is not supported with clipcap")
+            return self.clipcap.forward(feats, compute_scores=compute_scores)
         if self.bank is None:
             project = False
         if self.calculate_argmax_text:

@@ -1,0 +1,481 @@
+"""ViECap — entity-aware prefix captioning, TPU-native.
+
+Reference: src/viecap/ (entrypoint.py, ClipCap.py, search.py,
+retrieval_categories.py, utils.py). Flow: a CLIP-space image feature is
+(a) mapped to `continuous_prompt_length` soft-prompt embeddings by a
+transformer MappingNetwork, (b) matched against a precomputed entity-text
+embedding vocabulary to build the hard prompt "There are {entities} in
+image."; both are concatenated (order by soft_prompt_first/only_hard_prompt)
+and decoded by a full pretrained GPT-2 with greedy or width-5 beam search.
+
+TPU redesign: greedy search runs as one `lax.scan` over a KV cache primed by
+`gpt2_prefill` (the reference uses HF past_key_values, search.py:155-164);
+beam search keeps the reference's exact scoring quirks (length-normalized
+ranking, stopped-beam logit masking, trunc division for source recovery,
+search.py:193-285) but is KV-cached and batched as a width-5 "batch".
+
+The GPT-2 text tokenizer is pluggable (`tokenizer=`): the standard one needs
+HF vocab files that a zero-egress environment may lack — pass any object with
+encode/decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import pickle
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchioner_tpu.models import gpt2 as gpt2_mod
+
+__all__ = [
+    "ViecapConfig",
+    "mapping_network_forward",
+    "init_mapping_network",
+    "port_mapping_network",
+    "retrieve_entities",
+    "compose_discrete_prompt",
+    "greedy_search",
+    "beam_search",
+    "VieCap",
+    "load_entities_text",
+]
+
+VOCAB_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data", "viecap_vocabulary"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViecapConfig:
+    # Reference defaults: src/viecap/entrypoint.py:61-80
+    continuous_prompt_length: int = 10
+    clip_project_length: int = 10
+    clip_hidden_size: int = 512
+    num_layers: int = 8
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    temperature: float = 0.01
+    top_k: int = 3
+    threshold: float = 0.2
+    using_hard_prompt: bool = False
+    soft_prompt_first: bool = False
+    only_hard_prompt: bool = False
+    using_greedy_search: bool = False
+    beam_width: int = 5
+    max_len: int = 64
+    name_of_entities_text: str = "vinvl_vgoi_entities"
+    prompt_ensemble: bool = False
+    ln_eps: float = 1e-5
+
+
+# ------------------------------------------------------- mapping network
+
+
+def init_mapping_network(key: jax.Array, cfg: ViecapConfig, d_model: int) -> dict:
+    import math
+
+    ks = iter(jax.random.split(key, 3 + 5 * cfg.num_layers))
+
+    def dense(k, fi, fo, bias=True):
+        p = {"w": jax.random.normal(k, (fi, fo)) / math.sqrt(fi)}
+        p["b"] = jnp.zeros((fo,)) if bias else None
+        return p
+
+    params = {
+        "linear": dense(next(ks), cfg.clip_hidden_size,
+                        cfg.clip_project_length * d_model),
+        "prefix_const": jax.random.normal(
+            next(ks), (cfg.continuous_prompt_length, d_model)
+        ),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "norm1": {"scale": jnp.ones((d_model,)), "bias": jnp.zeros((d_model,))},
+                "to_queries": dense(next(ks), d_model, d_model, bias=False),
+                "to_keys_values": dense(next(ks), d_model, 2 * d_model, bias=False),
+                "project": dense(next(ks), d_model, d_model),
+                "norm2": {"scale": jnp.ones((d_model,)), "bias": jnp.zeros((d_model,))},
+                "fc1": dense(next(ks), d_model, int(d_model * cfg.mlp_ratio)),
+                "fc2": dense(next(ks), int(d_model * cfg.mlp_ratio), d_model),
+            }
+        )
+    return params
+
+
+def port_mapping_network(sd, prefix: str = "mapping_network.", num_layers: int = 8) -> dict:
+    """Port torch MappingNetwork weights (src/viecap/ClipCap.py:122-155).
+    TransformerLayer attention linears have bias=False (ClipCap.py:78)."""
+
+    def _np(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                          np.float32)
+
+    def lin(name, bias=True):
+        p = {"w": _np(sd[f"{prefix}{name}.weight"]).T}
+        p["b"] = _np(sd[f"{prefix}{name}.bias"]) if bias else None
+        return p
+
+    params = {
+        "linear": lin("linear"),
+        "prefix_const": _np(sd[f"{prefix}prefix_const"]),
+        "layers": [],
+    }
+    for i in range(num_layers):
+        q = f"transformer.layers.{i}"
+        params["layers"].append(
+            {
+                "norm1": {
+                    "scale": _np(sd[f"{prefix}{q}.norm1.weight"]),
+                    "bias": _np(sd[f"{prefix}{q}.norm1.bias"]),
+                },
+                "to_queries": lin(f"{q}.attn.to_queries", bias=False),
+                "to_keys_values": lin(f"{q}.attn.to_keys_values", bias=False),
+                "project": lin(f"{q}.attn.project"),
+                "norm2": {
+                    "scale": _np(sd[f"{prefix}{q}.norm2.weight"]),
+                    "bias": _np(sd[f"{prefix}{q}.norm2.bias"]),
+                },
+                "fc1": lin(f"{q}.mlp.fc1"),
+                "fc2": lin(f"{q}.mlp.fc2"),
+            }
+        )
+    return params
+
+
+def _lin(x, p):
+    y = x @ p["w"]
+    return y if p["b"] is None else y + p["b"]
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "d_model"))
+def mapping_network_forward(
+    params: dict, x: jax.Array, cfg: ViecapConfig, d_model: int
+) -> jax.Array:
+    """(B, clip_hidden) -> (B, continuous_prompt_length, d_model).
+
+    Projected feature tokens + learnable prefix run through an 8-layer
+    self-attention transformer (relu MLP, ratio 2.0); output keeps only the
+    prefix positions (ClipCap.py:141-153)."""
+    b = x.shape[0]
+    proj = _lin(x, params["linear"]).reshape(b, cfg.clip_project_length, d_model)
+    prefix = jnp.broadcast_to(
+        params["prefix_const"][None], (b, cfg.continuous_prompt_length, d_model)
+    )
+    h = jnp.concatenate([proj, prefix], axis=1)
+    nh = cfg.num_heads
+    hd = d_model // nh
+    for layer in params["layers"]:
+        q_in = _ln(h, layer["norm1"], cfg.ln_eps)
+        # Reference quirk (ClipCap.py:93): keys/values come from the RAW
+        # residual stream (key_value=None -> `query` argument pre-norm1? no:
+        # attn(self.norm1(query), key_value) with key_value None means
+        # key_value = normed query). So K/V use the SAME normed input.
+        qs = _lin(q_in, layer["to_queries"]).reshape(b, -1, nh, hd)
+        kv = _lin(q_in, layer["to_keys_values"]).reshape(b, -1, 2, nh, hd)
+        ks, vs = kv[:, :, 0], kv[:, :, 1]
+        attn = jnp.einsum("bnhd,bmhd->bnmh", qs, ks) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=2)
+        out = jnp.einsum("bnmh,bmhd->bnhd", attn, vs).reshape(b, -1, d_model)
+        h = h + _lin(out, layer["project"])
+        h = h + _lin(
+            jax.nn.relu(_lin(_ln(h, layer["norm2"], cfg.ln_eps), layer["fc1"])),
+            layer["fc2"],
+        )
+    return h[:, cfg.clip_project_length :]
+
+
+# -------------------------------------------------------- entity retrieval
+
+
+def load_entities_text(name: str, path: str, all_entities: bool = True) -> List[str]:
+    """Entity vocabularies (reference: src/viecap/load_annotations.py).
+    Supported: coco_entities (json list of 80 categories), vinvl_vgoi_entities
+    (json class2ind dict), visual_genome_entities (pickle), open_image
+    (csv)."""
+    if name == "coco_entities":
+        with open(path) as f:
+            return [e.lower() for e in json.load(f)]
+    if name == "vinvl_vgoi_entities":
+        with open(path) as f:
+            return [e.lower() for e in json.load(f).keys()]
+    if name == "visual_genome_entities":
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        ents = data["objects"] if isinstance(data, dict) and "objects" in data else data
+        return [str(e).lower() for e in ents]
+    if name == "open_image_entities":
+        import csv
+
+        with open(path) as f:
+            return [row[1].lower() for row in csv.reader(f)][0:]
+    if name == "vinvl_vg_entities":
+        with open(path) as f:
+            return [e.lower() for e in json.load(f)["idx_to_label"].values()]
+    raise ValueError(f"unknown entity vocabulary: {name}")
+
+
+def retrieve_entities(
+    image_features: jax.Array,
+    texts_embeddings: jax.Array,
+    entities: Sequence[str],
+    *,
+    top_k: int = 3,
+    threshold: float = 0.2,
+    temperature: float = 0.01,
+) -> List[List[str]]:
+    """Softmax-similarity entity retrieval
+    (retrieval_categories.py:61-114): normalize both sides, softmax(sim/T),
+    top-k, truncate at the first below-threshold probability."""
+    f = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    t = texts_embeddings / jnp.linalg.norm(texts_embeddings, axis=-1, keepdims=True)
+    logits = jax.nn.softmax((f @ t.T) / temperature, axis=-1)
+    probs, idx = jax.lax.top_k(logits, top_k)
+    probs, idx = np.asarray(probs), np.asarray(idx)
+    out = []
+    for i in range(len(probs)):
+        row = []
+        for j in range(top_k):
+            if probs[i, j] < threshold:
+                break
+            row.append(entities[idx[i, j]])
+        out.append(row)
+    return out
+
+
+def compose_discrete_prompt(entities: List[str]) -> str:
+    """'There are person, dog in image.' (utils.py:55-74); empty ->
+    'There are something in image.'."""
+    if not entities:
+        return "There are something in image."
+    return "There are " + ", ".join(entities) + " in image."
+
+
+# ---------------------------------------------------------------- search
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _greedy_tokens(params, embeds, cfg: gpt2_mod.GPT2Config, max_len: int):
+    logits, cache = gpt2_mod.gpt2_prefill(params, embeds, cfg,
+                                          embeds.shape[1] + max_len)
+
+    def step(carry, _):
+        logits, cache = carry
+        tok = jnp.argmax(logits, axis=-1)
+        emb = params["wte"][tok]
+        new_logits, cache = gpt2_mod.gpt2_step(params, emb, cache, cfg)
+        return (new_logits, cache), tok
+
+    (_, _), toks = jax.lax.scan(step, (logits, cache), None, length=max_len)
+    return toks.T  # (B, max_len)
+
+
+def greedy_search(
+    params: dict,
+    embeds: jax.Array,
+    cfg: gpt2_mod.GPT2Config,
+    tokenizer,
+    *,
+    max_len: int = 64,
+    end_of_sentences: Sequence[str] = (".", " ."),
+) -> List[str]:
+    """KV-cached greedy decode with the reference's batch stopping semantics
+    (search.py:107-191): generate max_len tokens, then truncate each sequence
+    at the first end-of-sentence token (inclusive; keep all if none)."""
+    eos = [tokenizer.encode(e)[-1] for e in end_of_sentences]
+    toks = np.asarray(_greedy_tokens(params, embeds, cfg, max_len))
+    sentences = []
+    for row in toks:
+        cut = len(row) - 1
+        for i, t in enumerate(row):
+            if int(t) in eos:
+                cut = i
+                break
+        sentences.append(tokenizer.decode(row[: cut + 1].tolist()))
+    return sentences
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "beam_width"))
+def _beam_tokens(params, embeds, eos_pair, cfg: gpt2_mod.GPT2Config,
+                 max_len: int, beam_width: int):
+    """Single-sample beam search (reference search.py:193-285 semantics) over
+    a KV cache: returns (tokens (W, max_len), seq_lengths (W,), scores (W,)).
+    embeds: (1, T, D)."""
+    w = beam_width
+    t0 = embeds.shape[1]
+    logits0, cache0 = gpt2_mod.gpt2_prefill(params, embeds, cfg, t0 + max_len)
+    logp0 = jax.nn.log_softmax(logits0[0], axis=-1)
+    scores, first_tokens = jax.lax.top_k(logp0, w)  # (W,)
+
+    # Broadcast the prompt cache across beams.
+    cache = gpt2_mod.KVCache(
+        jnp.repeat(cache0.k, w, axis=1), jnp.repeat(cache0.v, w, axis=1),
+        cache0.length,
+    )
+    tokens = jnp.zeros((w, max_len), jnp.int32).at[:, 0].set(first_tokens)
+    seq_lengths = jnp.ones((w,), jnp.float32)
+    is_stopped = (first_tokens == eos_pair[0]) | (first_tokens == eos_pair[1])
+
+    def step(carry, i):
+        tokens, scores, seq_lengths, is_stopped, cache, prev_tokens = carry
+        emb = params["wte"][prev_tokens]
+        logits, cache = gpt2_mod.gpt2_step(params, emb, cache, cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)  # (W, V)
+        v = logp.shape[-1]
+        # Stopped beams: only token 0 allowed at zero cost (search.py:259-260)
+        stop_row = jnp.full((v,), -jnp.inf).at[0].set(0.0)
+        logp = jnp.where(is_stopped[:, None], stop_row[None], logp)
+        seq_lengths = seq_lengths + (~is_stopped).astype(jnp.float32)
+        sums = scores[:, None] + logp  # (W, V)
+        avg = sums / seq_lengths[:, None]
+        top_avg, flat_idx = jax.lax.top_k(avg.reshape(-1), w)
+        src = flat_idx // v
+        nxt = flat_idx % v
+        seq_lengths = seq_lengths[src]
+        tokens = tokens[src].at[:, i].set(nxt)
+        scores = top_avg * seq_lengths
+        is_stopped = is_stopped[src] | (nxt == eos_pair[0]) | (nxt == eos_pair[1])
+        cache = gpt2_mod.KVCache(cache.k[:, src], cache.v[:, src], cache.length)
+        return (tokens, scores, seq_lengths, is_stopped, cache, nxt), None
+
+    carry = (tokens, scores, seq_lengths, is_stopped, cache, first_tokens)
+    (tokens, scores, seq_lengths, is_stopped, _, _), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, max_len)
+    )
+    return tokens, seq_lengths, scores / seq_lengths
+
+
+def beam_search(
+    params: dict,
+    embeds: jax.Array,
+    cfg: gpt2_mod.GPT2Config,
+    tokenizer,
+    *,
+    beam_width: int = 5,
+    max_len: int = 64,
+    end_of_sentences: Sequence[str] = (".", " ."),
+) -> List[str]:
+    """Per-sample beam search returning beam texts best-first
+    (search.py:193-285)."""
+    eos = jnp.asarray([tokenizer.encode(e)[-1] for e in end_of_sentences])
+    toks, lengths, norm_scores = _beam_tokens(
+        params, embeds, eos, cfg, max_len, beam_width
+    )
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    order = np.argsort(-np.asarray(norm_scores))
+    return [
+        tokenizer.decode(toks[i, : int(lengths[i])].tolist()) for i in order
+    ]
+
+
+# ------------------------------------------------------------------ model
+
+
+class VieCap:
+    """Decoder-family entrypoint mirroring src/viecap/entrypoint.py.
+
+    Construct with explicit params (tests) or `from_config` (reference nested
+    `viecap:` config block).
+    """
+
+    def __init__(
+        self,
+        cfg: ViecapConfig,
+        gpt2_cfg: gpt2_mod.GPT2Config,
+        gpt2_params: dict,
+        mapping_params: dict,
+        entities: Sequence[str],
+        texts_embeddings,
+        tokenizer,
+    ):
+        self.cfg = cfg
+        self.gpt2_cfg = gpt2_cfg
+        self.gpt2_params = gpt2_params
+        self.mapping_params = mapping_params
+        self.entities = list(entities)
+        self.texts_embeddings = jnp.asarray(texts_embeddings)
+        self.tokenizer = tokenizer
+        self._pad_id = getattr(tokenizer, "pad_token_id", None) or 0
+
+    def forward(self, image_features, compute_scores: bool = False):
+        cfg = self.cfg
+        f = jnp.asarray(image_features)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        d_model = self.gpt2_cfg.n_embd
+        soft = mapping_network_forward(self.mapping_params, f, cfg, d_model)
+
+        if cfg.using_hard_prompt:
+            per_image = retrieve_entities(
+                f,
+                self.texts_embeddings,
+                self.entities,
+                top_k=cfg.top_k,
+                threshold=cfg.threshold,
+                temperature=cfg.temperature,
+            )
+            token_rows = [
+                self.tokenizer.encode(compose_discrete_prompt(ents))
+                for ents in per_image
+            ]
+            maxlen = max(len(r) for r in token_rows)
+            padded = np.full((len(token_rows), maxlen), self._pad_id, np.int32)
+            for i, r in enumerate(token_rows):
+                padded[i, : len(r)] = r
+            hard = self.gpt2_params["wte"][jnp.asarray(padded)]
+            if cfg.only_hard_prompt:
+                embeds = hard
+            elif cfg.soft_prompt_first:
+                embeds = jnp.concatenate([soft, hard], axis=1)
+            else:
+                embeds = jnp.concatenate([hard, soft], axis=1)
+        else:
+            embeds = soft
+
+        if cfg.using_greedy_search:
+            sentences = greedy_search(
+                self.gpt2_params, embeds, self.gpt2_cfg, self.tokenizer,
+                max_len=cfg.max_len,
+            )
+        else:
+            sentences = []
+            for i in range(embeds.shape[0]):
+                beams = beam_search(
+                    self.gpt2_params,
+                    embeds[i : i + 1],
+                    self.gpt2_cfg,
+                    self.tokenizer,
+                    beam_width=cfg.beam_width,
+                    max_len=cfg.max_len,
+                )
+                sentences.append(beams[0])
+        if compute_scores:
+            return sentences, self.compute_perplexity(sentences)
+        return sentences
+
+    __call__ = forward
+
+    def compute_perplexity(self, sentences: List[str]) -> List[float]:
+        """exp(mean shifted CE) per sentence (entrypoint.py:164-177)."""
+        out = []
+        for s in sentences:
+            ids = jnp.asarray([self.tokenizer.encode(s)], jnp.int32)
+            embeds = self.gpt2_params["wte"][ids]
+            logits = gpt2_mod.gpt2_forward(self.gpt2_params, embeds, self.gpt2_cfg)
+            lp = jax.nn.log_softmax(logits[0, :-1], axis=-1)
+            nll = -jnp.take_along_axis(lp, ids[0, 1:, None], axis=-1).mean()
+            out.append(float(jnp.exp(nll)))
+        return out

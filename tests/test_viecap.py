@@ -1,0 +1,288 @@
+"""ViECap parity: mapping network vs a literal torch re-execution of the
+reference architecture (src/viecap/ClipCap.py), search algorithms vs HF GPT-2
+reference loops (src/viecap/search.py semantics)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from patchioner_tpu.io import torch_port
+from patchioner_tpu.models import gpt2, viecap
+
+
+class WordTokenizer:
+    """Minimal encode/decode tokenizer for tests (no HF vocab needed)."""
+
+    pad_token_id = 0
+
+    def __init__(self, vocab_size=257):
+        self.vocab = {}
+        self.rev = {}
+        self.vocab_size = vocab_size
+
+    def _id(self, w):
+        if w not in self.vocab:
+            i = len(self.vocab) + 10  # leave room for specials
+            self.vocab[w] = i
+            self.rev[i] = w
+        return self.vocab[w]
+
+    def encode(self, text):
+        return [self._id(w) for w in text.strip().split(" ") if w]
+
+    def decode(self, ids):
+        return " ".join(self.rev.get(int(i), f"<{int(i)}>") for i in ids)
+
+
+# ------------------------------------------------- mapping network oracle
+
+
+class TorchMappingOracle(torch.nn.Module):
+    """Literal reference MappingNetwork semantics (ClipCap.py:32-155)."""
+
+    def __init__(self, clip_project_length, clip_hidden, prefix_length, d_model,
+                 num_layers, num_heads, mlp_ratio=2.0):
+        super().__init__()
+        self.cpl = clip_project_length
+        self.linear = torch.nn.Linear(clip_hidden, clip_project_length * d_model)
+        self.prefix_const = torch.nn.Parameter(torch.randn(prefix_length, d_model))
+        self.layers = torch.nn.ModuleList()
+        self.num_heads = num_heads
+        for _ in range(num_layers):
+            self.layers.append(
+                torch.nn.ModuleDict(
+                    dict(
+                        norm1=torch.nn.LayerNorm(d_model),
+                        to_queries=torch.nn.Linear(d_model, d_model, bias=False),
+                        to_keys_values=torch.nn.Linear(d_model, 2 * d_model, bias=False),
+                        project=torch.nn.Linear(d_model, d_model),
+                        norm2=torch.nn.LayerNorm(d_model),
+                        fc1=torch.nn.Linear(d_model, int(d_model * mlp_ratio)),
+                        fc2=torch.nn.Linear(int(d_model * mlp_ratio), d_model),
+                    )
+                )
+            )
+
+    def forward(self, x):
+        b = x.shape[0]
+        d = self.prefix_const.shape[-1]
+        h = self.linear(x).view(b, self.cpl, d)
+        prefix = self.prefix_const.unsqueeze(0).expand(b, *self.prefix_const.shape)
+        q = torch.cat((h, prefix), dim=1)
+        nh = self.num_heads
+        hd = d // nh
+        for L in self.layers:
+            qn = L["norm1"](q)
+            queries = L["to_queries"](qn).reshape(b, -1, nh, hd)
+            kv = L["to_keys_values"](qn).reshape(b, -1, 2, nh, hd)
+            keys, values = kv[:, :, 0], kv[:, :, 1]
+            att = torch.einsum("bnhd,bmhd->bnmh", queries, keys) * hd**-0.5
+            att = att.softmax(dim=2)
+            out = torch.einsum("bnmh,bmhd->bnhd", att, values).reshape(b, -1, d)
+            q = q + L["project"](out)
+            q = q + L["fc2"](torch.relu(L["fc1"](L["norm2"](q))))
+        return q[:, self.cpl :]
+
+    def ref_state_dict(self):
+        sd = {
+            "mapping_network.linear.weight": self.linear.weight,
+            "mapping_network.linear.bias": self.linear.bias,
+            "mapping_network.prefix_const": self.prefix_const,
+        }
+        for i, L in enumerate(self.layers):
+            p = f"mapping_network.transformer.layers.{i}"
+            sd[f"{p}.norm1.weight"] = L["norm1"].weight
+            sd[f"{p}.norm1.bias"] = L["norm1"].bias
+            sd[f"{p}.attn.to_queries.weight"] = L["to_queries"].weight
+            sd[f"{p}.attn.to_keys_values.weight"] = L["to_keys_values"].weight
+            sd[f"{p}.attn.project.weight"] = L["project"].weight
+            sd[f"{p}.attn.project.bias"] = L["project"].bias
+            sd[f"{p}.norm2.weight"] = L["norm2"].weight
+            sd[f"{p}.norm2.bias"] = L["norm2"].bias
+            sd[f"{p}.mlp.fc1.weight"] = L["fc1"].weight
+            sd[f"{p}.mlp.fc1.bias"] = L["fc1"].bias
+            sd[f"{p}.mlp.fc2.weight"] = L["fc2"].weight
+            sd[f"{p}.mlp.fc2.bias"] = L["fc2"].bias
+        return sd
+
+
+def test_mapping_network_parity():
+    torch.manual_seed(0)
+    cfg = viecap.ViecapConfig(
+        continuous_prompt_length=4, clip_project_length=3, clip_hidden_size=16,
+        num_layers=2, num_heads=2,
+    )
+    d_model = 32
+    oracle = TorchMappingOracle(3, 16, 4, d_model, 2, 2).eval()
+    params = viecap.port_mapping_network(oracle.ref_state_dict(), num_layers=2)
+    x = np.random.default_rng(0).standard_normal((3, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = viecap.mapping_network_forward(params, jnp.asarray(x), cfg, d_model)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------- search oracles
+
+
+@pytest.fixture(scope="module")
+def small_gpt2():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    hf_cfg = GPT2Config(
+        vocab_size=263, n_positions=128, n_embd=32, n_layer=2, n_head=2,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    torch.manual_seed(1)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+    cfg = gpt2.GPT2Config(vocab_size=263, n_positions=128, n_embd=32,
+                          n_layer=2, n_head=2)
+    params = torch_port.port_hf_gpt2_lmhead(hf.state_dict(), 2)
+    return hf, cfg, params
+
+
+def oracle_greedy(hf, embeds, eos, max_len=10):
+    """Literal reference greedy loop (search.py:107-191, batch branch)."""
+    generating = torch.from_numpy(embeds)
+    past = None
+    tokens = None
+    with torch.no_grad():
+        for step in range(max_len):
+            if step == 0:
+                out = hf(inputs_embeds=generating, use_cache=True)
+                logits, past = out.logits[:, -1, :], out.past_key_values
+            tok = torch.argmax(logits, dim=-1, keepdim=True)
+            emb = hf.transformer.wte(tok)
+            out = hf(inputs_embeds=emb, past_key_values=past, use_cache=True)
+            logits, past = out.logits[:, -1, :], out.past_key_values
+            tokens = tok if tokens is None else torch.cat((tokens, tok), dim=1)
+    outs = []
+    for row in tokens:
+        for i in range(len(row)):
+            if row[i].item() in eos:
+                break
+        outs.append(row[: i + 1].tolist())
+    return outs
+
+
+def test_greedy_search_parity(small_gpt2):
+    hf, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    eos = [tok.encode(".")[-1], tok.encode(" .")[-1]]
+    rng = np.random.default_rng(2)
+    embeds = rng.standard_normal((3, 5, 32)).astype(np.float32)
+    want = oracle_greedy(hf, embeds, eos, max_len=10)
+    got = viecap.greedy_search(params, jnp.asarray(embeds), cfg, tok, max_len=10)
+    want_texts = [tok.decode(w) for w in want]
+    assert got == want_texts
+
+
+def oracle_beam(hf, embeds, eos, beam_width=3, max_len=8):
+    """Literal reference beam loop (search.py:193-285), full re-forward."""
+    generated = torch.from_numpy(embeds)
+    scores = None
+    tokens = None
+    seq_lengths = torch.ones(beam_width)
+    is_stopped = torch.zeros(beam_width, dtype=torch.bool)
+    with torch.no_grad():
+        for _ in range(max_len):
+            logits = hf(inputs_embeds=generated).logits[:, -1, :]
+            logits = logits.softmax(-1).log()
+            if scores is None:
+                scores, next_tokens = logits.topk(beam_width, -1)
+                generated = generated.expand(beam_width, *generated.shape[1:])
+                next_tokens, scores = next_tokens.permute(1, 0), scores.squeeze(0)
+                tokens = next_tokens
+            else:
+                logits[is_stopped] = -float("inf")
+                logits[is_stopped, 0] = 0
+                scores_sum = scores[:, None] + logits
+                seq_lengths[~is_stopped] += 1
+                avg = scores_sum / seq_lengths[:, None]
+                avg, next_tokens = avg.view(-1).topk(beam_width, -1)
+                src = torch.div(next_tokens, scores_sum.shape[1], rounding_mode="trunc")
+                seq_lengths = seq_lengths[src]
+                next_tokens = (next_tokens % scores_sum.shape[1]).unsqueeze(1)
+                tokens = torch.cat((tokens[src], next_tokens), dim=1)
+                generated = generated[src]
+                scores = avg * seq_lengths
+                is_stopped = is_stopped[src]
+            emb = hf.transformer.wte(next_tokens.squeeze()).view(
+                generated.shape[0], 1, -1
+            )
+            generated = torch.cat((generated, emb), dim=1)
+            is_stopped = is_stopped + (
+                next_tokens.eq(eos[0]) | next_tokens.eq(eos[1])
+            ).squeeze()
+            if is_stopped.all():
+                break
+    scores = scores / seq_lengths
+    order = scores.argsort(descending=True)
+    return [
+        tokens[i][: int(seq_lengths[i])].tolist() for i in order
+    ]
+
+
+def test_beam_search_parity(small_gpt2):
+    hf, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    eos = [tok.encode(".")[-1], tok.encode(" .")[-1]]
+    rng = np.random.default_rng(3)
+    embeds = rng.standard_normal((1, 4, 32)).astype(np.float32)
+    want = oracle_beam(hf, embeds, eos, beam_width=3, max_len=8)
+    got = viecap.beam_search(
+        params, jnp.asarray(embeds), cfg, tok, beam_width=3, max_len=8
+    )
+    want_texts = [tok.decode(w) for w in want]
+    assert got == want_texts
+
+
+def test_viecap_end_to_end(small_gpt2):
+    _, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    vcfg = viecap.ViecapConfig(
+        continuous_prompt_length=3, clip_project_length=2, clip_hidden_size=16,
+        num_layers=1, num_heads=2, using_hard_prompt=True,
+        using_greedy_search=True, top_k=2, threshold=0.0, max_len=6,
+    )
+    import jax
+
+    mp = viecap.init_mapping_network(jax.random.PRNGKey(0), vcfg, cfg.n_embd)
+    rng = np.random.default_rng(4)
+    model = viecap.VieCap(
+        vcfg, cfg, params, mp,
+        entities=["dog", "cat", "car"],
+        texts_embeddings=rng.standard_normal((3, 16)).astype(np.float32),
+        tokenizer=tok,
+    )
+    feats = rng.standard_normal((2, 16)).astype(np.float32)
+    sents, ppl = model.forward(feats, compute_scores=True)
+    assert len(sents) == 2 and len(ppl) == 2
+    assert all(isinstance(s, str) for s in sents)
+    assert all(p > 0 for p in ppl)
+
+
+def test_entity_retrieval_threshold():
+    f = np.eye(3, 8, dtype=np.float32)
+    t = np.eye(4, 8, dtype=np.float32)  # entity i aligned with feature i
+    ents = ["a", "b", "c", "d"]
+    out = viecap.retrieve_entities(
+        jnp.asarray(f), jnp.asarray(t), ents, top_k=2, threshold=0.3,
+        temperature=0.01,
+    )
+    assert out[0] == ["a"] and out[1] == ["b"] and out[2] == ["c"]
+    assert viecap.compose_discrete_prompt([]) == "There are something in image."
+    assert (
+        viecap.compose_discrete_prompt(["dog", "cat"])
+        == "There are dog, cat in image."
+    )
+
+
+def test_load_entities_vendored_vocab():
+    import os
+
+    path = os.path.join(viecap.VOCAB_DIR, "coco_categories.json")
+    ents = viecap.load_entities_text("coco_entities", path)
+    assert "person" in ents and len(ents) >= 80
