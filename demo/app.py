@@ -1,0 +1,126 @@
+"""Interactive captioning demo.
+
+Reference: demo/app.py — a Gradio UI for whole-image / trace / bbox
+captioning with model hot-swap. Gradio isn't in this image, so the default
+surface is a dependency-free HTTP JSON API (stdlib http.server) exposing the
+same three capabilities; when gradio IS importable the same handlers power a
+gradio UI (`--ui`).
+
+Run:  python demo/app.py --config configs/mlp.k.yaml [--port 7860]
+API:
+  POST /caption           {"image": <base64 jpg/png>}            -> cls caption
+  POST /caption_trace     {"image": ..., "trace": [{"x","y"},..]} -> trace caption
+  POST /caption_bboxes    {"image": ..., "bboxes": [[x,y,w,h],..]} -> per-box
+  GET  /health
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+
+def build_model(config_path: str, allow_missing_weights: bool):
+    sys.path.insert(0, ".")
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    return Patchioner.from_config(
+        config_path, allow_missing_weights=allow_missing_weights
+    )
+
+
+def _decode_image(b64: str, model):
+    from PIL import Image
+
+    from patchioner_tpu.utils import transforms
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    return transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)[None]
+
+
+def make_handler(model):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok", "model": model.config.get(
+                    "dino_model", "unknown")})
+            else:
+                self._reply(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                imgs = _decode_image(req["image"], model)
+                if self.path == "/caption":
+                    outs = model.forward(imgs, get_cls_capt=True)
+                    self._reply(200, {"caption": outs["cls_capt"][0]})
+                elif self.path == "/caption_trace":
+                    outs = model.forward(
+                        imgs, get_cls_capt=False, traces=[req["trace"]]
+                    )
+                    self._reply(200, {"caption": outs["trace_capts"][0]})
+                elif self.path == "/caption_bboxes":
+                    boxes = np.asarray([req["bboxes"]], np.float32)
+                    outs = model.forward(imgs, get_cls_capt=False, bboxes=boxes)
+                    self._reply(200, {"captions": outs["bbox_capts"][0]})
+                else:
+                    self._reply(404, {"error": "unknown endpoint"})
+            except Exception as e:  # surface errors to the client
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--allow-missing-weights", action="store_true")
+    p.add_argument("--ui", action="store_true", help="gradio UI if available")
+    args = p.parse_args(argv)
+    model = build_model(args.config, args.allow_missing_weights)
+
+    if args.ui:
+        try:
+            import gradio as gr
+        except ImportError:
+            print("gradio not installed — falling back to the HTTP API")
+        else:
+            def caption(img):
+                from patchioner_tpu.utils import transforms
+
+                x = transforms.preprocess_pil(
+                    img, model.resize_dim, model.crop_dim
+                )[None]
+                return model.forward(x, get_cls_capt=True)["cls_capt"][0]
+
+            gr.Interface(caption, gr.Image(type="pil"), "text").launch(
+                server_port=args.port
+            )
+            return
+
+    server = HTTPServer(("0.0.0.0", args.port), make_handler(model))
+    print(f"patchioner-tpu demo listening on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Dense (bbox) captioning evaluation — VG1.2 / VG-COCO / RefCOCOg style.
+
+Reference: eval-dense-captioning/eval_densecap.py. COCO-format annotations
+whose `bbox` field is stored xyxy (converted to xywh at :303-310, degenerate
+boxes widened by one pixel); per-image box lists padded with dummy
+``[0, 0, 1, 1]`` boxes to the batch max (:327-333); captions come from
+patch aggregation (default), cls/avg-self-attn of crops, or crop-captioning;
+predictions emit COCO format with per-annotation captions + scores
+(:467-486). Dense-cap mAP (METEOR x IoU) is computed by
+`eval/densecap_map.py` over the matched boxes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from patchioner_tpu.eval import harness
+from patchioner_tpu.io.coco import CocoAnnotations
+from patchioner_tpu.utils import geometry, transforms
+
+__all__ = ["evaluate"]
+
+DUMMY_BOX = [0, 0, 1, 1]
+
+
+def evaluate(
+    model,
+    annotations_path: str,
+    image_roots,
+    *,
+    batch_size: int = 8,
+    use_gaussian_weighting: bool = False,
+    gaussian_variance: float = 0.5,
+    keep_img_ratio: bool = True,
+    use_attn_map_for_bboxes: bool = False,
+    compute_scores: bool = False,
+    limit: Optional[int] = None,
+    out_path: Optional[str] = None,
+    loader=None,
+) -> dict:
+    coco = CocoAnnotations(annotations_path)
+    image_ids = coco.image_ids
+    if limit:
+        image_ids = image_ids[:limit]
+    if isinstance(image_roots, str):
+        image_roots = [image_roots]
+
+    timer = harness.PhaseTimer()
+    predictions = {
+        "images": [],
+        "annotations": [],
+        "categories": [{"id": 1, "name": "dense_caption"}],
+    }
+    annotation_id = 1
+
+    def default_loader(infos):
+        from PIL import Image
+
+        imgs, sizes = [], []
+        for info in infos:
+            path = None
+            for root in image_roots:
+                cand = os.path.join(root, info["file_name"])
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            sizes.append(img.size)
+            imgs.append(
+                transforms.preprocess_pil(
+                    img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
+                )
+            )
+        return np.stack(imgs), sizes
+
+    loader = loader or default_loader
+
+    for bi, batch_ids in harness.batched(image_ids, batch_size):
+        with timer.phase("preprocessing"):
+            infos = coco.load_imgs(list(batch_ids))
+            imgs, sizes = loader(infos)
+            adjusted, raw_anns = [], []
+            for info, (w, h) in zip(infos, sizes):
+                per_img, anns = [], []
+                for ann in coco.img_to_anns[info["id"]]:
+                    x1, y1, x2, y2 = ann["bbox"]  # stored xyxy (:303)
+                    if x1 == x2:
+                        x2 += 1
+                    if y1 == y2:
+                        y2 += 1
+                    bbox = [x1, y1, x2 - x1, y2 - y1]
+                    if keep_img_ratio:
+                        adj = geometry.adjust_bbox_for_transform(
+                            w, h, bbox, model.resize_dim, model.crop_dim
+                        )
+                    else:
+                        adj = geometry.adjust_bbox_for_transform_no_scale(
+                            w, h, bbox, model.resize_dim, model.resize_dim
+                        )
+                    per_img.append(adj)
+                    anns.append(ann)
+                adjusted.append(per_img)
+                raw_anns.append(anns)
+                if not any(im["id"] == info["id"] for im in predictions["images"]):
+                    predictions["images"].append(
+                        {"id": info["id"], "file_name": info["file_name"]}
+                    )
+            max_len = max(len(b) for b in adjusted)
+            for b in adjusted:
+                b.extend([DUMMY_BOX] * (max_len - len(b)))
+            bboxes = np.asarray(adjusted, np.float32)
+
+        with timer.phase("inference"):
+            outs = model.forward(
+                imgs,
+                get_cls_capt=False,
+                bboxes=bboxes,
+                gaussian_avg=use_gaussian_weighting,
+                gaussian_bbox_variance=gaussian_variance,
+                use_attn_map_for_bboxes=use_attn_map_for_bboxes,
+                compute_scores=compute_scores,
+            )
+
+        for i, anns in enumerate(raw_anns):
+            capts = outs["bbox_capts"][i]
+            scores = outs["bbox_scores"][i] if compute_scores else None
+            for j, ann in enumerate(anns):  # padded tail ignored
+                predictions["annotations"].append(
+                    {
+                        "id": annotation_id,
+                        "image_id": ann["image_id"],
+                        "bbox": ann["bbox"],
+                        "caption": capts[j].strip(" ."),
+                        "score": float(scores[j]) if scores else 1.0,
+                        "category_id": 1,
+                        "gt_caption": ann.get("caption"),
+                    }
+                )
+                annotation_id += 1
+
+    result = {
+        "predictions": predictions,
+        "timing": harness.timing_summary(timer, len(predictions["annotations"])),
+    }
+    if out_path:
+        harness.write_predictions(out_path, predictions)
+    return result

@@ -1,0 +1,147 @@
+"""Shared eval-harness plumbing: timing, FLOPs, predictions, results CSVs.
+
+Mirrors the reference's measurement machinery (SURVEY §2.5/§5):
+per-phase wall-clock stats (eval_trace_captioning.py:216-262,326-388),
+fvcore-style FLOP counting — here free from XLA's cost analysis — and the
+config-keyed results CSV with skip-if-exists dedup
+(compute_scores.py:72-119,365-404; run_tasks.py:467-600).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "PhaseTimer",
+    "timing_summary",
+    "xla_flops",
+    "write_predictions",
+    "append_results_csv",
+    "result_exists",
+    "batched",
+]
+
+
+class PhaseTimer:
+    """Accumulates per-batch wall times for named phases."""
+
+    def __init__(self):
+        self.times: dict[str, list] = {}
+
+    def record(self, phase: str, seconds: float):
+        self.times.setdefault(phase, []).append(seconds)
+
+    class _Ctx:
+        def __init__(self, timer, phase):
+            self.timer, self.phase = timer, phase
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            self.timer.record(self.phase, time.perf_counter() - self.t0)
+
+    def phase(self, name: str):
+        return self._Ctx(self, name)
+
+    def summary(self, num_items: int) -> dict:
+        out = {}
+        for phase, ts in self.times.items():
+            ts = np.asarray(ts)
+            total = float(ts.sum())
+            out[phase] = {
+                "total_s": total,
+                "mean_batch_s": float(ts.mean()),
+                "std_batch_s": float(ts.std()),
+                "items_per_s": num_items / total if total > 0 else float("inf"),
+            }
+        return out
+
+
+def timing_summary(timer: PhaseTimer, num_items: int) -> dict:
+    s = timer.summary(num_items)
+    inf = s.get("inference", {})
+    return {
+        "phases": s,
+        "images_per_sec_inference": inf.get("items_per_s"),
+        "images_per_sec_total": (
+            num_items / sum(p["total_s"] for p in s.values()) if s else None
+        ),
+    }
+
+
+def xla_flops(fn: Callable, *args) -> Optional[float]:
+    """FLOPs of one jitted call via XLA cost analysis (replaces the
+    reference's fvcore first-batch measurement)."""
+    import jax
+
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else None
+    except Exception:
+        return None
+
+
+def write_predictions(path: str, records) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(records, f)
+
+
+def _row_key(row: dict, key_fields: Sequence[str]) -> tuple:
+    return tuple(str(row.get(k, "")) for k in key_fields)
+
+
+def result_exists(csv_path: str, row: dict, key_fields: Sequence[str]) -> bool:
+    """Skip-if-done check, keyed by the full config combination
+    (compute_scores.py:106-119; run_tasks.py:467-600)."""
+    if not os.path.exists(csv_path):
+        return False
+    key = _row_key(row, key_fields)
+    with open(csv_path, newline="") as f:
+        for existing in csv.DictReader(f):
+            if _row_key(existing, key_fields) == key:
+                return True
+    return False
+
+
+def append_results_csv(
+    csv_path: str, row: dict, key_fields: Sequence[str], dedup: bool = True
+) -> bool:
+    """Append one results row; returns False when an identical config row
+    already exists (and dedup is on). Columns grow monotonically."""
+    if dedup and result_exists(csv_path, row, key_fields):
+        return False
+    rows = []
+    fields: list = []
+    if os.path.exists(csv_path):
+        with open(csv_path, newline="") as f:
+            reader = csv.DictReader(f)
+            fields = list(reader.fieldnames or [])
+            rows = list(reader)
+    for k in row:
+        if k not in fields:
+            fields.append(k)
+    rows.append({k: row.get(k, "") for k in fields})
+    os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fields)
+        writer.writeheader()
+        for r in rows:
+            writer.writerow({k: r.get(k, "") for k in fields})
+    return True
+
+
+def batched(items: Sequence, batch_size: int):
+    for i in range(0, len(items), batch_size):
+        yield i // batch_size, items[i : i + batch_size]

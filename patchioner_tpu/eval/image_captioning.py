@@ -1,0 +1,114 @@
+"""Whole-image captioning evaluation (COCO-Karpathy / Flickr30k test).
+
+Reference: eval-image-captioning/eval_image_captioning.py. COCO-format
+annotations; `caption_from` selects the query embedding: 'cls',
+'avg_self_attn', or 'patches' (Gaussian-weighted whole-grid mean,
+:288-319). References for scoring are each image's caption annotations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.io.coco import CocoAnnotations
+from patchioner_tpu.utils import transforms
+
+__all__ = ["evaluate", "compute_scores"]
+
+_OUT_KEYS = {
+    "cls": "cls_capt",
+    "avg_self_attn": "avg_self_attn_capt",
+    "patches": "avg_patch_capt",
+}
+
+
+def evaluate(
+    model,
+    annotations_path: str,
+    image_roots,
+    *,
+    batch_size: int = 16,
+    caption_from: str = "cls",
+    use_gaussian_weighting: bool = False,
+    gaussian_variance: float = 1.0,
+    limit: Optional[int] = None,
+    out_path: Optional[str] = None,
+    loader=None,
+) -> dict:
+    if caption_from not in _OUT_KEYS:
+        raise ValueError(f"caption_from must be one of {sorted(_OUT_KEYS)}")
+    coco = CocoAnnotations(annotations_path)
+    image_ids = coco.image_ids
+    if limit:
+        image_ids = image_ids[:limit]
+    if isinstance(image_roots, str):
+        image_roots = [image_roots]
+
+    def default_loader(infos):
+        from PIL import Image
+
+        imgs = []
+        for info in infos:
+            path = None
+            for root in image_roots:
+                cand = os.path.join(root, info["file_name"])
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
+            imgs.append(
+                transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)
+            )
+        return np.stack(imgs)
+
+    loader = loader or default_loader
+    timer = harness.PhaseTimer()
+    records = []
+    for bi, batch_ids in harness.batched(image_ids, batch_size):
+        infos = coco.load_imgs(list(batch_ids))
+        with timer.phase("preprocessing"):
+            imgs = loader(infos)
+        with timer.phase("inference"):
+            outs = model.forward(
+                imgs,
+                get_cls_capt=caption_from == "cls",
+                get_avg_self_attn_capt=caption_from == "avg_self_attn",
+                get_avg_patch_capt=caption_from == "patches",
+                gaussian_avg=use_gaussian_weighting,
+                gaussian_img_variance=gaussian_variance,
+            )
+        capts = outs[_OUT_KEYS[caption_from]]
+        for info, capt in zip(infos, capts):
+            refs = [a["caption"] for a in coco.img_to_anns[info["id"]]]
+            records.append(
+                {
+                    "image_id": info["id"],
+                    "file_name": info["file_name"],
+                    "pred": capt.strip(" ."),
+                    "refs": refs,
+                }
+            )
+    result = {
+        "predictions": records,
+        "timing": harness.timing_summary(timer, len(records)),
+    }
+    if out_path:
+        harness.write_predictions(out_path, records)
+    return result
+
+
+def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
+    cands = [r["pred"] for r in result["predictions"]]
+    refs = [r["refs"] for r in result["predictions"]]
+    scores = {k: v[0] for k, v in metrics.compute_all_metrics(cands, refs).items()}
+    if csv_path is not None:
+        row = dict(config_row or {})
+        row.update({k: f"{v:.4f}" for k, v in scores.items()})
+        harness.append_results_csv(
+            csv_path, row, key_fields=list((config_row or {}).keys())
+        )
+    return scores

@@ -1,0 +1,103 @@
+"""CLIP-S / PAC-S / RefPAC-S on the JAX CLIP towers.
+
+Reference: pacsMetric/pac_score.py. PAC-S = w * max(0, cos(image, candidate))
+with a PAC-finetuned CLIP ViT-B/32 (w=2.0); CLIP-S is the same formula with
+stock CLIP and w=2.5 plus the "A photo depicts" prompt
+(compute_scores.py:166-256); RefPAC-S = per-candidate max cosine against its
+reference captions.
+
+The scoring model is pluggable: pass ported CLIP params (PAC checkpoint via
+io.torch_port-style conversion) — feature extraction runs batched on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from patchioner_tpu.models import clip as clip_mod
+from patchioner_tpu.text import clip_bpe
+
+__all__ = ["ClipScorer", "pac_score", "ref_pac_score"]
+
+
+def _norm(x: np.ndarray) -> np.ndarray:
+    return x / np.sqrt(np.sum(x**2, axis=-1, keepdims=True))
+
+
+class ClipScorer:
+    """Batched text/image feature extractor over the JAX CLIP towers."""
+
+    def __init__(self, vision_params, text_params, vision_cfg, text_cfg,
+                 tokenizer=None):
+        self.vision_params = vision_params
+        self.text_params = text_params
+        self.vision_cfg = vision_cfg
+        self.text_cfg = text_cfg
+        self.tokenizer = tokenizer or clip_bpe.get_tokenizer()
+
+    def encode_texts(self, texts: Sequence[str], batch_size: int = 256,
+                     prompt: str = "") -> np.ndarray:
+        out = []
+        for i in range(0, len(texts), batch_size):
+            chunk = [prompt + t for t in texts[i : i + batch_size]]
+            toks = jnp.asarray(self.tokenizer.tokenize(chunk, 77))
+            out.append(
+                np.asarray(
+                    clip_mod.clip_text_forward(self.text_params, toks, self.text_cfg)
+                )
+            )
+        return np.concatenate(out, axis=0)
+
+    def encode_images(self, pixels, batch_size: int = 64) -> np.ndarray:
+        out = []
+        for i in range(0, len(pixels), batch_size):
+            feats = clip_mod.clip_visual_forward(
+                self.vision_params, jnp.asarray(pixels[i : i + batch_size]),
+                self.vision_cfg,
+            )["x_norm_clstoken"]
+            out.append(np.asarray(feats))
+        return np.concatenate(out, axis=0)
+
+
+def pac_score(
+    scorer: Optional[ClipScorer],
+    image_features: np.ndarray,
+    candidates: Sequence[str],
+    w: float = 2.0,
+    prompt: str = "",
+    candidate_features: Optional[np.ndarray] = None,
+):
+    """w * max(0, cos) per candidate (pac_score.py:77-92). Pass either a
+    scorer (texts encoded here) or precomputed candidate features."""
+    if candidate_features is None:
+        candidate_features = scorer.encode_texts(list(candidates), prompt=prompt)
+    img = _norm(np.asarray(image_features))
+    cand = _norm(candidate_features)
+    per = w * np.clip(np.sum(img * cand, axis=1), 0, None)
+    return float(np.mean(per)), per, cand, [len(c.split()) for c in candidates]
+
+
+def ref_pac_score(
+    scorer: Optional[ClipScorer],
+    references: Sequence[Sequence[str]],
+    candidate_features: np.ndarray,
+):
+    """Per-candidate max cosine vs its reference captions
+    (pac_score.py:175-210)."""
+    flat: List[str] = []
+    idxs: List[int] = []
+    for i, refs in enumerate(references):
+        flat.extend(refs)
+        idxs.extend([i] * len(refs))
+    ref_feats = _norm(scorer.encode_texts(flat))
+    cand = _norm(np.asarray(candidate_features))
+    per = np.zeros(len(candidate_features))
+    sims = np.sum(ref_feats * cand[np.asarray(idxs)], axis=1)
+    for i in range(len(per)):
+        mask = np.asarray(idxs) == i
+        per[i] = np.max(sims[mask]) if mask.any() else 0.0
+    return float(np.mean(per)), per

@@ -1,0 +1,150 @@
+"""Region-set captioning evaluation (COCO / Flickr30k Entities).
+
+Reference: eval-region-set-captioning/eval_region_set_captioning.py.
+Annotation schema: ``{image_id: {caption: [xyxy boxes...]}}`` — one caption
+per *set* of regions (:200-229, boxes converted xyxy -> xywh). Pads region
+sets with ``[-1, -1, -1, -1]`` dummies (:267-269 — detected and skipped by
+the controllable-captioning merge), and captions each set with
+``get_controllable_capts=True``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.utils import geometry, transforms
+
+__all__ = ["load_region_set_dataset", "evaluate", "compute_scores"]
+
+DUMMY_BOX = [-1, -1, -1, -1]
+
+
+def load_region_set_dataset(annotations_path: str, image_roots) -> dict:
+    with open(annotations_path) as f:
+        test_set = json.load(f)
+    if isinstance(image_roots, str):
+        image_roots = [image_roots]
+    samples = {"gt_captions": [], "img_paths": [], "bboxes": []}
+    for img_id, obj in test_set.items():
+        if "coco" in os.path.basename(annotations_path):
+            img_id = img_id.zfill(12)
+        path = None
+        for root in image_roots:
+            cand = os.path.join(root, f"{img_id}.jpg")
+            if os.path.exists(cand):
+                path = cand
+                break
+        path = path or os.path.join(image_roots[0], f"{img_id}.jpg")
+        for caption, boxes in obj.items():
+            xywh = [[b[0], b[1], b[2] - b[0], b[3] - b[1]] for b in boxes]
+            samples["gt_captions"].append(caption)
+            samples["img_paths"].append(path)
+            samples["bboxes"].append(xywh)
+    return samples
+
+
+def evaluate(
+    model,
+    annotations_path: str,
+    image_roots,
+    *,
+    batch_size: int = 8,
+    use_gaussian_weighting: bool = False,
+    gaussian_variance: float = 0.5,
+    keep_img_ratio: bool = True,
+    use_attn_map_for_bboxes: bool = False,
+    limit: Optional[int] = None,
+    out_path: Optional[str] = None,
+    loader=None,
+) -> dict:
+    samples = load_region_set_dataset(annotations_path, image_roots)
+    n = len(samples["img_paths"])
+    if limit:
+        n = min(n, limit)
+    timer = harness.PhaseTimer()
+    preds = []
+
+    def default_loader(paths):
+        from PIL import Image
+
+        imgs, sizes = [], []
+        for p in paths:
+            img = Image.open(p).convert("RGB")
+            sizes.append(img.size)
+            imgs.append(
+                transforms.preprocess_pil(
+                    img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
+                )
+            )
+        return np.stack(imgs), sizes
+
+    loader = loader or default_loader
+    for bi, batch_idx in harness.batched(list(range(n)), batch_size):
+        with timer.phase("preprocessing"):
+            imgs, sizes = loader([samples["img_paths"][i] for i in batch_idx])
+            box_sets = [samples["bboxes"][i] for i in batch_idx]
+            n_max = max(map(len, box_sets))
+            adjusted = []
+            for boxes, (w, h) in zip(box_sets, sizes):
+                if keep_img_ratio:
+                    adj = [
+                        geometry.adjust_bbox_for_transform(
+                            w, h, b, model.resize_dim, model.crop_dim
+                        )
+                        for b in boxes
+                    ]
+                else:
+                    adj = [
+                        geometry.adjust_bbox_for_transform_no_scale(
+                            w, h, b, model.resize_dim, model.resize_dim
+                        )
+                        for b in boxes
+                    ]
+                adj += [DUMMY_BOX] * (n_max - len(adj))
+                adjusted.append(adj)
+        with timer.phase("inference"):
+            outs = model.forward(
+                imgs,
+                get_cls_capt=False,
+                bboxes=np.asarray(adjusted, np.float32),
+                gaussian_avg=use_gaussian_weighting,
+                gaussian_bbox_variance=gaussian_variance,
+                get_controllable_capts=True,
+                use_attn_map_for_bboxes=use_attn_map_for_bboxes,
+            )
+            preds.extend(outs["set_controllable_capts"])
+
+    records = [
+        {
+            "img_path": samples["img_paths"][i],
+            "gt": samples["gt_captions"][i],
+            "pred": preds[i].strip(" ."),
+            "bboxes": samples["bboxes"][i],
+        }
+        for i in range(len(preds))
+    ]
+    result = {
+        "predictions": records,
+        "timing": harness.timing_summary(timer, len(records)),
+    }
+    if out_path:
+        harness.write_predictions(out_path, records)
+    return result
+
+
+def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
+    cands = [r["pred"] for r in result["predictions"]]
+    refs = [[r["gt"]] for r in result["predictions"]]
+    scores = {k: v[0] for k, v in metrics.compute_all_metrics(cands, refs).items()}
+    if csv_path is not None:
+        row = dict(config_row or {})
+        row.update({k: f"{v:.4f}" for k, v in scores.items()})
+        harness.append_results_csv(
+            csv_path, row, key_fields=list((config_row or {}).keys())
+        )
+    return scores

@@ -1,0 +1,160 @@
+"""Experiment orchestrator — batch-runs model x task x config grids.
+
+Reference: evaluation/run_tasks.py (ExperimentRunner): a JSON config with
+global defaults + per-experiment task settings, skip-if-results-exist
+dedup, a task registry, and per-run logs. The reference launches GNU-screen
+sessions with conda envs and picks GPUs by NVML free memory (:697-702,
+utils.py:4-24); here runs are plain in-process calls or subprocesses — on
+TPU the parallelism lever is batch sharding inside one program, not
+process-level device juggling.
+
+Grid config schema (evaluation/configs/*.json):
+  {"global_defaults": {...}, "output_directory": "...",
+   "experiments": [{"model": ..., "tasks": {"trace": {...}, ...}}]}
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+from patchioner_tpu.eval import harness
+
+__all__ = ["TASK_REGISTRY", "ExperimentRunner"]
+
+
+def _trace_task(model, settings):
+    from patchioner_tpu.eval import trace_captioning as t
+
+    result = t.evaluate(model, **settings.get("evaluate", {}))
+    return t.compute_scores(result, **settings.get("score", {}))
+
+
+def _image_task(model, settings):
+    from patchioner_tpu.eval import image_captioning as t
+
+    result = t.evaluate(model, **settings.get("evaluate", {}))
+    return t.compute_scores(result, **settings.get("score", {}))
+
+
+def _dense_task(model, settings):
+    from patchioner_tpu.eval import dense_captioning as t
+    from patchioner_tpu.eval.densecap_map import densecap_map
+
+    result = t.evaluate(model, **settings.get("evaluate", {}))
+    anns = result["predictions"]["annotations"]
+    gts = [
+        {"image_id": a["image_id"], "bbox": a["bbox"], "caption": a.get("gt_caption") or ""}
+        for a in anns
+    ]
+    preds = [
+        {
+            "image_id": a["image_id"],
+            "bbox": a["bbox"],
+            "caption": a["caption"],
+            "score": a.get("score", 1.0),
+        }
+        for a in anns
+    ]
+    return {"map": densecap_map(preds, gts)["map"]}
+
+
+def _region_set_task(model, settings):
+    from patchioner_tpu.eval import region_set_captioning as t
+
+    result = t.evaluate(model, **settings.get("evaluate", {}))
+    return t.compute_scores(result, **settings.get("score", {}))
+
+
+TASK_REGISTRY: Dict[str, Callable] = {
+    "trace_captioning": _trace_task,
+    "image_captioning": _image_task,
+    "dense_captioning": _dense_task,
+    "region_set_captioning": _region_set_task,
+}
+
+
+class ExperimentRunner:
+    def __init__(
+        self,
+        grid_config: dict,
+        *,
+        model_builder: Optional[Callable] = None,
+        logger: Optional[logging.Logger] = None,
+    ):
+        """model_builder(model_name, model_settings) -> model. Defaults to
+        Patchioner.from_config on `configs_dir/{model}.yaml`."""
+        self.config = grid_config
+        self.defaults = grid_config.get("global_defaults", {})
+        self.output_dir = grid_config.get("output_directory", "./results")
+        self.experiments = grid_config.get("experiments", [])
+        self.model_builder = model_builder or self._default_builder
+        self.log = logger or logging.getLogger("patchioner_tpu.runner")
+
+    def _default_builder(self, model_name, settings):
+        from patchioner_tpu.models.patchioner import Patchioner
+
+        configs_dir = settings.get("configs_dir", self.defaults.get(
+            "configs_dir", "./configs"))
+        return Patchioner.from_config(
+            os.path.join(configs_dir, f"{model_name}.yaml"),
+            allow_missing_weights=settings.get("allow_missing_weights", False),
+        )
+
+    def _expand(self, task_settings: dict):
+        """Dict-of-lists -> cartesian grid of dicts (run_tasks.py:179-223)."""
+        keys = [k for k, v in task_settings.items() if isinstance(v, list)]
+        if not keys:
+            yield dict(task_settings)
+            return
+        for combo in itertools.product(*(task_settings[k] for k in keys)):
+            out = dict(task_settings)
+            out.update(dict(zip(keys, combo)))
+            yield out
+
+    def run(self, dry_run: bool = False) -> list:
+        os.makedirs(self.output_dir, exist_ok=True)
+        results_log = []
+        for exp in self.experiments:
+            model_name = exp["model"]
+            settings = {**self.defaults, **exp.get("settings", {})}
+            model = None
+            for task_name, task_settings in exp.get("tasks", {}).items():
+                if task_name not in TASK_REGISTRY:
+                    raise KeyError(f"unknown task: {task_name}")
+                variants = (
+                    task_settings if isinstance(task_settings, list)
+                    else list(self._expand(task_settings))
+                )
+                for variant in variants:
+                    row_key = {
+                        "model": model_name,
+                        "task": task_name,
+                        **{
+                            k: str(v)
+                            for k, v in variant.items()
+                            if not isinstance(v, dict)
+                        },
+                    }
+                    csv_path = os.path.join(self.output_dir, f"{task_name}.csv")
+                    if harness.result_exists(csv_path, row_key, list(row_key)):
+                        self.log.info("skip (exists): %s", row_key)
+                        continue
+                    if dry_run:
+                        results_log.append({"would_run": row_key})
+                        continue
+                    if model is None:
+                        model = self.model_builder(model_name, settings)
+                    t0 = time.time()
+                    scores = TASK_REGISTRY[task_name](model, variant)
+                    row = dict(row_key)
+                    row.update({k: f"{v:.4f}" for k, v in scores.items()})
+                    row["wall_s"] = f"{time.time() - t0:.1f}"
+                    harness.append_results_csv(csv_path, row, list(row_key))
+                    results_log.append(row)
+                    self.log.info("done: %s", row)
+        return results_log

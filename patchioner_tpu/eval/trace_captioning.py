@@ -1,0 +1,165 @@
+"""Trace-captioning evaluation (Localized Narratives style).
+
+Reference: eval-trace-captioning/eval_trace_captioning.py. Annotation schema:
+``{image_id: {"captions": [...], "traces": [...]}}`` where each trace is a
+flat list of ``{"x", "y"}`` points in [0, 1] (:187-211). Each (caption,
+trace) pair is one sample; the model captions the trace-conditioned patch
+aggregate; scores come from the caption-metric family plus CLIP-S/PAC-S.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.utils import transforms
+
+__all__ = ["load_trace_dataset", "evaluate", "compute_scores"]
+
+
+def load_trace_dataset(annotations_path: str, image_roots) -> dict:
+    """-> {'gt_captions': [...], 'img_paths': [...], 'traces': [...]}"""
+    with open(annotations_path) as f:
+        test_set = json.load(f)
+    if isinstance(image_roots, str):
+        image_roots = [image_roots]
+    samples = {"gt_captions": [], "img_paths": [], "traces": []}
+    for img_id, obj in test_set.items():
+        if "coco" in os.path.basename(annotations_path):
+            img_id = img_id.zfill(12)
+        path = None
+        for root in image_roots:
+            cand = os.path.join(root, f"{img_id}.jpg")
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            path = os.path.join(image_roots[0], f"{img_id}.jpg")
+        for capt, trace in zip(obj["captions"], obj["traces"]):
+            samples["gt_captions"].append(capt)
+            samples["img_paths"].append(path)
+            samples["traces"].append(trace)
+    return samples
+
+
+def evaluate(
+    model,
+    annotations_path: str,
+    image_roots,
+    *,
+    batch_size: int = 16,
+    caption_from: str = "trace",  # 'trace' | 'cls'
+    use_attention_weighting: bool = False,
+    use_gaussian_weighting: bool = False,
+    gaussian_variance: float = 1.0,
+    limit: Optional[int] = None,
+    out_path: Optional[str] = None,
+    measure_flops: bool = False,
+    loader=None,
+) -> dict:
+    """Run the model over every (image, trace) sample.
+
+    `loader(paths) -> (B, H, W, 3) float array` overrides image loading
+    (tests inject synthetic pixels)."""
+    samples = load_trace_dataset(annotations_path, image_roots)
+    n = len(samples["img_paths"])
+    if limit is not None:
+        n = min(n, limit)
+    timer = harness.PhaseTimer()
+    preds = []
+    flops = None
+
+    def default_loader(paths):
+        from PIL import Image
+
+        return np.stack(
+            [
+                transforms.preprocess_pil(
+                    Image.open(p), model.resize_dim, model.crop_dim
+                )
+                for p in paths
+            ]
+        )
+
+    loader = loader or default_loader
+    idxs = list(range(n))
+    for bi, batch_idx in harness.batched(idxs, batch_size):
+        with timer.phase("preprocessing"):
+            imgs = loader([samples["img_paths"][i] for i in batch_idx])
+            traces = [samples["traces"][i] for i in batch_idx]
+        with timer.phase("inference"):
+            outs = model.forward(
+                imgs,
+                get_cls_capt=caption_from == "cls",
+                traces=traces if caption_from == "trace" else None,
+                use_attention_tracing=use_attention_weighting,
+                gaussian_avg=use_gaussian_weighting,
+                gaussian_img_variance=gaussian_variance,
+            )
+            preds.extend(
+                outs["cls_capt"] if caption_from == "cls" else outs["trace_capts"]
+            )
+        if measure_flops and bi == 0:
+            flops = harness.xla_flops(
+                lambda x: model.encode_images(x)["x_norm_clstoken"], imgs
+            )
+
+    result = {
+        "predictions": [
+            {
+                "img_path": samples["img_paths"][i],
+                "gt": samples["gt_captions"][i],
+                "pred": preds[i].strip(" ."),  # :466 postprocessing
+            }
+            for i in range(len(preds))
+        ],
+        "timing": harness.timing_summary(timer, len(preds)),
+        "flops_per_image": flops,
+    }
+    if out_path:
+        harness.write_predictions(out_path, result["predictions"])
+        with open(out_path.replace(".json", "_enhanced.pkl"), "wb") as f:
+            pickle.dump(result["timing"], f)
+    return result
+
+
+def compute_scores(
+    result: dict,
+    *,
+    csv_path: Optional[str] = None,
+    config_row: Optional[dict] = None,
+    pac_scorer=None,
+    image_features=None,
+) -> dict:
+    """Caption metrics (+ optional CLIP-S/PAC-S/RefPAC-S when a scorer and
+    image features are supplied); appends a config-keyed CSV row."""
+    cands = [p["pred"] for p in result["predictions"]]
+    refs = [[p["gt"]] for p in result["predictions"]]
+    scores = {k: v[0] for k, v in metrics.compute_all_metrics(cands, refs).items()}
+    if pac_scorer is not None and image_features is not None:
+        from patchioner_tpu.eval import pac_score as ps
+
+        mean_pac, _, cand_feats, lens = ps.pac_score(
+            pac_scorer, image_features, cands, w=2.0
+        )
+        scores["PAC-S"] = mean_pac
+        mean_ref, _ = ps.ref_pac_score(pac_scorer, refs, cand_feats)
+        scores["RefPAC-S"] = mean_ref
+    if csv_path is not None:
+        row = dict(config_row or {})
+        row.update({k: f"{v:.4f}" for k, v in scores.items()})
+        timing = result.get("timing") or {}
+        if timing.get("images_per_sec_inference"):
+            row["images_per_sec_inference"] = (
+                f"{timing['images_per_sec_inference']:.3f}"
+            )
+        harness.append_results_csv(
+            csv_path, row, key_fields=list((config_row or {}).keys())
+        )
+    return scores

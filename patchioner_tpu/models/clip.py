@@ -85,7 +85,8 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False):
+def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False,
+              diag_attn=False):
     b, t, d = x.shape
     hd = d // heads
     h = _ln(x, blk["ln_1"], eps)
@@ -94,27 +95,41 @@ def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False):
     q = q.squeeze(2).transpose(0, 2, 1, 3)
     k = k.squeeze(2).transpose(0, 2, 1, 3)
     v = v.squeeze(2).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k).astype(jnp.float32)
-    if causal_mask is not None:
-        logits = jnp.where(causal_mask, logits, -1e30)
-    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    a = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+    if diag_attn:
+        # INViTE-style diagonal-only attention: every token attends solely to
+        # itself (softmax over one allowed key == 1), so the attention output
+        # is just that token's value vector (src/INViTE/clipfolder/
+        # model.py:216-231).
+        a = v.transpose(0, 2, 1, 3).reshape(b, t, d)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (hd**-0.5), k
+        ).astype(jnp.float32)
+        if causal_mask is not None:
+            logits = jnp.where(causal_mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(
+            b, t, d
+        )
     x = x + _dense(a, blk["out_proj"])
     h = _ln(x, blk["ln_2"], eps)
     x = x + _dense(_quick_gelu(_dense(h, blk["fc1"])), blk["fc2"])
     return (x, qkv) if return_qkv else (x, None)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "skip_last_layers"))
+@functools.partial(jax.jit, static_argnames=("cfg", "skip_last_layers",
+                                              "diag_last_layers"))
 def clip_visual_forward(
     params: dict, pixels: jax.Array, cfg: ClipVisionConfig,
-    skip_last_layers: int = 0,
+    skip_last_layers: int = 0, diag_last_layers: int = 0,
 ) -> dict:
     """(B, H, W, 3) -> dict with projected cls/patch tokens + last-block qkv.
 
-    `skip_last_layers` covers the INViTE variant (vendored CLIP fork whose
-    visual forward can skip the last k resblocks and return all tokens,
-    reference src/INViTE/clipfolder/model.py:258-283).
+    `diag_last_layers` covers the INViTE variant: the last k resblocks run
+    with a diagonal-only attention mask (each token attends to itself;
+    src/INViTE/clipfolder/model.py:211-231), and all tokens pass through
+    ln_post + projection (:272-283). `skip_last_layers` drops the last k
+    resblocks entirely.
     """
     b, hh, ww, _ = pixels.shape
     g = hh // cfg.patch_size
@@ -131,7 +146,9 @@ def clip_visual_forward(
     depth = len(params["blocks"]) - skip_last_layers
     for i, blk in enumerate(params["blocks"][:depth]):
         is_last = i == depth - 1
-        x, qkv = _resblock(x, blk, cfg.heads, cfg.ln_eps, return_qkv=is_last)
+        diag = i >= depth - diag_last_layers
+        x, qkv = _resblock(x, blk, cfg.heads, cfg.ln_eps, return_qkv=is_last,
+                           diag_attn=diag)
         if is_last:
             qkv_last = qkv
     x = _ln(x, params["ln_post"], cfg.ln_eps)

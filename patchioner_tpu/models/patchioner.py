@@ -254,8 +254,11 @@ class Patchioner:
     def __init__(
         self,
         *,
-        vit_cfg: vit_mod.ViTConfig,
+        vit_cfg,
         vit_params: dict,
+        backbone_type: str = "DINO",
+        skip_last_layers: int = 0,
+        diag_last_layers: int = 0,
         gpt2_cfg: Optional[gpt2_mod.GPT2Config],
         decoder: Optional[decap_mod.DecapParams],
         bank: Optional[memproj.PreparedBank],
@@ -272,6 +275,9 @@ class Patchioner:
     ):
         self.vit_cfg = vit_cfg
         self.vit_params = vit_params
+        self.backbone_type = backbone_type  # 'DINO' | 'CLIP' | 'INViTE'
+        self.skip_last_layers = skip_last_layers
+        self.diag_last_layers = diag_last_layers
         self.gpt2_cfg = gpt2_cfg
         self.decoder = decoder
         self.bank = bank
@@ -285,6 +291,17 @@ class Patchioner:
         self.config = config or {}
         self.viecap = viecap  # VieCap or MeaCap instance (delegated decoding)
         self.clipcap = clipcap  # ClipCap instance
+        # Attention-extraction parameters. For CLIP backbones the reference
+        # hard-codes the same 16-head/0.125 split and 1 global token
+        # (src/model.py:336-337,557).
+        if backbone_type == "DINO":
+            self.extract_heads = vit_cfg.extract_heads
+            self.num_global_tokens = vit_cfg.num_global_tokens
+            self.extract_scale = vit_cfg.extract_scale
+        else:
+            self.extract_heads = 16
+            self.num_global_tokens = 1
+            self.extract_scale = 0.125
         self.patch_size = vit_cfg.patch_size
         self.crop_dim = vit_cfg.img_size
         self.resize_dim = int(self.config.get("resize_dim", vit_cfg.img_size))
@@ -329,9 +346,8 @@ class Patchioner:
                 "use attention_type: 'kkv'"
             )
 
-        for unsupported in ("regionclip_config", "invite_config",
-                            "denseclip_config", "alphaclip_config",
-                            "proxyclip_clipmodel"):
+        for unsupported in ("regionclip_config", "denseclip_config",
+                            "alphaclip_config", "proxyclip_clipmodel"):
             if config.get(unsupported) is not None:
                 raise NotImplementedError(
                     f"backbone family '{unsupported}' is not wired into the "
@@ -339,37 +355,82 @@ class Patchioner:
                 )
 
         dino_model = config.get("dino_model", None)
-        if dino_model is None or "dinov2" not in dino_model:
-            raise NotImplementedError(
-                f"backbone '{dino_model}' not wired yet (DINOv2 variants only)"
-            )
         crop_dim = int(config.get("crop_dim", 518))
         attention_type = config.get("attention_type", "qkv")
-        vit_cfg = vit_mod.config_for(dino_model, img_size=crop_dim, dtype=dtype)
-
         key = jax.random.PRNGKey(rng_seed)
         k_vit, k_dec, k_bank = jax.random.split(key, 3)
 
-        # --- encoder weights
-        dino_weights = config.get("dino_weights", None)
-        if dino_weights and os.path.exists(dino_weights):
-            import torch
+        backbone_type = "DINO"
+        skip_last_layers = 0
+        diag_last_layers = 0
+        if dino_model is not None and "dinov2" in dino_model:
+            vit_cfg = vit_mod.config_for(dino_model, img_size=crop_dim, dtype=dtype)
+            dino_weights = config.get("dino_weights", None)
+            if dino_weights and os.path.exists(dino_weights):
+                import torch
 
-            from patchioner_tpu.io import torch_port
+                from patchioner_tpu.io import torch_port
 
-            sd = torch.load(dino_weights, map_location="cpu")
-            vit_params = torch_port.port_dinov2(
-                sd, vit_cfg.depth, vit_cfg.num_registers
+                sd = torch.load(dino_weights, map_location="cpu")
+                vit_params = torch_port.port_dinov2(
+                    sd, vit_cfg.depth, vit_cfg.num_registers
+                )
+            elif allow_missing_weights:
+                vit_params = vit_mod.init_vit(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError(
+                    "no local DINOv2 weights (set 'dino_weights' or pass "
+                    "allow_missing_weights=True)"
+                )
+        elif (dino_model is not None and "openai" in dino_model) or config.get(
+            "invite_config"
+        ):
+            # timm-style OpenAI CLIP names, e.g. 'vit_base_patch16_clip_224
+            # .openai' (reference src/model.py:358-377), or INViTE's
+            # truncated-layer CLIP fork (src/INViTE, src/model.py:464).
+            from patchioner_tpu.models import clip as clip_mod
+
+            backbone_type = "CLIP"
+            invite = config.get("invite_config") or {}
+            if invite:
+                backbone_type = "INViTE"
+                # last k layers get diagonal-only attention
+                # (invite_config.extract_last_k_th_token; INViTE loader.py:52)
+                diag_last_layers = max(
+                    0, int(invite.get("extract_last_k_th_token", -1))
+                )
+                name = invite.get("name", "ViT-B/32")
+                patch = 32 if "/32" in name else (16 if "/16" in name else 14)
+            else:
+                patch = int(dino_model.split("patch")[1].split("_")[0])
+            if "large" in (dino_model or "") or "ViT-L" in str(invite.get("name", "")):
+                width, depth, heads, proj = 1024, 24, 16, 768
+            else:
+                width, depth, heads, proj = 768, 12, 12, 512
+            vit_cfg = clip_mod.ClipVisionConfig(
+                img_size=crop_dim, patch_size=patch, width=width, depth=depth,
+                heads=heads, proj_dim=proj, dtype=dtype,
             )
-        elif allow_missing_weights:
-            vit_params = vit_mod.init_vit(k_vit, vit_cfg)
+            clip_weights = config.get("clip_weights", None)
+            if clip_weights and os.path.exists(clip_weights):
+                import torch
+
+                sd = torch.load(clip_weights, map_location="cpu")
+                vit_params = clip_mod.port_hf_clip_vision(sd, depth)
+            elif allow_missing_weights:
+                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError(
+                    "no local CLIP weights (set 'clip_weights' or pass "
+                    "allow_missing_weights=True)"
+                )
         else:
-            raise FileNotFoundError(
-                "no local DINOv2 weights (set 'dino_weights' or pass "
-                "allow_missing_weights=True)"
+            raise NotImplementedError(
+                f"backbone '{dino_model}' not wired yet "
+                "(DINOv2 / OpenAI-CLIP / INViTE variants)"
             )
         vit_params = jax.tree_util.tree_map(jnp.asarray, vit_params)
-        if attention_type != "qkv":
+        if attention_type != "qkv" and backbone_type == "DINO":
             vit_params = vit_mod.reorder_qkv_params(vit_params, attention_type)
 
         calculate_argmax_text = bool(config.get("calculate_argmax_text", False))
@@ -523,6 +584,9 @@ class Patchioner:
         return cls(
             vit_cfg=vit_cfg,
             vit_params=vit_params,
+            backbone_type=backbone_type,
+            skip_last_layers=skip_last_layers,
+            diag_last_layers=diag_last_layers,
             gpt2_cfg=gpt2_cfg,
             decoder=decoder,
             bank=bank,
@@ -545,12 +609,24 @@ class Patchioner:
         `self_attn_maps` (B, H, P) softmaxed per head (src/model.py:863-877).
         """
         pixels = _as_nhwc(imgs)
-        outs = vit_mod.vit_forward(self.vit_params, pixels, self.vit_cfg)
+        if self.backbone_type == "DINO":
+            outs = vit_mod.vit_forward(self.vit_params, pixels, self.vit_cfg)
+        else:  # CLIP family (timm OpenAI layout; INViTE = truncated forward)
+            from patchioner_tpu.models import clip as clip_mod
+
+            outs = clip_mod.clip_visual_forward(
+                self.vit_params, pixels, self.vit_cfg,
+                skip_last_layers=self.skip_last_layers,
+                diag_last_layers=self.diag_last_layers,
+            )
+            outs["x_norm_regtokens"] = jnp.zeros(
+                (pixels.shape[0], 0, outs["x_norm_patchtokens"].shape[-1])
+            )
         self_attn, maps = vit_mod.process_self_attention(
             outs["qkv_last"],
-            num_heads=self.vit_cfg.extract_heads,
-            num_global_tokens=self.vit_cfg.num_global_tokens,
-            scale=self.vit_cfg.extract_scale,
+            num_heads=self.extract_heads,
+            num_global_tokens=self.num_global_tokens,
+            scale=self.extract_scale,
         )
         outs["self_attn"] = self_attn
         outs["self_attn_maps"] = jax.nn.softmax(maps, axis=-1)
@@ -660,9 +736,12 @@ class Patchioner:
     ) -> dict:
         assert clean_from in ("cls", "avg_self_attn")
         assert cleaning_type in (None, "orthogonal_projection", "contrastive_mask")
-        if double_DINO_for_bboxes or caption_bboxes_type is not None:
-            raise NotImplementedError(
-                "double-DINO bbox mode / crop-captioning not wired yet"
+        if double_DINO_for_bboxes:
+            raise NotImplementedError("double-DINO bbox mode not wired yet")
+        if caption_bboxes_type is not None:
+            return self.caption_bboxes(
+                imgs, bboxes, capt_type=caption_bboxes_type,
+                compute_scores=compute_scores,
             )
 
         outs: dict[str, Any] = {}
@@ -671,7 +750,7 @@ class Patchioner:
         bs, n_patches, embed_dim = patch_tokens.shape
         self_attn = enc["self_attn"]
         maps = enc["self_attn_maps"]
-        nh = self.vit_cfg.extract_heads
+        nh = self.extract_heads
 
         avg_self_attn_token = jnp.mean(
             self_attn[..., None] * patch_tokens, axis=1
@@ -829,5 +908,59 @@ class Patchioner:
             outs["trace_capts"] = self.caption_tokens(trace_embeds)
 
         return outs
+
+    def caption_bboxes(
+        self,
+        imgs,
+        bboxes,
+        capt_type: str = "cls_capt",
+        crop_boxes: bool = False,
+        compute_scores: bool = False,
+    ) -> dict:
+        """Crop-then-caption baseline (reference src/model.py:1356-1390 +
+        src/bbox_utils.py:406-421): PIL-crop every box, resize each crop to
+        the model resolution (stretch — the `no_crop` transform), caption the
+        crops with cls/avg-self-attn, and nest BS x N_BOXES.
+
+        `imgs` must be a list of PIL images here (crops need raw pixels).
+        """
+        from PIL import Image  # noqa: F401  (PIL required for this path)
+
+        from patchioner_tpu.utils import transforms as T
+
+        bboxes = np.asarray(bboxes)
+        bs, n_boxes = bboxes.shape[0], bboxes.shape[1]
+        crops = []
+        for img, img_boxes in zip(imgs, bboxes):
+            for x1, y1, w, h in img_boxes.tolist():
+                region = img.crop((x1, y1, x1 + w, y1 + h))
+                crops.append(
+                    T.preprocess_pil(
+                        region, self.resize_dim, self.crop_dim, crop=crop_boxes
+                    )
+                )
+        crops = np.stack(crops)
+        capts, scores = [], []
+        # Batch the crop forwards by the original batch size (:1370-1380).
+        for i in range(0, len(crops), bs):
+            outs = self.forward(
+                crops[i : i + bs],
+                get_cls_capt=capt_type == "cls_capt",
+                get_avg_self_attn_capt=capt_type == "avg_self_attn_capt",
+                compute_scores=compute_scores,
+            )
+            capts.extend(outs[capt_type])
+            if compute_scores:
+                scores.extend(outs[f"{capt_type}_scores"])
+        ret = {
+            "bbox_capts": [
+                capts[i * n_boxes : (i + 1) * n_boxes] for i in range(bs)
+            ]
+        }
+        if compute_scores:
+            ret["bbox_scores"] = [
+                scores[i * n_boxes : (i + 1) * n_boxes] for i in range(bs)
+            ]
+        return ret
 
     __call__ = forward

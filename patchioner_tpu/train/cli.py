@@ -1,0 +1,171 @@
+"""Decoder training CLI — the `decoderTraining.py` equivalent, TPU-native.
+
+Reference: src/decap/decoderTraining.py:410-440 (argparse surface) and
+:62-387 (loop). Differences by design: data parallelism is a sharded jit
+program over a device mesh (not torchrun/DDP/NCCL), checkpoints are Orbax
+train states with resume, and the frozen text-encoding pipeline runs
+pre-extracted or through the JAX CLIP text tower.
+
+Usage:
+  python -m patchioner_tpu.train.cli --data captions.json --out_dir ./ckpt \
+      --epochs 10 --bs 64 [--gaussian_noise 0.016] [--im_proj --bank bank.h5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.models import decap as decap_mod
+from patchioner_tpu.models import gpt2 as gpt2_mod
+from patchioner_tpu.train import data as data_mod
+from patchioner_tpu.train import decoder_train
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the DeCap/CapDec decoder")
+    p.add_argument("--data", required=True,
+                   help="caption corpus (COCO json or json list of strings)")
+    p.add_argument("--features", default=None,
+                   help="pre-extracted text features .npy aligned with --data")
+    p.add_argument("--out_dir", default="./decap_ckpt")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--bs", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup", type=int, default=5000)
+    p.add_argument("--prefix_size", type=int, default=768)
+    p.add_argument("--max_seq_len", type=int, default=77)
+    p.add_argument("--gaussian_noise", type=float, default=0.0,
+                   help="CapDec noise variance")
+    p.add_argument("--im_proj", action="store_true",
+                   help="project features through the support memory")
+    p.add_argument("--bank", default=None, help="memory bank .h5 for --im_proj")
+    p.add_argument("--mix_captions", action="store_true",
+                   help="pair tokens with a different same-image caption's features")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel axis size")
+    p.add_argument("--mp", type=int, default=1, help="bank tensor-parallel size")
+    p.add_argument("--save_every", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit_steps", type=int, default=None)
+    # decoder architecture (defaults = the DeCap decoder_config.pkl values)
+    p.add_argument("--n_layer", type=int, default=4)
+    p.add_argument("--n_head", type=int, default=4)
+    p.add_argument("--n_embd", type=int, default=768)
+    p.add_argument("--vocab_size", type=int, default=50257)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    captions, image_ids = data_mod.load_coco_captions(args.data)
+    ds = data_mod.CaptionDataset(captions, image_ids, max_len=args.max_seq_len)
+    n = len(ds)
+
+    if args.features:
+        features = np.load(args.features).astype(np.float32)
+        assert len(features) == n, "features misaligned with captions"
+    else:
+        raise SystemExit(
+            "--features required in this build: encode the corpus once with "
+            "the CLIP text tower (see patchioner_tpu.io.memory_bank.build_bank)"
+        )
+
+    gcfg = gpt2_mod.GPT2Config(
+        vocab_size=args.vocab_size, n_layer=args.n_layer, n_head=args.n_head,
+        n_embd=args.n_embd,
+    )
+    params = decap_mod.init_decap(
+        jax.random.PRNGKey(args.seed), gcfg, args.prefix_size
+    )
+
+    steps_per_epoch = n // args.bs
+    tcfg = decoder_train.TrainConfig(
+        lr=args.lr,
+        warmup_steps=args.warmup,
+        total_steps=args.epochs * max(steps_per_epoch, 1),
+        gaussian_noise=args.gaussian_noise,
+    )
+    tx = decoder_train.make_optimizer(tcfg)
+    opt_state = tx.init(params)
+
+    bank_rows = None
+    if args.im_proj:
+        if not args.bank:
+            raise SystemExit("--im_proj requires --bank")
+        from patchioner_tpu.io import memory_bank as mb
+
+        loaded = mb.load_bank(args.bank, "coco_captions")
+        bank_rows = jnp.asarray(loaded.embeddings)
+
+    from patchioner_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(dp=args.dp, mp=args.mp)
+    step_fn = decoder_train.make_train_step(
+        gcfg, tcfg, tx, use_bank=bank_rows is not None, mesh=mesh
+    )
+
+    from patchioner_tpu.io.checkpoints import CheckpointManager
+
+    ckpt = CheckpointManager(args.out_dir)
+    state = {"params": params, "opt_state": opt_state, "step": 0}
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        params, opt_state = state["params"], state["opt_state"]
+        print(f"resumed from step {state['step']}")
+
+    rng = random.Random(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    step = int(state["step"])
+    log_path = os.path.join(args.out_dir, "train_log.csv")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    with mesh:
+        for epoch in range(args.epochs):
+            mix = ds.mix_indices(rng) if args.mix_captions else None
+            epoch_loss, epoch_acc, batches = 0.0, 0.0, 0
+            t0 = time.time()
+            for idx in data_mod.batch_iterator(
+                n, args.bs, seed=args.seed + epoch
+            ):
+                feat_idx = mix[idx] if mix is not None else idx
+                batch_feats = jnp.asarray(features[feat_idx])
+                batch_toks = jnp.asarray(ds.tokens[idx])
+                key, k = jax.random.split(key)
+                extra = (bank_rows,) if bank_rows is not None else ()
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, batch_feats, batch_toks, k, *extra
+                )
+                epoch_loss += float(metrics["loss"])
+                epoch_acc += float(metrics["acc"])
+                batches += 1
+                step += 1
+                if args.limit_steps and step >= args.limit_steps:
+                    break
+            line = (
+                f"{epoch},{step},{epoch_loss / max(batches,1):.5f},"
+                f"{epoch_acc / max(batches,1):.5f},{time.time() - t0:.1f}"
+            )
+            print(f"epoch,step,loss,acc,seconds -> {line}")
+            with open(log_path, "a") as f:
+                f.write(line + "\n")
+            if (epoch + 1) % args.save_every == 0:
+                ckpt.save(step, {"params": params, "opt_state": opt_state,
+                                 "step": step})
+            if args.limit_steps and step >= args.limit_steps:
+                break
+    ckpt.save(step, {"params": params, "opt_state": opt_state, "step": step})
+    print(f"done at step {step}; checkpoints in {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""End-to-end eval pipeline tests with synthetic datasets + tiny model."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from patchioner_tpu.eval import (
+    dense_captioning,
+    harness,
+    image_captioning,
+    region_set_captioning,
+    trace_captioning,
+)
+from patchioner_tpu.eval.densecap_map import densecap_map, iou_xywh
+from patchioner_tpu.eval.runner import ExperimentRunner
+from patchioner_tpu.models import decap, gpt2, vit
+from patchioner_tpu.models.patchioner import Patchioner
+from patchioner_tpu.ops import memory_projection as memproj
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    key = jax.random.PRNGKey(0)
+    vit_cfg = vit.ViTConfig(
+        img_size=56, patch_size=14, embed_dim=128, depth=2, num_heads=4,
+        num_registers=4, extract_heads=4, pos_grid=4,
+    )
+    gcfg = gpt2.GPT2Config(vocab_size=49408, n_layer=2, n_head=4, n_embd=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=vit.init_vit(k1, vit_cfg),
+        gpt2_cfg=gcfg,
+        decoder=decap.init_decap(k2, gcfg, prefix_size=128),
+        bank=memproj.prepare_bank(jax.random.normal(k3, (128, 128))),
+        bank_texts=[f"caption {i}" for i in range(128)],
+    )
+
+
+def fake_loader_plain(paths_or_infos):
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((len(paths_or_infos), 56, 56, 3)).astype(np.float32)
+
+
+def fake_loader_with_sizes(paths_or_infos):
+    return fake_loader_plain(paths_or_infos), [(640, 480)] * len(paths_or_infos)
+
+
+def test_trace_pipeline(tiny_model, tmp_path):
+    ann = {
+        "17": {
+            "captions": ["a dog", "the sky"],
+            "traces": [
+                [{"x": 0.1, "y": 0.1}, {"x": 0.2, "y": 0.2}],
+                [{"x": 0.9, "y": 0.8}],
+            ],
+        },
+        "42": {"captions": ["a cat"], "traces": [[{"x": 0.5, "y": 0.5}]]},
+    }
+    p = tmp_path / "trace_capt_coco_test.json"
+    p.write_text(json.dumps(ann))
+    out = tmp_path / "preds.json"
+    result = trace_captioning.evaluate(
+        tiny_model, str(p), str(tmp_path), batch_size=2,
+        loader=fake_loader_plain, out_path=str(out),
+    )
+    assert len(result["predictions"]) == 3
+    assert result["timing"]["images_per_sec_inference"] > 0
+    assert out.exists()
+    csv_path = tmp_path / "results.csv"
+    scores = trace_captioning.compute_scores(
+        result, csv_path=str(csv_path), config_row={"model": "tiny", "task": "trace"},
+    )
+    assert "CIDEr" in scores and "BLEU-4" in scores
+    # dedup: second write is skipped
+    assert not harness.append_results_csv(
+        str(csv_path), {"model": "tiny", "task": "trace"}, ["model", "task"]
+    )
+
+
+def make_coco_json(tmp_path, with_xyxy_boxes=False):
+    data = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg"},
+            {"id": 2, "file_name": "b.jpg"},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "caption": "a dog runs",
+             "bbox": [10, 10, 50, 60] if with_xyxy_boxes else None},
+            {"id": 2, "image_id": 1, "caption": "a brown dog",
+             "bbox": [20, 20, 80, 90] if with_xyxy_boxes else None},
+            {"id": 3, "image_id": 2, "caption": "the blue sky",
+             "bbox": [0, 0, 30, 30] if with_xyxy_boxes else None},
+        ],
+        "categories": [],
+    }
+    if not with_xyxy_boxes:
+        for a in data["annotations"]:
+            a.pop("bbox")
+    p = tmp_path / "coco.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def test_image_captioning_pipeline(tiny_model, tmp_path):
+    p = make_coco_json(tmp_path)
+    for mode in ("cls", "avg_self_attn", "patches"):
+        result = image_captioning.evaluate(
+            tiny_model, p, str(tmp_path), batch_size=2, caption_from=mode,
+            loader=fake_loader_plain,
+        )
+        assert len(result["predictions"]) == 2
+        assert result["predictions"][0]["refs"] == ["a dog runs", "a brown dog"]
+    scores = image_captioning.compute_scores(result)
+    assert set(scores) >= {"CIDEr", "METEOR", "ROUGE-L"}
+
+
+def test_dense_captioning_pipeline(tiny_model, tmp_path):
+    p = make_coco_json(tmp_path, with_xyxy_boxes=True)
+    result = dense_captioning.evaluate(
+        tiny_model, p, str(tmp_path), batch_size=2, compute_scores=True,
+        loader=fake_loader_with_sizes,
+    )
+    anns = result["predictions"]["annotations"]
+    assert len(anns) == 3  # padded dummy boxes dropped
+    assert all("caption" in a and "score" in a for a in anns)
+    # mAP on self-matching GT boxes with own captions == upper bound check
+    gts = [{"image_id": a["image_id"], "bbox": a["bbox"],
+            "caption": a["gt_caption"]} for a in anns]
+    preds = [{"image_id": a["image_id"], "bbox": a["bbox"],
+              "caption": a["gt_caption"], "score": 1.0} for a in anns]
+    out = densecap_map(preds, gts)
+    assert abs(out["map"] - 1.0) < 1e-9  # perfect captions + boxes
+
+
+def test_region_set_pipeline(tiny_model, tmp_path):
+    ann = {
+        "7": {
+            "two dogs playing": [[10, 10, 60, 60], [100, 80, 200, 160]],
+            "a tree": [[5, 5, 25, 25]],
+        }
+    }
+    p = tmp_path / "regions.json"
+    p.write_text(json.dumps(ann))
+    result = region_set_captioning.evaluate(
+        tiny_model, str(p), str(tmp_path), batch_size=2,
+        loader=fake_loader_with_sizes,
+    )
+    assert len(result["predictions"]) == 2
+    scores = region_set_captioning.compute_scores(result)
+    assert "CIDEr" in scores
+
+
+def test_iou_and_map_thresholds():
+    assert iou_xywh([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert iou_xywh([0, 0, 10, 10], [20, 20, 5, 5]) == 0.0
+    # Non-overlapping prediction -> mAP 0
+    out = densecap_map(
+        [{"image_id": 1, "bbox": [50, 50, 5, 5], "caption": "x", "score": 1.0}],
+        [{"image_id": 1, "bbox": [0, 0, 10, 10], "caption": "x"}],
+    )
+    assert out["map"] == 0.0
+
+
+def test_experiment_runner_grid_and_dedup(tiny_model, tmp_path):
+    ann = {"9": {"captions": ["a dog"], "traces": [[{"x": 0.5, "y": 0.5}]]}}
+    p = tmp_path / "trace.json"
+    p.write_text(json.dumps(ann))
+    grid = {
+        "global_defaults": {},
+        "output_directory": str(tmp_path / "results"),
+        "experiments": [
+            {
+                "model": "tiny",
+                "tasks": {
+                    "trace_captioning": {
+                        "caption_mode": ["trace"],  # grid axis (list)
+                        "evaluate": {
+                            "annotations_path": str(p),
+                            "image_roots": str(tmp_path),
+                            "batch_size": 1,
+                            "loader": fake_loader_plain,
+                        },
+                    }
+                },
+            }
+        ],
+    }
+    runner = ExperimentRunner(grid, model_builder=lambda name, s: tiny_model)
+    logs = runner.run()
+    assert len(logs) == 1 and "CIDEr" in logs[0]
+    # second run skips via the results CSV
+    logs2 = ExperimentRunner(grid, model_builder=lambda n, s: tiny_model).run()
+    assert logs2 == []
+
+
+def test_xla_flops(tiny_model):
+    import jax.numpy as jnp
+
+    f = harness.xla_flops(lambda x: x @ x, jnp.ones((64, 64)))
+    assert f is None or f >= 2 * 64 * 64 * 64 * 0.5

@@ -1,0 +1,125 @@
+"""Caption-metric tests: hand-computed oracles and invariants."""
+
+import math
+
+import numpy as np
+import pytest
+
+from patchioner_tpu.eval import metrics
+
+
+def tok(s):
+    return metrics.ptb_tokenize(s)
+
+
+def test_ptb_tokenize():
+    assert tok("A man, riding; a horse!") == ["a", "man", "riding", "a", "horse"]
+
+
+def test_bleu_perfect_match():
+    cands = [tok("the cat sat on the mat")]
+    refs = [[tok("the cat sat on the mat")]]
+    corpus, inst = metrics.bleu(cands, refs)
+    assert all(abs(b - 1.0) < 1e-9 for b in corpus)
+    assert all(abs(b - 1.0) < 1e-9 for b in inst[0])
+
+
+def test_bleu_hand_computed():
+    # cand: "the the the", ref: "the cat" -> clipped unigram = 1/3,
+    # bigram = 0; BP = exp(1 - 2/3)... lc=3 > lr=2 -> BP=1.
+    corpus, _ = metrics.bleu([tok("the the the")], [[tok("the cat")]])
+    assert abs(corpus[0] - 1.0 / 3.0) < 1e-9
+    assert corpus[1] == 0.0
+
+
+def test_bleu_brevity_penalty():
+    # cand shorter than ref -> BP = exp(1 - lr/lc)
+    corpus, _ = metrics.bleu([tok("the cat")], [[tok("the cat sat on mat")]])
+    bp = math.exp(1 - 5 / 2)
+    assert abs(corpus[0] - bp * 1.0) < 1e-9
+
+
+def test_rouge_l_hand_computed():
+    # cand: "a b c d", ref: "a c b d" -> LCS = 3 ("a b d" or "a c d")
+    score, per = metrics.rouge_l([list("abcd")], [[list("acbd")]])
+    p = r = 3 / 4
+    beta = 1.2
+    f = (1 + beta**2) * p * r / (r + beta**2 * p)
+    assert abs(score - f) < 1e-9
+
+
+def test_cider_identical_corpus():
+    """Candidate == only ref and unique n-grams -> idf = log(N/1); cosine = 1
+    per n with length delta 0 -> score 10.0 per image."""
+    cands = [tok("a red dog runs fast"), tok("blue cats sleep all day")]
+    refs = [[tok("a red dog runs fast")], [tok("blue cats sleep all day")]]
+    corpus, per = metrics.cider_d(cands, refs)
+    assert abs(corpus - 10.0) < 1e-6
+    assert all(abs(s - 10.0) < 1e-6 for s in per)
+
+
+def test_cider_length_damping():
+    """Same content but candidate longer -> gaussian length penalty < 1."""
+    cands = [tok("a red dog runs fast and far away today now")]
+    refs = [[tok("a red dog runs fast")], ]
+    # second image to make idf nontrivial
+    cands.append(tok("blue cats"))
+    refs.append([tok("blue cats")])
+    _, per = metrics.cider_d(cands, refs)
+    assert per[0] < 10.0
+
+
+def test_meteor_perfect_and_disorder():
+    s, per = metrics.meteor([tok("the cat sat")], [[tok("the cat sat")]])
+    # perfect match: P=R=1, fmean=1, chunks=1, penalty=0.5*(1/3)^3
+    want = 1 * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(per[0] - want) < 1e-9
+    # reordering increases chunks -> lower score
+    _, per2 = metrics.meteor([tok("sat the cat")], [[tok("the cat sat")]])
+    assert per2[0] < per[0]
+
+
+def test_compute_all_metrics_keys():
+    out = metrics.compute_all_metrics(
+        ["a dog runs", "a cat sleeps"],
+        [["a dog runs fast", "the dog is running"], ["a cat sleeps now"]],
+    )
+    assert set(out) == {
+        "BLEU-1", "BLEU-2", "BLEU-3", "BLEU-4", "ROUGE-L", "CIDEr", "METEOR"
+    }
+    for corpus, inst in out.values():
+        assert 0.0 <= corpus
+        assert len(inst) == 2
+
+
+def test_pac_score_math():
+    from patchioner_tpu.eval.pac_score import pac_score, ref_pac_score
+
+    img = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    cand_feats = np.asarray([[1.0, 0.0], [-1.0, 0.0]], np.float32)
+    mean, per, _, lens = pac_score(
+        None, img, ["a b", "c"], w=2.0, candidate_features=cand_feats
+    )
+    np.testing.assert_allclose(per, [2.0, 0.0])  # clipped at 0
+    assert lens == [2, 1]
+
+
+class _FakeScorer:
+    def __init__(self, mapping):
+        self.mapping = mapping
+
+    def encode_texts(self, texts, prompt=""):
+        return np.stack([self.mapping[t] for t in texts])
+
+
+def test_ref_pac_score_max_over_refs():
+    from patchioner_tpu.eval.pac_score import ref_pac_score
+
+    mapping = {
+        "r1": np.asarray([1.0, 0.0], np.float32),
+        "r2": np.asarray([0.0, 1.0], np.float32),
+        "r3": np.asarray([0.7, 0.7], np.float32),
+    }
+    cand_feats = np.asarray([[1.0, 0.0]], np.float32)
+    mean, per = ref_pac_score(_FakeScorer(mapping), [["r1", "r2", "r3"]], cand_feats)
+    np.testing.assert_allclose(per, [1.0], rtol=1e-6)
