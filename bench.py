@@ -29,7 +29,10 @@ def _build(batch: int, bank_size: int):
     import __graft_entry__ as ge
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    vit_cfg, vit_params, gcfg, decoder, bank = ge._flagship(bank_size)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("PATCHIONER_BENCH_DTYPE", "bf16" if on_tpu else "f32")
+    ]
+    vit_cfg, vit_params, gcfg, decoder, bank = ge._flagship(bank_size, dtype=dtype)
     step = jax.jit(ge.make_caption_step(vit_cfg, gcfg, on_tpu, bank.num_real))
     state = {
         "vit": vit_params,
@@ -95,7 +98,7 @@ def _naive_reference_port(model, batch: int):
 
         b = prefix.shape[0]
         emb0 = decap_mod.decap_project_prefix(decoder, prefix)[:, None, :]
-        sample_lens = [1, 10, 20, decap_mod.ENTRY_LENGTH]
+        sample_lens = [1, 15, decap_mod.ENTRY_LENGTH]
         costs = {}
         for tlen in sample_lens:
             e = jnp.broadcast_to(emb0, (b, tlen, emb0.shape[-1]))

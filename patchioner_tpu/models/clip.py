@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "port_openai_clip_vision",
+    "init_alpha_embed",
     "ClipVisionConfig",
     "ClipTextConfig",
     "clip_visual_forward",
@@ -122,6 +124,7 @@ def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False,
 def clip_visual_forward(
     params: dict, pixels: jax.Array, cfg: ClipVisionConfig,
     skip_last_layers: int = 0, diag_last_layers: int = 0,
+    alpha: Optional[jax.Array] = None,
 ) -> dict:
     """(B, H, W, 3) -> dict with projected cls/patch tokens + last-block qkv.
 
@@ -137,6 +140,13 @@ def clip_visual_forward(
     x = x.reshape(b, g, cfg.patch_size, g, cfg.patch_size, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
     x = x @ params["patch_embed_w"]  # conv, no bias
+    if alpha is not None:
+        # AlphaCLIP region conditioning: a 1-channel alpha conv added to the
+        # patch embedding (src/alphaclip/alpha_clip/model.py:339,351-361).
+        a = alpha.astype(cfg.dtype).reshape(b, g, cfg.patch_size, g,
+                                            cfg.patch_size, 1)
+        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
+        x = x + a @ params["alpha_embed_w"]
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(cfg.dtype), (b, 1, cfg.width)
     )
@@ -342,3 +352,63 @@ def init_clip_text(key: jax.Array, cfg: ClipTextConfig) -> dict:
             }
         )
     return params
+
+
+def port_openai_clip_vision(sd: Mapping, depth: int, prefix: str = "visual.") -> dict:
+    """Port an openai/CLIP-layout visual tower state dict (the layout
+    AlphaCLIP / INViTE checkpoints use: conv1, class_embedding,
+    positional_embedding, transformer.resblocks.N.attn.in_proj_*, ln_pre/
+    ln_post, proj; optional conv1_alpha for AlphaCLIP)."""
+
+    def g(key):
+        return _np(sd[prefix + key])
+
+    conv = g("conv1.weight")  # (D, 3, P, P)
+    d, c, p, _ = conv.shape
+    params = {
+        "patch_embed_w": np.ascontiguousarray(
+            conv.transpose(2, 3, 1, 0).reshape(p * p * c, d)
+        ),
+        "class_embedding": g("class_embedding").reshape(1, 1, -1),
+        "pos_embed": g("positional_embedding")[None],
+        "ln_pre": {"scale": g("ln_pre.weight"), "bias": g("ln_pre.bias")},
+        "ln_post": {"scale": g("ln_post.weight"), "bias": g("ln_post.bias")},
+        "proj": g("proj"),  # stored (D, proj) already
+        "blocks": [],
+    }
+    if prefix + "conv1_alpha.weight" in sd:
+        ca = g("conv1_alpha.weight")  # (D, 1, P, P)
+        params["alpha_embed_w"] = np.ascontiguousarray(
+            ca.transpose(2, 3, 1, 0).reshape(p * p, d)
+        )
+    for i in range(depth):
+        q = f"transformer.resblocks.{i}"
+        params["blocks"].append(
+            {
+                "ln_1": {"scale": g(f"{q}.ln_1.weight"), "bias": g(f"{q}.ln_1.bias")},
+                "qkv": {
+                    "w": g(f"{q}.attn.in_proj_weight").T,
+                    "b": g(f"{q}.attn.in_proj_bias"),
+                },
+                "out_proj": {
+                    "w": g(f"{q}.attn.out_proj.weight").T,
+                    "b": g(f"{q}.attn.out_proj.bias"),
+                },
+                "ln_2": {"scale": g(f"{q}.ln_2.weight"), "bias": g(f"{q}.ln_2.bias")},
+                "fc1": {
+                    "w": g(f"{q}.mlp.c_fc.weight").T,
+                    "b": g(f"{q}.mlp.c_fc.bias"),
+                },
+                "fc2": {
+                    "w": g(f"{q}.mlp.c_proj.weight").T,
+                    "b": g(f"{q}.mlp.c_proj.bias"),
+                },
+            }
+        )
+    return params
+
+
+def init_alpha_embed(key: jax.Array, cfg: ClipVisionConfig) -> jax.Array:
+    return jax.random.normal(
+        key, (cfg.patch_size**2, cfg.width), jnp.float32
+    ) * 0.02

@@ -92,9 +92,12 @@ def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
 
 
 def _ln(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32 statistics regardless of activation dtype (bf16-safe).
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _dense(x, p):
@@ -149,6 +152,11 @@ def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
     blocks, final LN, logits via tied wte.
     """
     b, t, d = embeds.shape
+    if cfg.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
     x = embeds.astype(cfg.dtype) + params["wpe"][pos_offset : pos_offset + t].astype(
         cfg.dtype
     )
@@ -177,6 +185,11 @@ def gpt2_prefill(
     return last-position logits and a KV cache of capacity `max_len` primed
     with the prompt's keys/values (positions 0..T-1)."""
     b, t, d = embeds.shape
+    if cfg.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
     cache = init_kv_cache(cfg, b, max_len)
     x = embeds.astype(cfg.dtype) + params["wpe"][:t].astype(cfg.dtype)
     scale = 1.0 / math.sqrt(cfg.head_dim)
@@ -205,6 +218,11 @@ def gpt2_step(
     """One decode step: (B, D) embedding at position cache.length -> logits
     (B, V) and the updated cache. Jit-safe inside lax.scan (static shapes)."""
     b, d = embed.shape
+    if cfg.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
     idx = cache.length
     x = embed.astype(cfg.dtype) + jnp.take(params["wpe"], idx, axis=0).astype(cfg.dtype)
     x = x[:, None, :]  # (B, 1, D)

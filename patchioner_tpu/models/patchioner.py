@@ -347,7 +347,7 @@ class Patchioner:
             )
 
         for unsupported in ("regionclip_config", "denseclip_config",
-                            "alphaclip_config", "proxyclip_clipmodel"):
+                            "proxyclip_clipmodel"):
             if config.get(unsupported) is not None:
                 raise NotImplementedError(
                     f"backbone family '{unsupported}' is not wired into the "
@@ -381,6 +381,47 @@ class Patchioner:
                 raise FileNotFoundError(
                     "no local DINOv2 weights (set 'dino_weights' or pass "
                     "allow_missing_weights=True)"
+                )
+        elif config.get("alphaclip_config") is not None:
+            # AlphaCLIP: CLIP ViT with an extra 1-channel alpha conv added to
+            # the patch embedding — region conditioning happens INSIDE the
+            # encoder (src/alphaclip; src/model.py:1060-1354). The reference
+            # runs one encoder pass per region; here regions batch into one
+            # forward (the alpha mask is just another conv input).
+            from patchioner_tpu.models import clip as clip_mod
+
+            backbone_type = "AlphaClip"
+            acfg = dict(config["alphaclip_config"])
+            name = acfg.get("name", "ViT-B/16")
+            patch = acfg.get("patch_size") or (
+                32 if "/32" in name else (14 if "/14" in name else 16)
+            )
+            if "ViT-L" in name:
+                width, depth, heads, proj = 1024, 24, 16, 768
+            else:
+                width, depth, heads, proj = 768, 12, 12, 512
+            vit_cfg = clip_mod.ClipVisionConfig(
+                img_size=crop_dim, patch_size=patch, width=width, depth=depth,
+                heads=heads, proj_dim=acfg.get("embed_dim", proj), dtype=dtype,
+            )
+            ckpt = acfg.get("checkpoint", None)
+            if ckpt and os.path.exists(ckpt):
+                import torch
+
+                sd = torch.load(ckpt, map_location="cpu")
+                prefix = "visual." if any(
+                    k.startswith("visual.") for k in sd
+                ) else ""
+                vit_params = clip_mod.port_openai_clip_vision(
+                    sd, depth, prefix=prefix
+                )
+            elif allow_missing_weights:
+                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError("no local AlphaCLIP checkpoint")
+            if "alpha_embed_w" not in vit_params:
+                vit_params["alpha_embed_w"] = clip_mod.init_alpha_embed(
+                    k_vit, vit_cfg
                 )
         elif (dino_model is not None and "openai" in dino_model) or config.get(
             "invite_config"
@@ -611,13 +652,18 @@ class Patchioner:
         pixels = _as_nhwc(imgs)
         if self.backbone_type == "DINO":
             outs = vit_mod.vit_forward(self.vit_params, pixels, self.vit_cfg)
-        else:  # CLIP family (timm OpenAI layout; INViTE = truncated forward)
+        else:  # CLIP family (timm OpenAI / INViTE / AlphaCLIP)
             from patchioner_tpu.models import clip as clip_mod
 
+            alpha = None
+            if self.backbone_type == "AlphaClip":
+                # whole-image forward uses an all-ones mask (src/model.py:800-814)
+                alpha = jnp.ones(pixels.shape[:3] + (1,), pixels.dtype)
             outs = clip_mod.clip_visual_forward(
                 self.vit_params, pixels, self.vit_cfg,
                 skip_last_layers=self.skip_last_layers,
                 diag_last_layers=self.diag_last_layers,
+                alpha=alpha,
             )
             outs["x_norm_regtokens"] = jnp.zeros(
                 (pixels.shape[0], 0, outs["x_norm_patchtokens"].shape[-1])
@@ -742,6 +788,15 @@ class Patchioner:
             return self.caption_bboxes(
                 imgs, bboxes, capt_type=caption_bboxes_type,
                 compute_scores=compute_scores,
+            )
+        if self.backbone_type == "AlphaClip" and (
+            bboxes is not None or traces is not None
+        ):
+            return self._forward_alphaclip_regions(
+                imgs, bboxes, traces,
+                get_controllable_capts=get_controllable_capts,
+                compute_scores=compute_scores,
+                return_n_best_sims=return_n_best_sims,
             )
 
         outs: dict[str, Any] = {}
@@ -907,6 +962,116 @@ class Patchioner:
             trace_embeds = rp.trace_pool(patch_tokens, grid, attn)
             outs["trace_capts"] = self.caption_tokens(trace_embeds)
 
+        return outs
+
+    def _forward_alphaclip_regions(
+        self,
+        imgs,
+        bboxes=None,
+        traces=None,
+        *,
+        get_controllable_capts: bool = False,
+        compute_scores: bool = False,
+        return_n_best_sims: Optional[int] = None,
+    ) -> dict:
+        """AlphaCLIP region captioning (reference src/model.py:1060-1354).
+
+        The reference loops one encoder forward PER (image, region) —
+        quadratic wall time. Here all (image, region) pairs batch into one
+        forward: the alpha mask is just another conv input. Dummy boxes
+        (negative coordinate sum) yield "" captions / 0.0 scores / [] sims,
+        matching the reference (:1193-1199). CLS pooling per region
+        (use_cls_for_localized_captions default True).
+        """
+        from patchioner_tpu.models import clip as clip_mod
+
+        pixels = _as_nhwc(imgs)
+        bs = pixels.shape[0]
+        hw = pixels.shape[1]
+        outs: dict[str, Any] = {}
+
+        def encode_with_masks(px, masks):
+            return clip_mod.clip_visual_forward(
+                self.vit_params, px, self.vit_cfg, alpha=masks[..., None]
+            )["x_norm_clstoken"]
+
+        if get_controllable_capts:
+            # OR of all valid region masks per image -> one caption per image
+            mask = jnp.zeros((bs, hw, hw), jnp.float32)
+            if bboxes is not None:
+                bm = rp.boxes_to_pixel_masks(jnp.asarray(bboxes, jnp.float32), hw)
+                mask = jnp.maximum(mask, jnp.max(bm, axis=1))
+            if traces is not None:
+                pts, valid = (
+                    _traces_to_arrays(traces)
+                    if isinstance(traces, (list, tuple))
+                    else traces
+                )
+                tg = rp.traces_to_grid(pts, valid, self.vit_cfg.grid_size)
+                tg = jnp.repeat(
+                    jnp.repeat((tg > 0).astype(jnp.float32), self.patch_size, 1),
+                    self.patch_size, 2,
+                )
+                mask = jnp.maximum(mask, tg)
+            feats = encode_with_masks(pixels, mask)
+            ret = self.caption_tokens(feats, compute_scores=compute_scores)
+            outs["set_controllable_capts"] = ret[0] if compute_scores else ret
+            return outs
+
+        if bboxes is not None:
+            bboxes = jnp.asarray(bboxes, jnp.float32)
+            n_boxes = bboxes.shape[1]
+            masks = rp.boxes_to_pixel_masks(bboxes, hw)  # (B, NB, H, W)
+            px = jnp.repeat(pixels, n_boxes, axis=0)
+            feats = encode_with_masks(px, masks.reshape(-1, hw, hw))
+            ret = self.caption_tokens(
+                feats,
+                compute_scores=compute_scores,
+                return_n_best_sims=return_n_best_sims,
+            )
+            if compute_scores:
+                body, scores = ret
+            else:
+                body, scores = ret, None
+            if return_n_best_sims is not None:
+                capts, sims = body
+            else:
+                capts, sims = body, None
+            dummy = np.asarray(jnp.sum(bboxes, axis=-1) < 0)  # (B, NB)
+            outs["bbox_capts"] = []
+            if compute_scores:
+                outs["bbox_scores"] = []
+            if sims is not None:
+                outs["bbox_sims"] = []
+            for i in range(bs):
+                row = []
+                srow, simrow = [], []
+                for j in range(n_boxes):
+                    flat = i * n_boxes + j
+                    row.append("" if dummy[i, j] else capts[flat])
+                    if compute_scores:
+                        srow.append(0.0 if dummy[i, j] else scores[flat])
+                    if sims is not None:
+                        simrow.append([] if dummy[i, j] else sims[flat])
+                outs["bbox_capts"].append(row)
+                if compute_scores:
+                    outs["bbox_scores"].append(srow)
+                if sims is not None:
+                    outs["bbox_sims"].append(simrow)
+
+        if traces is not None:
+            pts, valid = (
+                _traces_to_arrays(traces)
+                if isinstance(traces, (list, tuple))
+                else traces
+            )
+            tg = rp.traces_to_grid(pts, valid, self.vit_cfg.grid_size)
+            tg = jnp.repeat(
+                jnp.repeat((tg > 0).astype(jnp.float32), self.patch_size, 1),
+                self.patch_size, 2,
+            )
+            feats = encode_with_masks(pixels, tg)
+            outs["trace_capts"] = self.caption_tokens(feats)
         return outs
 
     def caption_bboxes(

@@ -40,6 +40,7 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
+    attn_impl: str = "xla"  # 'xla' | 'flash' (Pallas, TPU)
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -145,9 +146,12 @@ def init_vit(key: jax.Array, cfg: ViTConfig) -> dict:
 
 
 def _ln(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32 statistics regardless of activation dtype (bf16-safe).
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _dense(x, p):
@@ -180,9 +184,16 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
     q = q.squeeze(2).transpose(0, 2, 1, 3)  # (B, H, N, hd)
     k = k.squeeze(2).transpose(0, 2, 1, 3)
     v = v.squeeze(2).transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x_norm.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    if cfg.attn_impl == "flash":
+        from patchioner_tpu.ops.attention import flash_attention
+
+        out = flash_attention(q, k, v, scale=hd**-0.5)
+    else:
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            x_norm.dtype
+        )
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = _dense(out, blk["proj"])
     return (out, qkv) if return_qkv else (out, None)
@@ -223,6 +234,13 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
     """
     b, hh, ww, _ = pixels.shape
     g = hh // cfg.patch_size
+    if cfg.dtype != jnp.float32:
+        # Cast weights once so the matmuls actually run at cfg.dtype on the
+        # MXU (f32 params would promote every dot back to f32).
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
     x = pixels.astype(cfg.dtype)
     # Patch embed: conv14x14/s14 == reshape to patches + one matmul (MXU).
     x = x.reshape(b, g, cfg.patch_size, g, cfg.patch_size, 3)

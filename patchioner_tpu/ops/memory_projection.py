@@ -169,10 +169,11 @@ class PreparedBank(NamedTuple):
 def prepare_bank(
     bank: jax.Array, *, block_m: int = DEFAULT_BLOCK_M, dtype=None
 ) -> PreparedBank:
-    """One-time bank preparation (do this outside the per-batch hot path)."""
+    """One-time bank preparation (do this outside the per-batch hot path).
+
+    Non-lane-aligned feature dims (d % 128 != 0) are allowed — the dispatcher
+    routes those through the XLA path instead of the Pallas kernel."""
     m, d = bank.shape
-    if d % 128 != 0:
-        raise ValueError(f"feature dim {d} must be lane-aligned (multiple of 128)")
     inv = 1.0 / jnp.linalg.norm(bank.astype(jnp.float32), axis=-1, keepdims=True)
     mp = pl.cdiv(m, block_m) * block_m
     if dtype is not None:
@@ -348,10 +349,10 @@ def memory_project(
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas on TPU, XLA elsewhere."""
+    d = bank.rows.shape[-1] if isinstance(bank, PreparedBank) else bank.shape[-1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and (
-            isinstance(bank, PreparedBank) or bank.shape[-1] % 128 == 0
-        )
+        use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = use_pallas and d % 128 == 0
     if use_pallas:
         return memory_project_pallas(
             features, bank, temperature=temperature, normalize=normalize

@@ -373,6 +373,28 @@ def trace_pool(
     return jnp.einsum("byx,byxd->bd", w, grid) / (g * g)
 
 
+def boxes_to_pixel_masks(bboxes: jax.Array, size: int) -> jax.Array:
+    """Pixel-resolution binary masks for AlphaCLIP region conditioning.
+
+    Matches the reference's bbox_to_alpha_mask with patch_size=1
+    (src/alphaclip/alpha_mask_utils.py:9-45): start = floor(x1) clamped to
+    [0, size-1], end = floor(x1+w) clamped to [0, size], EXCLUSIVE end.
+    Dummy boxes (negative coordinate sum) produce all-zero masks.
+
+    (..., 4) -> (..., size, size).
+    """
+    x1 = jnp.clip(jnp.floor(bboxes[..., 0]), 0, size - 1)
+    y1 = jnp.clip(jnp.floor(bboxes[..., 1]), 0, size - 1)
+    x2 = jnp.clip(jnp.floor(bboxes[..., 0] + bboxes[..., 2]), 0, size)
+    y2 = jnp.clip(jnp.floor(bboxes[..., 1] + bboxes[..., 3]), 0, size)
+    valid = jnp.sum(bboxes, axis=-1) >= 0
+    xs = jnp.arange(size, dtype=jnp.float32)
+    in_x = (xs >= x1[..., None]) & (xs < x2[..., None])
+    in_y = (xs >= y1[..., None]) & (xs < y2[..., None])
+    mask = in_y[..., :, None] & in_x[..., None, :]
+    return mask.astype(jnp.float32) * valid[..., None, None]
+
+
 def ctx_cleaner(
     dirty_embeds: jax.Array,
     ctx_embed: jax.Array,
