@@ -120,11 +120,12 @@ def _resblock(x, blk, heads, eps, causal_mask=None, return_qkv=False,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "skip_last_layers",
-                                              "diag_last_layers"))
+                                              "diag_last_layers",
+                                              "skip_ln_post"))
 def clip_visual_forward(
     params: dict, pixels: jax.Array, cfg: ClipVisionConfig,
     skip_last_layers: int = 0, diag_last_layers: int = 0,
-    alpha: Optional[jax.Array] = None,
+    alpha: Optional[jax.Array] = None, skip_ln_post: bool = False,
 ) -> dict:
     """(B, H, W, 3) -> dict with projected cls/patch tokens + last-block qkv.
 
@@ -161,7 +162,11 @@ def clip_visual_forward(
                            diag_attn=diag)
         if is_last:
             qkv_last = qkv
-    x = _ln(x, params["ln_post"], cfg.ln_eps)
+    if not skip_ln_post:
+        # OpenCLIP quirk: the reference captures the transformer output with
+        # a hook BEFORE ln_post and projects it directly
+        # (src/model.py:766-768,848-859) — skip_ln_post reproduces that.
+        x = _ln(x, params["ln_post"], cfg.ln_eps)
     proj = x @ params["proj"]
     return {
         "x_norm_clstoken": proj[:, 0],

@@ -259,6 +259,7 @@ class Patchioner:
         backbone_type: str = "DINO",
         skip_last_layers: int = 0,
         diag_last_layers: int = 0,
+        skip_ln_post: bool = False,
         gpt2_cfg: Optional[gpt2_mod.GPT2Config],
         decoder: Optional[decap_mod.DecapParams],
         bank: Optional[memproj.PreparedBank],
@@ -278,6 +279,7 @@ class Patchioner:
         self.backbone_type = backbone_type  # 'DINO' | 'CLIP' | 'INViTE'
         self.skip_last_layers = skip_last_layers
         self.diag_last_layers = diag_last_layers
+        self.skip_ln_post = skip_ln_post
         self.gpt2_cfg = gpt2_cfg
         self.decoder = decoder
         self.bank = bank
@@ -346,8 +348,7 @@ class Patchioner:
                 "use attention_type: 'kkv'"
             )
 
-        for unsupported in ("regionclip_config", "denseclip_config",
-                            "proxyclip_clipmodel"):
+        for unsupported in ("regionclip_config",):
             if config.get(unsupported) is not None:
                 raise NotImplementedError(
                     f"backbone family '{unsupported}' is not wired into the "
@@ -363,8 +364,16 @@ class Patchioner:
         backbone_type = "DINO"
         skip_last_layers = 0
         diag_last_layers = 0
+        skip_ln_post = False
         if dino_model is not None and "dinov2" in dino_model:
-            vit_cfg = vit_mod.config_for(dino_model, img_size=crop_dim, dtype=dtype)
+            variant = dino_model
+            if "dinotxt" in dino_model:
+                # DINO.txt unwraps to its inner dinov2 backbone
+                # (src/model.py:345-346); the tet1280d20h24l release wraps a
+                # ViT-L/14 with registers. Banks slice [:, 1024:] at load.
+                backbone_type = "DINO"
+                variant = "dinov2_vitl14_reg"
+            vit_cfg = vit_mod.config_for(variant, img_size=crop_dim, dtype=dtype)
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):
                 import torch
@@ -382,6 +391,64 @@ class Patchioner:
                     "no local DINOv2 weights (set 'dino_weights' or pass "
                     "allow_missing_weights=True)"
                 )
+        elif config.get("proxyclip_clipmodel") is not None:
+            # ProxyCLIP: CLIP visual trunk + DINO proxy-affinity last layer
+            # (src/proxyclip/proxyclip.py; src/model.py:191,781). Patch
+            # tokens only, on the VFM grid.
+            from patchioner_tpu.models import clip as clip_mod
+            from patchioner_tpu.models import proxyclip as pc_mod
+
+            backbone_type = "ProxyCLIP"
+            clip_name = config["proxyclip_clipmodel"]
+            vfm_name = config.get("proxyclip_vfm", "dinov2")
+            cpatch = 14 if "/14" in clip_name else (32 if "/32" in clip_name else 16)
+            if "ViT-L" in clip_name:
+                cw, cd_, ch, cp = 1024, 24, 16, 768
+            else:
+                cw, cd_, ch, cp = 768, 12, 12, 512
+            clip_cfg = clip_mod.ClipVisionConfig(
+                img_size=224, patch_size=cpatch, width=cw, depth=cd_,
+                heads=ch, proj_dim=cp, dtype=dtype,
+            )
+            vfm_cfg = vit_mod.config_for(
+                "dinov2_vitb14_reg" if vfm_name == "dinov2" else "dinov2_vitb14",
+                img_size=crop_dim, dtype=dtype,
+            )
+            pcfg = pc_mod.ProxyClipConfig(
+                clip=clip_cfg, vfm=vfm_cfg,
+                beta=float(config.get("proxyclip_beta", 1.2)),
+                gamma=float(config.get("proxyclip_gamma", 3.0)),
+            )
+            if allow_missing_weights:
+                kc, kv2 = jax.random.split(k_vit)
+                vit_params = {
+                    "clip": clip_mod.init_clip_vision(kc, clip_cfg),
+                    "vfm": vit_mod.init_vit(kv2, vfm_cfg),
+                }
+            else:
+                clip_w = config.get("clip_weights")
+                dino_w = config.get("dino_weights")
+                if not (clip_w and os.path.exists(clip_w) and dino_w
+                        and os.path.exists(dino_w)):
+                    raise FileNotFoundError(
+                        "ProxyCLIP needs 'clip_weights' (openai layout) and "
+                        "'dino_weights' locally"
+                    )
+                import torch
+
+                from patchioner_tpu.io import torch_port
+
+                csd = torch.load(clip_w, map_location="cpu")
+                prefix = "visual." if any(
+                    k.startswith("visual.") for k in csd) else ""
+                dsd = torch.load(dino_w, map_location="cpu")
+                vit_params = {
+                    "clip": clip_mod.port_openai_clip_vision(
+                        csd, cd_, prefix=prefix),
+                    "vfm": torch_port.port_dinov2(
+                        dsd, vfm_cfg.depth, vfm_cfg.num_registers),
+                }
+            vit_cfg = pcfg  # ProxyClipConfig carries both tower configs
         elif config.get("alphaclip_config") is not None:
             # AlphaCLIP: CLIP ViT with an extra 1-channel alpha conv added to
             # the patch embedding — region conditioning happens INSIDE the
@@ -423,6 +490,79 @@ class Patchioner:
                 vit_params["alpha_embed_w"] = clip_mod.init_alpha_embed(
                     k_vit, vit_cfg
                 )
+        elif config.get("denseclip_config") is not None:
+            # DenseCLIP's visual tower IS a standard CLIP ViT whose forward
+            # returns ln_post+proj over ALL tokens (src/denseclip/clip_loader/
+            # models.py:156-181) — exactly clip_visual_forward. The config
+            # YAML provides geometry (vendored copies in data/denseclip_configs).
+            from patchioner_tpu.models import clip as clip_mod
+
+            backbone_type = "DenseClip"
+            dc_name = config["denseclip_config"]
+            dc_path = dc_name if os.path.exists(str(dc_name)) else os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(vit_mod.__file__))),
+                "data", "denseclip_configs", f"{dc_name}.yaml",
+            )
+            with open(dc_path) as f:
+                dc = yaml.safe_load(f)
+            vis = dc.get("model", {}).get("vision", {})
+            vit_cfg = clip_mod.ClipVisionConfig(
+                img_size=crop_dim,
+                patch_size=vis.get("vision_patch_size", 16),
+                width=vis.get("vision_width", 768),
+                depth=vis.get("vision_layers", 12),
+                heads=vis.get("vision_width", 768) // 64,
+                proj_dim=vis.get("embed_dim", 512),
+                dtype=dtype,
+            )
+            ckpt = dc.get("checkpoint", {}).get("path")
+            ckpt = config.get("denseclip_weights", ckpt)
+            if ckpt and os.path.exists(ckpt):
+                import torch
+
+                sd = torch.load(ckpt, map_location="cpu")
+                sd = sd.get("state_dict", sd)
+                # segmentation checkpoints prefix the tower with 'backbone.'
+                sd = {k.replace("backbone.", "", 1) if k.startswith("backbone.")
+                      else k: v for k, v in sd.items()}
+                prefix = "visual." if any(
+                    k.startswith("visual.") for k in sd) else ""
+                vit_params = clip_mod.port_openai_clip_vision(
+                    sd, vit_cfg.depth, prefix=prefix)
+            elif allow_missing_weights:
+                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError(f"DenseCLIP checkpoint not found: {ckpt}")
+        elif config.get("use_open_clip") and dino_model is not None:
+            # OpenCLIP backbone: standard CLIP ViT but the reference projects
+            # the PRE-ln_post transformer output (hook at src/model.py:766-768,
+            # applied :848-859) — skip_ln_post reproduces the quirk.
+            from patchioner_tpu.models import clip as clip_mod
+
+            backbone_type = "OpenCLIP"
+            skip_ln_post = True
+            patch = int(str(dino_model).split("/")[-1])
+            if "ViT-L" in dino_model:
+                width, depth, heads, proj = 1024, 24, 16, 768
+            else:
+                width, depth, heads, proj = 768, 12, 12, 512
+            vit_cfg = clip_mod.ClipVisionConfig(
+                img_size=crop_dim, patch_size=patch, width=width, depth=depth,
+                heads=heads, proj_dim=proj, dtype=dtype,
+            )
+            clip_weights = config.get("clip_weights", None)
+            if clip_weights and os.path.exists(clip_weights):
+                import torch
+
+                sd = torch.load(clip_weights, map_location="cpu")
+                prefix = "visual." if any(
+                    k.startswith("visual.") for k in sd) else ""
+                vit_params = clip_mod.port_openai_clip_vision(
+                    sd, depth, prefix=prefix)
+            elif allow_missing_weights:
+                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError("no local OpenCLIP weights")
         elif (dino_model is not None and "openai" in dino_model) or config.get(
             "invite_config"
         ):
@@ -628,6 +768,7 @@ class Patchioner:
             backbone_type=backbone_type,
             skip_last_layers=skip_last_layers,
             diag_last_layers=diag_last_layers,
+            skip_ln_post=skip_ln_post,
             gpt2_cfg=gpt2_cfg,
             decoder=decoder,
             bank=bank,
@@ -650,6 +791,15 @@ class Patchioner:
         `self_attn_maps` (B, H, P) softmaxed per head (src/model.py:863-877).
         """
         pixels = _as_nhwc(imgs)
+        if self.backbone_type == "ProxyCLIP":
+            from patchioner_tpu.models import proxyclip as pc_mod
+
+            # Patch tokens only; no CLS and no extractable self-attention
+            # (reference: src/model.py:784-786, has_attention False).
+            return pc_mod.proxyclip_forward(
+                self.vit_params["clip"], self.vit_params["vfm"], pixels,
+                self.vit_cfg,
+            )
         if self.backbone_type == "DINO":
             outs = vit_mod.vit_forward(self.vit_params, pixels, self.vit_cfg)
         else:  # CLIP family (timm OpenAI / INViTE / AlphaCLIP)
@@ -664,6 +814,7 @@ class Patchioner:
                 skip_last_layers=self.skip_last_layers,
                 diag_last_layers=self.diag_last_layers,
                 alpha=alpha,
+                skip_ln_post=self.skip_ln_post,
             )
             outs["x_norm_regtokens"] = jnp.zeros(
                 (pixels.shape[0], 0, outs["x_norm_patchtokens"].shape[-1])
@@ -782,8 +933,10 @@ class Patchioner:
     ) -> dict:
         assert clean_from in ("cls", "avg_self_attn")
         assert cleaning_type in (None, "orthogonal_projection", "contrastive_mask")
-        if double_DINO_for_bboxes:
-            raise NotImplementedError("double-DINO bbox mode not wired yet")
+        if double_DINO_for_bboxes and self.backbone_type != "DINO":
+            raise ValueError(
+                "double_DINO_for_bboxes requires a DINO backbone"
+            )
         if caption_bboxes_type is not None:
             return self.caption_bboxes(
                 imgs, bboxes, capt_type=caption_bboxes_type,
@@ -803,17 +956,25 @@ class Patchioner:
         enc = self.encode_images(imgs)
         patch_tokens = enc["x_norm_patchtokens"]
         bs, n_patches, embed_dim = patch_tokens.shape
-        self_attn = enc["self_attn"]
-        maps = enc["self_attn_maps"]
+        has_attention = "self_attn" in enc  # reference :863-866
+        self_attn = enc.get("self_attn")
         nh = self.extract_heads
 
-        avg_self_attn_token = jnp.mean(
-            self_attn[..., None] * patch_tokens, axis=1
-        )  # (B, D) — reference :869
-        # Per-head disentangled tokens (reference :872-873).
-        disentangled = jnp.mean(
-            patch_tokens[:, None, :, :] * maps[..., None], axis=2
-        )  # (B, H, D)
+        if has_attention:
+            maps = enc["self_attn_maps"]
+            avg_self_attn_token = jnp.mean(
+                self_attn[..., None] * patch_tokens, axis=1
+            )  # (B, D) — reference :869
+            # Per-head disentangled tokens (reference :872-873).
+            disentangled = jnp.mean(
+                patch_tokens[:, None, :, :] * maps[..., None], axis=2
+            )  # (B, H, D)
+        else:
+            if get_avg_self_attn_capt or get_attn_heads_capt:
+                raise ValueError(
+                    f"backbone {self.backbone_type} exposes no self-attention"
+                )
+            avg_self_attn_token = None
 
         if cleaning_type is not None:
             # Cleaning path projects with normalize=True unconditionally
@@ -854,6 +1015,10 @@ class Patchioner:
                 outs[key_name] = ret
 
         if get_cls_capt:
+            if "x_norm_clstoken" not in enc:
+                raise ValueError(
+                    f"backbone {self.backbone_type} emits patch tokens only"
+                )
             emit("cls_capt", self.caption_tokens(
                 enc["x_norm_clstoken"], compute_scores=compute_scores))
         if get_avg_self_attn_capt:
@@ -905,15 +1070,26 @@ class Patchioner:
         if bboxes is not None and not get_controllable_capts:
             bboxes = jnp.asarray(bboxes, jnp.float32)
             n_boxes = bboxes.shape[1]
-            attn_map = self_attn if use_attn_map_for_bboxes else None
-            bbox_feats = rp.extract_bbox_features(
-                patch_tokens,
-                bboxes,
-                patch_size=self.patch_size,
-                gaussian_avg=gaussian_avg,
-                gaussian_bbox_variance=float(gaussian_bbox_variance),
-                attention_map=attn_map,
-            ).reshape(-1, embed_dim)
+            if double_DINO_for_bboxes:
+                bbox_feats = self._double_dino_features(
+                    enc,
+                    bboxes,
+                    return_type=double_DINO_for_bboxes_return_type,
+                    use_cls=double_DINO_use_cls,
+                    gaussian_bbox_variance=float(gaussian_bbox_variance),
+                ).reshape(-1, embed_dim)
+            else:
+                attn_map = (
+                self_attn if (use_attn_map_for_bboxes and has_attention) else None
+            )
+                bbox_feats = rp.extract_bbox_features(
+                    patch_tokens,
+                    bboxes,
+                    patch_size=self.patch_size,
+                    gaussian_avg=gaussian_avg,
+                    gaussian_bbox_variance=float(gaussian_bbox_variance),
+                    attention_map=attn_map,
+                ).reshape(-1, embed_dim)
             ret = self.caption_tokens(
                 bbox_feats,
                 project=cleaning_type is None,
@@ -940,7 +1116,9 @@ class Patchioner:
                 ]
         elif bboxes is not None and get_controllable_capts:
             bboxes = jnp.asarray(bboxes, jnp.float32)
-            attn_map = self_attn if use_attn_map_for_bboxes else None
+            attn_map = (
+                self_attn if (use_attn_map_for_bboxes and has_attention) else None
+            )
             merged = rp.extract_bbox_features_single(
                 patch_tokens,
                 bboxes,
@@ -958,11 +1136,92 @@ class Patchioner:
             else:
                 pts, valid = traces  # pre-padded (B, P, 2) + (B, P)
             grid = rp.traces_to_grid(pts, valid, g)
-            attn = self_attn if use_attention_tracing else None
+            attn = (
+                self_attn if (use_attention_tracing and has_attention) else None
+            )
             trace_embeds = rp.trace_pool(patch_tokens, grid, attn)
             outs["trace_capts"] = self.caption_tokens(trace_embeds)
 
         return outs
+
+    def _double_dino_features(
+        self,
+        enc: dict,
+        bboxes: jnp.ndarray,
+        *,
+        return_type: str = "avg",
+        use_cls: bool = False,
+        gaussian_bbox_variance: float = 0.5,
+    ) -> jnp.ndarray:
+        """Double-DINO bbox features: re-run the LAST encoder block on only
+        the region's tokens (reference src/bbox_utils.py:300-403), batched
+        over every (image, box) pair via key-masked attention
+        (models/vit.py:last_block_rerun).
+
+        Reference quirks preserved: the re-run consumes the final *normalized*
+        tokens (model.py:983-992 via transform_to_standard_dino_out of the
+        last block's output); box grid indices are read as
+        [x1, y1, x2, y2]//patch (NOT xywh — bbox_utils.py:352); and
+        'gaussian_avg' weights the INPUT region patches, ignoring the re-run
+        output (bbox_utils.py:380-393).
+        """
+        patches = enc["x_norm_patchtokens"]
+        bs, n_patches, d = patches.shape
+        g = int(round(n_patches**0.5))
+        nb = bboxes.shape[1]
+        ng = self.num_global_tokens
+
+        gb = jnp.floor(bboxes / self.patch_size).astype(jnp.int32)
+        x1, y1, x2, y2 = gb[..., 0], gb[..., 1], gb[..., 2], gb[..., 3]
+        rows = jnp.arange(g)
+        inside = (
+            (rows[None, None, :, None] >= y1[..., None, None])
+            & (rows[None, None, :, None] <= y2[..., None, None])
+            & (rows[None, None, None, :] >= x1[..., None, None])
+            & (rows[None, None, None, :] <= x2[..., None, None])
+        )  # (B, NB, G, G)
+        inside_flat = inside.reshape(bs, nb, n_patches)
+
+        tokens = jnp.concatenate(
+            [
+                enc["x_norm_clstoken"][:, None],
+                enc["x_norm_regtokens"],
+                patches,
+            ],
+            axis=1,
+        )  # (B, T, D)
+        tokens = jnp.repeat(tokens, nb, axis=0)  # (B*NB, T, D)
+        globals_mask = jnp.full((bs * nb, ng), bool(use_cls))
+        key_mask = jnp.concatenate(
+            [globals_mask, inside_flat.reshape(bs * nb, n_patches)], axis=1
+        )
+        out = vit_mod.last_block_rerun(
+            self.vit_params, tokens, key_mask, self.vit_cfg
+        )
+
+        if return_type == "cls":
+            feats = out[:, 0]
+        elif return_type == "avg":
+            w = inside_flat.reshape(bs * nb, n_patches, 1).astype(out.dtype)
+            feats = jnp.sum(out[:, ng:] * w, axis=1) / jnp.maximum(
+                jnp.sum(w, axis=1), 1.0
+            )
+        elif return_type == "gaussian_avg":
+            # Grid-unit pseudo boxes [x1, y1, w, h] with inclusive-end spans
+            # matching the reference slices; patch_size=1 (already grid units)
+            pseudo = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1).astype(
+                jnp.float32
+            )
+            w = rp.bbox_weight_maps(
+                pseudo, g, 1, gaussian_avg=True,
+                gaussian_bbox_variance=gaussian_bbox_variance,
+            )  # (B, NB, G, G)
+            feats = jnp.einsum(
+                "bkyx,byxd->bkd", w, patches.reshape(bs, g, g, d)
+            ).reshape(bs * nb, d)
+        else:
+            raise ValueError(f"unknown double-DINO return type: {return_type}")
+        return feats.reshape(bs, nb, d)
 
     def _forward_alphaclip_regions(
         self,

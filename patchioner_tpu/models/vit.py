@@ -282,6 +282,50 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def last_block_rerun(
+    params: dict, tokens: jax.Array, key_mask: jax.Array, cfg: ViTConfig
+) -> jax.Array:
+    """Re-run the FINAL block over a key-masked token set (double-DINO mode).
+
+    The reference re-runs `blocks[-1]` on the compacted token list
+    [cls, registers, region patches] per box (src/bbox_utils.py:300-403,
+    one Python forward per box). Attention is permutation-equivariant over
+    keys, so restricting keys with a mask over the full token set is exactly
+    equivalent — and batches every (image, box) pair into one program.
+    Masked positions produce garbage outputs; the caller only reads unmasked
+    positions.
+
+    tokens: (B', T, D); key_mask: (B', T) bool.
+    """
+    blk = params["blocks"][-1]
+    b, n, d = tokens.shape
+    nh = cfg.num_heads
+    hd = d // nh
+    x_norm = _ln(tokens, blk["norm1"], cfg.ln_eps)
+    qkv = _dense(x_norm, blk["qkv"])
+    q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd), 3, axis=2)
+    q = q.squeeze(2).transpose(0, 2, 1, 3)
+    k = k.squeeze(2).transpose(0, 2, 1, 3)
+    v = v.squeeze(2).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k).astype(jnp.float32)
+    logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(tokens.dtype)
+    a = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+    a = _dense(a, blk["proj"])
+    if cfg.layerscale:
+        a = a * blk["ls1"]
+    x = tokens + a
+    m = _dense(
+        jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
+                    approximate=False),
+        blk["fc2"],
+    )
+    if cfg.layerscale:
+        m = m * blk["ls2"]
+    return x + m
+
+
 # --------------------------------------------------- attention extraction
 
 
