@@ -1,0 +1,100 @@
+"""Results collection — aggregate per-task CSVs into report tables.
+
+Reference: evaluation/collect_results.py (ResultsCollector, 630 LoC of
+CSV scraping + table assembly) and evaluation/utils.py:28-100
+(get_model_infos: config name -> display metadata).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+__all__ = ["get_model_infos", "ResultsCollector"]
+
+# config-name fragments -> (method, grid, backbone) display metadata,
+# mirroring evaluation/utils.py:28-100's mapping for the main-table models.
+_MODEL_INFOS = {
+    "mlp.k": ("Patch-ioner (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
+    "mlp_noise.k": ("Patch-ioner (Talk2DINO+noise)", "37x37", "DINOv2-B/14-reg"),
+    "decap_B16": ("DeCap", "14x14", "CLIP-B/16"),
+    "decap_B32": ("DeCap", "7x7", "CLIP-B/32"),
+    "viecap": ("ViECap", "14x14", "CLIP-B/16"),
+    "mlp.viecap.k": ("ViECap (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
+    "mlp.meacap.k": ("MeaCap (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
+    "meacap_invlm": ("MeaCap", "14x14", "CLIP-B/16"),
+    "proxyclip": ("ProxyCLIP", "37x37", "CLIP+DINOv2"),
+    "alphaclip": ("AlphaCLIP", "14x14", "AlphaCLIP-B/16"),
+    "regionclip": ("RegionCLIP", "7x7", "RN50"),
+    "denseclip": ("DenseCLIP", "40x40", "CLIP-B/16"),
+    "INViTE": ("INViTE", "14x14", "CLIP-B/16"),
+    "dinotxt": ("DINO.txt", "37x37", "DINOv2-L/14-reg"),
+}
+
+
+def get_model_infos(model_name: str):
+    """(method, grid, backbone) display metadata for a config name."""
+    for frag, info in sorted(_MODEL_INFOS.items(), key=lambda kv: -len(kv[0])):
+        if frag in model_name:
+            return info
+    return (model_name, "?", "?")
+
+
+class ResultsCollector:
+    """Aggregate task CSVs (eval/harness.append_results_csv format) into
+    per-task model x metric tables."""
+
+    def __init__(self, results_dir: str):
+        self.results_dir = results_dir
+
+    def load_task(self, task: str) -> List[dict]:
+        path = os.path.join(self.results_dir, f"{task}.csv")
+        if not os.path.exists(path):
+            return []
+        with open(path, newline="") as f:
+            return list(csv.DictReader(f))
+
+    def table(
+        self,
+        task: str,
+        metrics: Sequence[str] = ("CIDEr", "METEOR", "ROUGE-L", "BLEU-4"),
+        best_of_duplicates: bool = True,
+    ) -> List[dict]:
+        """One row per model: display metadata + requested metrics. Duplicate
+        model rows keep the best primary metric (the reference's dedup)."""
+        rows = self.load_task(task)
+        by_model: Dict[str, dict] = {}
+        primary = metrics[0] if metrics else None
+        for r in rows:
+            name = r.get("model", "?")
+            keep = by_model.get(name)
+            if keep is None or not best_of_duplicates:
+                by_model[name] = r
+            elif primary:
+                try:
+                    if float(r.get(primary, "nan")) > float(
+                        keep.get(primary, "nan")
+                    ):
+                        by_model[name] = r
+                except ValueError:
+                    pass
+        out = []
+        for name, r in by_model.items():
+            method, grid, backbone = get_model_infos(name)
+            row = {"model": name, "method": method, "grid": grid,
+                   "backbone": backbone}
+            for m in metrics:
+                row[m] = r.get(m, "")
+            out.append(row)
+        return sorted(out, key=lambda r: r["model"])
+
+    def markdown(self, task: str, metrics=("CIDEr", "METEOR", "ROUGE-L",
+                                           "BLEU-4")) -> str:
+        rows = self.table(task, metrics)
+        header = ["model", "method", "grid", "backbone", *metrics]
+        lines = ["| " + " | ".join(header) + " |",
+                 "|" + "---|" * len(header)]
+        for r in rows:
+            lines.append("| " + " | ".join(str(r.get(h, "")) for h in header) + " |")
+        return "\n".join(lines)

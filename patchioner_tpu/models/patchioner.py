@@ -348,12 +348,6 @@ class Patchioner:
                 "use attention_type: 'kkv'"
             )
 
-        for unsupported in ("regionclip_config",):
-            if config.get(unsupported) is not None:
-                raise NotImplementedError(
-                    f"backbone family '{unsupported}' is not wired into the "
-                    "TPU build yet"
-                )
 
         dino_model = config.get("dino_model", None)
         crop_dim = int(config.get("crop_dim", 518))
@@ -391,6 +385,35 @@ class Patchioner:
                     "no local DINOv2 weights (set 'dino_weights' or pass "
                     "allow_missing_weights=True)"
                 )
+        elif config.get("regionclip_config") is not None:
+            # RegionCLIP: CLIP ModifiedResNet, attnpool spatial features
+            # (src/regionclip/clip_backbone.py:243-300), effective patch 32.
+            from patchioner_tpu.models import resnet_clip as rn_mod
+
+            backbone_type = "RegionCLIP"
+            rc = dict(config["regionclip_config"])
+            vit_cfg = rn_mod.ResNetClipConfig(
+                img_size=crop_dim,
+                output_dim=rc.get("embed_dim", 1024),
+                dtype=dtype,
+            )
+            ckpt = rc.get("checkpoint")
+            if ckpt and os.path.exists(ckpt):
+                import torch
+
+                sd = torch.load(ckpt, map_location="cpu")
+                sd = sd.get("model", sd)
+                # detectron-style prefixes (regionclip/loader.py:92-105)
+                sd = {
+                    (k.replace("backbone.", "visual.", 1)
+                     if k.startswith("backbone.") else k): v
+                    for k, v in sd.items()
+                }
+                vit_params = rn_mod.port_clip_resnet(sd, vit_cfg, prefix="visual.")
+            elif allow_missing_weights:
+                vit_params = rn_mod.init_resnet_clip(k_vit, vit_cfg)
+            else:
+                raise FileNotFoundError(f"RegionCLIP checkpoint not found: {ckpt}")
         elif config.get("proxyclip_clipmodel") is not None:
             # ProxyCLIP: CLIP visual trunk + DINO proxy-affinity last layer
             # (src/proxyclip/proxyclip.py; src/model.py:191,781). Patch
@@ -791,6 +814,18 @@ class Patchioner:
         `self_attn_maps` (B, H, P) softmaxed per head (src/model.py:863-877).
         """
         pixels = _as_nhwc(imgs)
+        if self.backbone_type == "RegionCLIP":
+            from patchioner_tpu.models import resnet_clip as rn_mod
+
+            # attnpool cls + attnpool-projected local features; ResNets have
+            # no extractable qkv self-attention (reference has_attention
+            # False for RegionCLIP, src/model.py:863-866).
+            return rn_mod.resnet_spatial_forward(
+                self.vit_params, pixels, self.vit_cfg,
+                use_attnpool_for_spatial_feats=self.config.get(
+                    "regionclip_config", {}
+                ).get("use_attnpool_for_spatial_feats", True),
+            )
         if self.backbone_type == "ProxyCLIP":
             from patchioner_tpu.models import proxyclip as pc_mod
 

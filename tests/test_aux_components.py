@@ -1,0 +1,134 @@
+"""Aux subsystem tests: hf_hub fallback, results collector, prefix training,
+.env loader, RegionCLIP from_config."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_hf_fallback_local_path(tmp_path):
+    from patchioner_tpu.io.hf_hub import get_model_path_with_hf_fallback
+
+    p = tmp_path / "w.pt"
+    p.write_bytes(b"x")
+    assert get_model_path_with_hf_fallback(str(p)) == str(p)
+    with pytest.raises(FileNotFoundError, match="no hf_repo_id"):
+        get_model_path_with_hf_fallback(str(tmp_path / "missing.pt"))
+    # zero-egress: hub download must fail with a clear error, not hang
+    with pytest.raises(FileNotFoundError):
+        get_model_path_with_hf_fallback(
+            str(tmp_path / "missing.pt"), hf_repo_id="foo/bar", filename="w.pt"
+        )
+
+
+def test_results_collector(tmp_path):
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector, get_model_infos
+
+    csv_path = str(tmp_path / "trace_captioning.csv")
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "task": "trace", "CIDEr": "0.80",
+                   "METEOR": "0.20"}, ["model", "task"])
+    harness.append_results_csv(
+        csv_path, {"model": "decap_B16", "task": "trace", "CIDEr": "0.55",
+                   "METEOR": "0.15"}, ["model", "task"])
+    rc = ResultsCollector(str(tmp_path))
+    table = rc.table("trace_captioning", metrics=("CIDEr", "METEOR"))
+    assert len(table) == 2
+    row = next(r for r in table if r["model"] == "mlp.k")
+    assert row["method"].startswith("Patch-ioner")
+    md = rc.markdown("trace_captioning", metrics=("CIDEr",))
+    assert "| mlp.k |" in md
+    assert get_model_infos("viecap.k")[0] == "ViECap"
+
+
+def test_prefix_training_decreases_loss():
+    import optax
+
+    from patchioner_tpu.models import clipcap, gpt2
+    from patchioner_tpu.train import prefix_train
+
+    gcfg = gpt2.GPT2Config(vocab_size=101, n_positions=64, n_embd=32,
+                           n_layer=1, n_head=2)
+    gpt2_params = gpt2.init_gpt2(jax.random.PRNGKey(0), gcfg)
+    mapper = clipcap.init_mlp_mapper(jax.random.PRNGKey(1), 16, 3, 32)
+    mapper_fn = lambda p, f: clipcap.mlp_mapper_forward(p, f, 3, 32)
+
+    cfg = prefix_train.PrefixTrainConfig(lr=1e-2, warmup_steps=1,
+                                         total_steps=50, noise_variance=0.0)
+    tx = optax.adamw(cfg.lr)
+    step = prefix_train.make_prefix_train_step(mapper_fn, gcfg, cfg, tx)
+    opt_state = tx.init(mapper)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(1, 101, (8, 6)), jnp.int32)
+    mask = jnp.ones((8, 6))
+    first = None
+    for _ in range(10):
+        mapper, opt_state, m = step(
+            mapper, opt_state, gpt2_params, feats, toks, mask,
+            jax.random.PRNGKey(2),
+        )
+        first = first if first is not None else float(m["loss"])
+    assert float(m["loss"]) < first
+
+
+def test_prefix_training_sharded_matches():
+    import optax
+
+    from patchioner_tpu.models import clipcap, gpt2
+    from patchioner_tpu.parallel import sharding
+    from patchioner_tpu.train import prefix_train
+
+    gcfg = gpt2.GPT2Config(vocab_size=101, n_positions=64, n_embd=32,
+                           n_layer=1, n_head=2)
+    gpt2_params = gpt2.init_gpt2(jax.random.PRNGKey(0), gcfg)
+    mapper = clipcap.init_mlp_mapper(jax.random.PRNGKey(1), 16, 3, 32)
+    mapper_fn = lambda p, f: clipcap.mlp_mapper_forward(p, f, 3, 32)
+    cfg = prefix_train.PrefixTrainConfig(noise_variance=0.0)
+    tx = optax.adamw(1e-3)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(1, 101, (8, 6)), jnp.int32)
+    mask = jnp.ones((8, 6))
+    k = jax.random.PRNGKey(3)
+
+    s1 = prefix_train.make_prefix_train_step(mapper_fn, gcfg, cfg, tx)
+    p1, _, m1 = s1(mapper, tx.init(mapper), gpt2_params, feats, toks, mask, k)
+
+    mesh = sharding.make_mesh(dp=8, mp=1)
+    with mesh:
+        s2 = prefix_train.make_prefix_train_step(
+            mapper_fn, gcfg, cfg, tx, mesh=mesh)
+        p2, _, m2 = s2(mapper, tx.init(mapper), gpt2_params, feats, toks,
+                       mask, k)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_dotenv_loader(tmp_path, monkeypatch):
+    from patchioner_tpu.utils.env import load_dotenv
+
+    p = tmp_path / ".env"
+    p.write_text("# comment\nIM2TXT_MEMORY_PATH=/data/mem\nQUOTED='hello'\n")
+    monkeypatch.delenv("IM2TXT_MEMORY_PATH", raising=False)
+    loaded = load_dotenv(str(p))
+    assert loaded["IM2TXT_MEMORY_PATH"] == "/data/mem"
+    assert loaded["QUOTED"] == "hello"
+    import os
+
+    assert os.environ["IM2TXT_MEMORY_PATH"] == "/data/mem"
+
+
+def test_regionclip_from_config():
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    cfg = dict(prefix_size=24, support_memory_size=0,
+               regionclip_config={"embed_dim": 24, "patch_size": 32},
+               dino_model="RN50_regionclip", crop_dim=64,
+               projection_type="coco", calculate_argmax_text=True)
+    m = Patchioner.from_config(cfg, allow_missing_weights=True)
+    assert m.backbone_type == "RegionCLIP"
+    assert m.patch_size == 32
