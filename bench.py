@@ -138,7 +138,7 @@ def bench_fn(fn, args, iters: int, warmup: int = 2):
 
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 32 if on_tpu else 2))
+    batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 128 if on_tpu else 2))
     bank_size = int(
         os.environ.get("PATCHIONER_BENCH_BANK", 591753 if on_tpu else 2048)
     )

@@ -1422,4 +1422,14 @@ class Patchioner:
             ]
         return ret
 
+    # -------------------------------------------- torch-API compat shims
+    # The reference eval scripts call `model.eval()` / `model.to(device)`
+    # (nn.Module API). No-ops here: params are immutable jax arrays and
+    # placement is jit-managed — kept so ported scripts run unchanged.
+    def eval(self):
+        return self
+
+    def to(self, device=None):
+        return self
+
     __call__ = forward

@@ -57,13 +57,15 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Keep q/k/v in their input dtype (bf16 on the fast path) — the MXU
+    # multiplies in bf16 with f32 accumulation via preferred_element_type.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
+    )  # (BQ, BK) f32
     col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < num_real_k, s, -1e30)
 
@@ -72,8 +74,10 @@ def _flash_kernel(
     rescale = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_ref[:] = l_ref[:] * rescale + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+    acc_ref[:] = acc_ref[:] * rescale + jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_new
 

@@ -166,7 +166,7 @@ def test_from_config_full_size(tmp_path):
     with pytest.raises(FileNotFoundError):
         Patchioner.from_config(str(p))  # strict mode needs real weights
 
-    cfg["regionclip_config"] = {"checkpoint": "/nonexistent.pth"}
+    cfg["dino_model"] = "some_unknown_backbone"
     p.write_text(yaml.safe_dump(cfg))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="not wired"):
         Patchioner.from_config(str(p), allow_missing_weights=True)
