@@ -334,10 +334,19 @@ class Patchioner:
                 with open(config) as f:
                     config = yaml.safe_load(f)
             else:
-                raise FileNotFoundError(
-                    f"config '{config}' not found locally (HF Hub download "
-                    "unavailable in zero-egress builds — pass a local path)"
+                # Treat as a HF model id / URL: download config.yaml
+                # (reference src/model.py:666-683) — networked envs only.
+                from patchioner_tpu.io.hf_hub import (
+                    get_model_path_with_hf_fallback,
                 )
+
+                repo_id = str(config).split("huggingface.co/")[-1]
+                path = get_model_path_with_hf_fallback(
+                    None, hf_repo_id=repo_id, filename="config.yaml"
+                )
+                with open(path) as f:
+                    config = yaml.safe_load(f)
+                config.setdefault("hf_repo_id", repo_id)
         config = dict(config)
         if "kkv_attention" in config and "attention_type" not in config:
             # Reference quirk: the loader reads `attention_type` only; configs

@@ -1,0 +1,86 @@
+"""Golden-caption parity scaffolding.
+
+Caption-level parity with the reference needs its pretrained artifacts
+(DINOv2 hub weights, DeCap checkpoint, memory-bank HDF5) — unavailable in
+zero-egress environments. These tests activate automatically when the
+artifacts exist at the env-configured paths and compare generated captions
+against pinned goldens; otherwise they skip with a clear reason.
+
+To produce goldens on a machine with the artifacts:
+  PATCHIONER_GOLDEN_CONFIG=configs/mlp.k.yaml \
+  python -m tests.test_golden_captions  # writes tests/goldens/<name>.json
+"""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+CONFIG = os.environ.get("PATCHIONER_GOLDEN_CONFIG")
+
+
+def _artifacts_available():
+    if not CONFIG or not os.path.exists(CONFIG):
+        return False
+    import yaml
+
+    with open(CONFIG) as f:
+        cfg = yaml.safe_load(f)
+    needed = [cfg.get("decap_weights"), cfg.get("dino_weights")]
+    return all(p and os.path.exists(p) for p in needed)
+
+
+def _fixed_images(n=4, size=518):
+    """Deterministic synthetic images — golden inputs without dataset files."""
+    rng = np.random.default_rng(1234)
+    return rng.uniform(-1.5, 1.5, (n, size, size, 3)).astype(np.float32)
+
+
+def generate_goldens(config_path: str, out_path: str):
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    model = Patchioner.from_config(config_path)
+    imgs = _fixed_images(size=model.crop_dim)
+    traces = [[{"x": 0.3, "y": 0.4}, {"x": 0.5, "y": 0.5}]] * len(imgs)
+    outs = model.forward(imgs, get_cls_capt=True, traces=traces)
+    golden = {
+        "config_sha": hashlib.sha256(open(config_path, "rb").read()).hexdigest(),
+        "cls_capt": outs["cls_capt"],
+        "trace_capts": outs["trace_capts"],
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(golden, f, indent=1)
+    return golden
+
+
+@pytest.mark.skipif(
+    not _artifacts_available(),
+    reason="pretrained artifacts unavailable (set PATCHIONER_GOLDEN_CONFIG "
+    "with resolvable weight paths)",
+)
+def test_golden_captions_match():
+    name = os.path.splitext(os.path.basename(CONFIG))[0]
+    golden_path = os.path.join(GOLDEN_DIR, f"{name}.json")
+    if not os.path.exists(golden_path):
+        generate_goldens(CONFIG, golden_path)
+        pytest.skip(f"goldens generated at {golden_path}; rerun to compare")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    model = Patchioner.from_config(CONFIG)
+    imgs = _fixed_images(size=model.crop_dim)
+    traces = [[{"x": 0.3, "y": 0.4}, {"x": 0.5, "y": 0.5}]] * len(imgs)
+    outs = model.forward(imgs, get_cls_capt=True, traces=traces)
+    assert outs["cls_capt"] == golden["cls_capt"]
+    assert outs["trace_capts"] == golden["trace_capts"]
+
+
+if __name__ == "__main__":
+    cfg = os.environ["PATCHIONER_GOLDEN_CONFIG"]
+    name = os.path.splitext(os.path.basename(cfg))[0]
+    print(generate_goldens(cfg, os.path.join(GOLDEN_DIR, f"{name}.json")))
