@@ -10,7 +10,7 @@ config-keyed results CSV with skip-if-exists dedup
 from __future__ import annotations
 
 import csv
-import dataclasses
+
 import json
 import os
 import time

@@ -388,7 +388,7 @@ class Patchioner:
                     sd, vit_cfg.depth, vit_cfg.num_registers
                 )
             elif allow_missing_weights:
-                vit_params = vit_mod.init_vit(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: vit_mod.init_vit(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError(
                     "no local DINOv2 weights (set 'dino_weights' or pass "
@@ -420,7 +420,7 @@ class Patchioner:
                 }
                 vit_params = rn_mod.port_clip_resnet(sd, vit_cfg, prefix="visual.")
             elif allow_missing_weights:
-                vit_params = rn_mod.init_resnet_clip(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: rn_mod.init_resnet_clip(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError(f"RegionCLIP checkpoint not found: {ckpt}")
         elif config.get("proxyclip_clipmodel") is not None:
@@ -453,10 +453,10 @@ class Patchioner:
             )
             if allow_missing_weights:
                 kc, kv2 = jax.random.split(k_vit)
-                vit_params = {
-                    "clip": clip_mod.init_clip_vision(kc, clip_cfg),
-                    "vfm": vit_mod.init_vit(kv2, vfm_cfg),
-                }
+                vit_params = jax.jit(lambda a, b: {
+                    "clip": clip_mod.init_clip_vision(a, clip_cfg),
+                    "vfm": vit_mod.init_vit(b, vfm_cfg),
+                })(kc, kv2)
             else:
                 clip_w = config.get("clip_weights")
                 dino_w = config.get("dino_weights")
@@ -515,7 +515,7 @@ class Patchioner:
                     sd, depth, prefix=prefix
                 )
             elif allow_missing_weights:
-                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: clip_mod.init_clip_vision(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError("no local AlphaCLIP checkpoint")
             if "alpha_embed_w" not in vit_params:
@@ -562,7 +562,7 @@ class Patchioner:
                 vit_params = clip_mod.port_openai_clip_vision(
                     sd, vit_cfg.depth, prefix=prefix)
             elif allow_missing_weights:
-                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: clip_mod.init_clip_vision(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError(f"DenseCLIP checkpoint not found: {ckpt}")
         elif config.get("use_open_clip") and dino_model is not None:
@@ -592,7 +592,7 @@ class Patchioner:
                 vit_params = clip_mod.port_openai_clip_vision(
                     sd, depth, prefix=prefix)
             elif allow_missing_weights:
-                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: clip_mod.init_clip_vision(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError("no local OpenCLIP weights")
         elif (dino_model is not None and "openai" in dino_model) or config.get(
@@ -631,7 +631,7 @@ class Patchioner:
                 sd = torch.load(clip_weights, map_location="cpu")
                 vit_params = clip_mod.port_hf_clip_vision(sd, depth)
             elif allow_missing_weights:
-                vit_params = clip_mod.init_clip_vision(k_vit, vit_cfg)
+                vit_params = jax.jit(lambda k: clip_mod.init_clip_vision(k, vit_cfg))(k_vit)
             else:
                 raise FileNotFoundError(
                     "no local CLIP weights (set 'clip_weights' or pass "
@@ -648,9 +648,11 @@ class Patchioner:
 
         calculate_argmax_text = bool(config.get("calculate_argmax_text", False))
 
-        # --- decoder
+        # --- decoder (the DeCap 4L/4H/768 architecture; dtype follows the
+        # model-wide dtype so bf16 flagships decode in bf16 with f32 logits)
         prefix_size = int(config["prefix_size"])
-        gpt2_cfg = gpt2_mod.DECAP_DECODER_CONFIG
+        gpt2_cfg = gpt2_mod.GPT2Config(n_layer=4, n_head=4, n_embd=768,
+                                       dtype=dtype)
         decoder = None
         if not calculate_argmax_text:
             weights = config.get("decap_weights", None)
@@ -665,7 +667,7 @@ class Patchioner:
                     gpt2=ported["gpt2"], clip_project=ported["clip_project"]
                 )
             elif allow_missing_weights:
-                decoder = decap_mod.init_decap(k_dec, gpt2_cfg, prefix_size)
+                decoder = jax.jit(lambda k: decap_mod.init_decap(k, gpt2_cfg, prefix_size))(k_dec)
             else:
                 raise FileNotFoundError(
                     "no local DeCap weights ('decap_weights' missing); pass "
@@ -712,11 +714,16 @@ class Patchioner:
                 bank_texts = [t for t, k in zip(loaded.texts, keep) if k]
                 if (dino_model is not None) and ("dinov2" not in dino_model):
                     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
-                bank = memproj.prepare_bank(jnp.asarray(emb))
+                bank = memproj.prepare_bank(
+                    jnp.asarray(emb),
+                    dtype=None if dtype == jnp.float32 else dtype,
+                )
             elif allow_missing_weights:
                 size = random_bank_size or support_size
                 emb = jax.random.normal(k_bank, (size, prefix_size), jnp.float32)
-                bank = memproj.prepare_bank(emb)
+                bank = memproj.prepare_bank(
+                    emb, dtype=None if dtype == jnp.float32 else dtype
+                )
                 bank_texts = [f"synthetic caption {i}" for i in range(size)]
             else:
                 raise FileNotFoundError(f"memory bank not found at {bank_path}")

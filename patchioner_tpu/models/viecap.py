@@ -26,7 +26,7 @@ import functools
 import json
 import os
 import pickle
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ state accumulate in f32 regardless of input dtype.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ program.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
