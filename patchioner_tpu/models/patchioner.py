@@ -1011,21 +1011,27 @@ class Patchioner:
         self_attn = enc.get("self_attn")
         nh = self.extract_heads
 
+        need_avg_attn = get_avg_self_attn_capt or (
+            cleaning_type is not None and clean_from == "avg_self_attn"
+        )
+        avg_self_attn_token = None
+        disentangled = None
         if has_attention:
-            maps = enc["self_attn_maps"]
-            avg_self_attn_token = jnp.mean(
-                self_attn[..., None] * patch_tokens, axis=1
-            )  # (B, D) — reference :869
-            # Per-head disentangled tokens (reference :872-873).
-            disentangled = jnp.mean(
-                patch_tokens[:, None, :, :] * maps[..., None], axis=2
-            )  # (B, H, D)
-        else:
-            if get_avg_self_attn_capt or get_attn_heads_capt:
-                raise ValueError(
-                    f"backbone {self.backbone_type} exposes no self-attention"
-                )
-            avg_self_attn_token = None
+            # Computed lazily — the disentangled (B, H, N, D) product is 16x
+            # the patch tensor and only needed for attn-heads captions.
+            if need_avg_attn:
+                avg_self_attn_token = jnp.mean(
+                    self_attn[..., None] * patch_tokens, axis=1
+                )  # (B, D) — reference :869
+            if get_attn_heads_capt:
+                maps = enc["self_attn_maps"]
+                disentangled = jnp.mean(
+                    patch_tokens[:, None, :, :] * maps[..., None], axis=2
+                )  # (B, H, D) — reference :872-873
+        elif get_avg_self_attn_capt or get_attn_heads_capt:
+            raise ValueError(
+                f"backbone {self.backbone_type} exposes no self-attention"
+            )
 
         if cleaning_type is not None:
             # Cleaning path projects with normalize=True unconditionally
