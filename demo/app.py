@@ -7,11 +7,16 @@ same three capabilities; when gradio IS importable the same handlers power a
 gradio UI (`--ui`).
 
 Run:  python demo/app.py --config configs/mlp.k.yaml [--port 7860]
+      [--config-dir configs/]   # enables model hot-swap
 API:
-  POST /caption           {"image": <base64 jpg/png>}            -> cls caption
+  POST /caption           {"image": <base64 jpg/png>[, "model": name]} -> cls caption
   POST /caption_trace     {"image": ..., "trace": [{"x","y"},..]} -> trace caption
   POST /caption_bboxes    {"image": ..., "bboxes": [[x,y,w,h],..]} -> per-box
-  GET  /health
+  GET  /health | /models
+
+Model hot-swap (the reference demo's config dropdown, demo/app.py:108-145):
+pass --config-dir; requests with {"model": "<config-stem>"} lazily build and
+cache that model.
 """
 
 from __future__ import annotations
@@ -44,7 +49,23 @@ def _decode_image(b64: str, model):
     return transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)[None]
 
 
-def make_handler(model):
+def make_handler(model, config_dir=None, allow_missing_weights=False):
+    models = {"default": model}
+
+    def resolve(name):
+        if name is None or name == "default":
+            return models["default"]
+        if name not in models:
+            if config_dir is None:
+                raise KeyError(f"unknown model '{name}' (no --config-dir)")
+            import os as _os
+
+            path = _os.path.join(config_dir, f"{name}.yaml")
+            if not _os.path.exists(path):
+                raise KeyError(f"no config {path}")
+            models[name] = build_model(path, allow_missing_weights)
+        return models[name]
+
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -58,6 +79,16 @@ def make_handler(model):
             if self.path == "/health":
                 self._reply(200, {"status": "ok", "model": model.config.get(
                     "dino_model", "unknown")})
+            elif self.path == "/models":
+                import glob as _glob
+                import os as _os
+
+                available = sorted(
+                    _os.path.splitext(_os.path.basename(c))[0]
+                    for c in _glob.glob(_os.path.join(config_dir or "", "*.yaml"))
+                ) if config_dir else []
+                self._reply(200, {"loaded": sorted(models),
+                                  "available": available})
             else:
                 self._reply(404, {"error": "unknown endpoint"})
 
@@ -65,18 +96,19 @@ def make_handler(model):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                imgs = _decode_image(req["image"], model)
+                m = resolve(req.get("model"))
+                imgs = _decode_image(req["image"], m)
                 if self.path == "/caption":
-                    outs = model.forward(imgs, get_cls_capt=True)
+                    outs = m.forward(imgs, get_cls_capt=True)
                     self._reply(200, {"caption": outs["cls_capt"][0]})
                 elif self.path == "/caption_trace":
-                    outs = model.forward(
+                    outs = m.forward(
                         imgs, get_cls_capt=False, traces=[req["trace"]]
                     )
                     self._reply(200, {"caption": outs["trace_capts"][0]})
                 elif self.path == "/caption_bboxes":
                     boxes = np.asarray([req["bboxes"]], np.float32)
-                    outs = model.forward(imgs, get_cls_capt=False, bboxes=boxes)
+                    outs = m.forward(imgs, get_cls_capt=False, bboxes=boxes)
                     self._reply(200, {"captions": outs["bbox_capts"][0]})
                 else:
                     self._reply(404, {"error": "unknown endpoint"})
@@ -94,6 +126,8 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--allow-missing-weights", action="store_true")
+    p.add_argument("--config-dir", default=None,
+                   help="enable per-request model hot-swap from this dir")
     p.add_argument("--ui", action="store_true", help="gradio UI if available")
     args = p.parse_args(argv)
     model = build_model(args.config, args.allow_missing_weights)
@@ -117,7 +151,10 @@ def main(argv=None):
             )
             return
 
-    server = HTTPServer(("0.0.0.0", args.port), make_handler(model))
+    server = HTTPServer(
+        ("0.0.0.0", args.port),
+        make_handler(model, args.config_dir, args.allow_missing_weights),
+    )
     print(f"patchioner-tpu demo listening on :{args.port}")
     server.serve_forever()
 
