@@ -158,3 +158,23 @@ class ExperimentRunner:
                     results_log.append(row)
                     self.log.info("done: %s", row)
         return results_log
+
+
+def main(argv=None):
+    """Grid launcher: `python -m patchioner_tpu.eval.runner grid.json
+    [--dry-run]` (the reference's run_with_config.py surface)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("grid_config")
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    with open(args.grid_config) as f:
+        grid = json.load(f)
+    results = ExperimentRunner(grid).run(dry_run=args.dry_run)
+    print(json.dumps(results, default=str))
+
+
+if __name__ == "__main__":
+    main()
