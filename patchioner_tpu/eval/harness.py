@@ -145,3 +145,35 @@ def append_results_csv(
 def batched(items: Sequence, batch_size: int):
     for i in range(0, len(items), batch_size):
         yield i // batch_size, items[i : i + batch_size]
+
+
+class profile_trace:
+    """Context manager around `jax.profiler.trace` — the TPU-native
+    replacement for the reference's wall-clock-only instrumentation
+    (SURVEY §5: 'TPU equivalent: jax.profiler'). Produces a TensorBoard-
+    loadable trace directory; no-ops cleanly if profiling is unavailable.
+
+        with harness.profile_trace("/tmp/trace"):
+            model.forward(...)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:
+            self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
