@@ -104,7 +104,11 @@ def evaluate(
 def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
     cands = [r["pred"] for r in result["predictions"]]
     refs = [r["refs"] for r in result["predictions"]]
-    scores = {k: v[0] for k, v in metrics.compute_all_metrics(cands, refs).items()}
+    per = metrics.compute_all_metrics(cands, refs)
+    scores = {k: v[0] for k, v in per.items()}
+    import numpy as _np
+
+    scores.update({f"{k}_std": float(_np.std(v[1])) for k, v in per.items()})
     if csv_path is not None:
         row = dict(config_row or {})
         row.update({k: f"{v:.4f}" for k, v in scores.items()})

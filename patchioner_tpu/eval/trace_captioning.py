@@ -141,7 +141,12 @@ def compute_scores(
     image features are supplied); appends a config-keyed CSV row."""
     cands = [p["pred"] for p in result["predictions"]]
     refs = [[p["gt"]] for p in result["predictions"]]
-    scores = {k: v[0] for k, v in metrics.compute_all_metrics(cands, refs).items()}
+    per = metrics.compute_all_metrics(cands, refs)
+    scores = {k: v[0] for k, v in per.items()}
+    # per-metric std over instances (reference compute_scores.py:339-357)
+    import numpy as _np
+
+    scores.update({f"{k}_std": float(_np.std(v[1])) for k, v in per.items()})
     if pac_scorer is not None and image_features is not None:
         from patchioner_tpu.eval import pac_score as ps
 
