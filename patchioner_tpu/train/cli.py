@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="caption corpus (COCO json or json list of strings)")
     p.add_argument("--features", default=None,
                    help="pre-extracted text features .npy aligned with --data")
+    p.add_argument("--encode_on_the_fly", action="store_true",
+                   help="encode captions with the CLIP text tower instead of "
+                        "--features (reference decoderTraining.py:289-306)")
+    p.add_argument("--clip_text_weights", default=None)
+    p.add_argument("--talk2dino_weights", default=None)
     p.add_argument("--out_dir", default="./decap_ckpt")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--bs", type=int, default=64)
@@ -74,10 +79,48 @@ def main(argv=None):
     if args.features:
         features = np.load(args.features).astype(np.float32)
         assert len(features) == n, "features misaligned with captions"
+    elif args.encode_on_the_fly:
+        # Frozen CLIP text tower (+ optional Talk2DINO projection) — the
+        # reference's in-loop encode path, done once up front here since the
+        # encoder is frozen anyway (identical features, no repeated work).
+        from patchioner_tpu.models import clip as clip_mod
+
+        tcfg = clip_mod.ClipTextConfig()
+        if args.clip_text_weights and os.path.exists(args.clip_text_weights):
+            import torch
+
+            tp = clip_mod.port_hf_clip_text(
+                torch.load(args.clip_text_weights, map_location="cpu"),
+                tcfg.depth,
+            )
+        else:
+            print("[!] no CLIP text weights — random frozen encoder")
+            tp = jax.jit(lambda k: clip_mod.init_clip_text(k, tcfg))(
+                jax.random.PRNGKey(args.seed + 7)
+            )
+        project = None
+        if args.talk2dino_weights and os.path.exists(args.talk2dino_weights):
+            import torch
+
+            from patchioner_tpu.io import torch_port
+            from patchioner_tpu.models import talk2dino as t2d
+
+            t2dp = torch_port.port_talk2dino(
+                torch.load(args.talk2dino_weights, map_location="cpu")
+            )
+            project = lambda x: t2d.project_clip_txt(t2dp, x)
+        chunks = []
+        enc = jax.jit(lambda t: clip_mod.clip_text_forward(tp, t, tcfg))
+        for i in range(0, n, 256):
+            f = enc(jnp.asarray(ds.tokens[i : i + 256, :77]))
+            if project is not None:
+                f = project(f)
+            chunks.append(np.asarray(f))
+        features = np.concatenate(chunks).astype(np.float32)
     else:
         raise SystemExit(
-            "--features required in this build: encode the corpus once with "
-            "the CLIP text tower (see patchioner_tpu.io.memory_bank.build_bank)"
+            "--features or --encode_on_the_fly required (see also "
+            "patchioner_tpu.train.extract_features)"
         )
 
     gcfg = gpt2_mod.GPT2Config(
