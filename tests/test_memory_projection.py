@@ -119,3 +119,26 @@ def test_argmax_and_topk():
     want = sim.sort(dim=-1, descending=True).values[:, :5].numpy()
     got = mp.memory_topk_sims(jnp.asarray(f), jnp.asarray(bank), 5)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_quantized_bank_projection():
+    """int8 kernel == XLA projection over the dequantized bank (exact math),
+    and close to the f32-bank projection (quantization noise only)."""
+    f, bank = make_data(b=4, m=300, d=128)
+    q = mp.quantize_bank(jnp.asarray(bank), block_m=128)
+    assert q.rows.dtype == jnp.int8
+    assert q.rows.shape[0] == 384  # padded
+
+    dequant = np.asarray(q.rows[:300], np.float32) * np.asarray(q.scale[:300])
+    # inv_norm belongs to the ORIGINAL rows; sims use original norms
+    want_dq = oracle(f, dequant.astype(np.float32), normalize=True)
+    got = mp.memory_project_int8(
+        jnp.asarray(f), q, normalize=True, block_b=8, block_m=128,
+        interpret=True,
+    )
+    # same math up to the inv-norm source (original vs dequantized row norm):
+    # row norms differ by <1% -> compare loosely vs dequantized oracle...
+    np.testing.assert_allclose(np.asarray(got), want_dq, rtol=0.05, atol=0.02)
+    # and against the unquantized projection within quantization noise
+    want_f32 = oracle(f, bank, normalize=True)
+    np.testing.assert_allclose(np.asarray(got), want_f32, rtol=0.1, atol=0.05)
