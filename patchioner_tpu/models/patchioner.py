@@ -880,6 +880,130 @@ class Patchioner:
         outs["self_attn_maps"] = jax.nn.softmax(maps, axis=-1)
         return outs
 
+    def analyze_feature_compatibility(self, imgs, analyze_layers: bool = True):
+        """RegionCLIP layer3-vs-layer4 feature diagnostic (src/model.py:1438-1528).
+
+        Returns per-layer metrics: spatial resolution, bank-similarity stats
+        for the CLS token and the patch mean, norms, and projection
+        variability/efficiency. Reference quirk preserved: the reference
+        calls forward_return_spatial_feats with its default
+        use_attnpool_for_spatial_feats=True, so under the standard res5
+        config both the 'layer3' and 'layer4' rows analyze the SAME layer4
+        attnpool features — only the nominal patch size differs
+        (src/model.py:1477 + clip_backbone.py:271-283).
+        """
+        if self.backbone_type != "RegionCLIP":
+            print("Feature compatibility analysis only available for "
+                  "RegionCLIP ResNet models")
+            return {}
+        from patchioner_tpu.models import resnet_clip as rn_mod
+
+        pixels = _as_nhwc(imgs)
+        if analyze_layers:
+            layer_configs = [
+                {"patch_size": 16, "use_layer3": True, "name": "layer3"},
+                {"patch_size": 32, "use_layer3": False, "name": "layer4"},
+            ]
+        else:
+            use_l3 = self.patch_size == 16
+            layer_configs = [{
+                "patch_size": self.patch_size, "use_layer3": use_l3,
+                "name": "layer3" if use_l3 else "layer4",
+            }]
+        res5_out = self.config.get("regionclip_config", {}).get(
+            "res5_out", True)
+        results = {}
+        for lc in layer_configs:
+            outs = rn_mod.resnet_spatial_forward(
+                self.vit_params, pixels, self.vit_cfg,
+                use_layer3=lc["use_layer3"], res5_out=res5_out,
+            )
+            feats = outs["x_norm_patchtokens"]
+            cls_feats = outs["x_norm_clstoken"]
+            side = int(feats.shape[1] ** 0.5)
+            layer_results = {
+                "spatial_resolution": f"{side}x{side}",
+                "embed_dim": int(feats.shape[-1]),
+                "num_patches": int(feats.shape[1]),
+            }
+            if self.bank is not None and feats.shape[-1] == self.bank.rows.shape[-1]:
+                patch_mean = jnp.mean(feats, axis=1)
+                proj_patches = memproj.memory_project(
+                    patch_mean, self.bank, normalize=True,
+                    use_pallas=self._use_pallas)
+                proj_cls = memproj.memory_project(
+                    cls_feats, self.bank, normalize=True,
+                    use_pallas=self._use_pallas)
+                # sims vs the STORED (un-normalized) rows, as the reference
+                # does with im_proj.embs_dataset (src/model.py:1495-1496)
+                rows = self.bank.rows[: self.bank.num_real].astype(jnp.float32)
+                cls_sims = proj_cls.astype(jnp.float32) @ rows.T
+                patch_sims = proj_patches.astype(jnp.float32) @ rows.T
+                layer_results.update({
+                    "cls_max_similarity": float(jnp.mean(jnp.max(cls_sims, axis=1))),
+                    "cls_mean_similarity": float(jnp.mean(cls_sims)),
+                    "patch_max_similarity": float(jnp.mean(jnp.max(patch_sims, axis=1))),
+                    "patch_mean_similarity": float(jnp.mean(patch_sims)),
+                    "cls_feature_norm": float(jnp.mean(jnp.linalg.norm(cls_feats, axis=1))),
+                    "patch_feature_norm": float(jnp.mean(jnp.linalg.norm(patch_mean, axis=1))),
+                    "cls_projected_norm": float(jnp.mean(jnp.linalg.norm(proj_cls, axis=1))),
+                    "patch_projected_norm": float(jnp.mean(jnp.linalg.norm(proj_patches, axis=1))),
+                })
+                # torch.std is Bessel-corrected — match it (src/model.py:1512-1513)
+                feature_std = float(jnp.mean(jnp.std(
+                    feats.reshape(-1, feats.shape[-1]), axis=0, ddof=1)))
+                projection_std = float(jnp.mean(jnp.std(
+                    proj_patches, axis=0, ddof=1)))
+                layer_results.update({
+                    "feature_variability": feature_std,
+                    "projection_variability": projection_std,
+                    "projection_efficiency": projection_std / (feature_std + 1e-8),
+                })
+            results[lc["name"]] = layer_results
+        return results
+
+    @staticmethod
+    def print_compatibility_analysis(analysis_results) -> None:
+        """Formatted report for analyze_feature_compatibility
+        (src/model.py:1529-1576)."""
+        print("\n" + "=" * 60)
+        print("REGIONCLIP LAYER COMPATIBILITY ANALYSIS")
+        print("=" * 60)
+        for layer_name, m in analysis_results.items():
+            print(f"\n{layer_name.upper()} FEATURES:")
+            print("-" * 30)
+            print(f"Spatial Resolution: {m['spatial_resolution']}")
+            print(f"Embedding Dimension: {m['embed_dim']}")
+            print(f"Number of Patches: {m['num_patches']}")
+            if "cls_max_similarity" in m:
+                print("\nSimilarity to Text Memory Bank:")
+                print(f"  CLS Token - Max: {m['cls_max_similarity']:.4f}, "
+                      f"Mean: {m['cls_mean_similarity']:.4f}")
+                print(f"  Patch Avg - Max: {m['patch_max_similarity']:.4f}, "
+                      f"Mean: {m['patch_mean_similarity']:.4f}")
+                print("\nFeature Norms:")
+                print(f"  CLS Features: {m['cls_feature_norm']:.4f}")
+                print(f"  Patch Features: {m['patch_feature_norm']:.4f}")
+                print(f"  CLS Projected: {m['cls_projected_norm']:.4f}")
+                print(f"  Patch Projected: {m['patch_projected_norm']:.4f}")
+                print("\nProjection Quality:")
+                print(f"  Feature Variability: {m['feature_variability']:.4f}")
+                print(f"  Projection Variability: {m['projection_variability']:.4f}")
+                print(f"  Projection Efficiency: {m['projection_efficiency']:.4f}")
+        l3, l4 = analysis_results.get("layer3", {}), analysis_results.get("layer4", {})
+        if len(analysis_results) == 2 and "cls_max_similarity" in l3 \
+                and "cls_max_similarity" in l4:
+            print(f"\n{'COMPARISON (Layer3 vs Layer4)':^60}")
+            print("-" * 60)
+            s3, s4 = l3["patch_max_similarity"], l4["patch_max_similarity"]
+            print(f"Better Text Similarity: {'Layer3' if s3 > s4 else 'Layer4'} "
+                  f"({max(s3, s4):.4f} vs {min(s3, s4):.4f})")
+            e3, e4 = l3["projection_efficiency"], l4["projection_efficiency"]
+            print(f"Better Projection Efficiency: {'Layer3' if e3 > e4 else 'Layer4'} "
+                  f"({max(e3, e4):.4f} vs {min(e3, e4):.4f})")
+            print(f"Spatial Resolution: Layer3 ({l3['spatial_resolution']}) "
+                  f"vs Layer4 ({l4['spatial_resolution']})")
+
     def project_features(
         self, feats: jnp.ndarray, project: bool = True, normalize: Optional[bool] = None
     ) -> jnp.ndarray:

@@ -117,15 +117,26 @@ def _attnpool(x, p, heads):
     return out[:, 0], out[:, 1:]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_attnpool_for_spatial_feats"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "use_attnpool_for_spatial_feats", "use_layer3", "res5_out"))
 def resnet_spatial_forward(
     params: dict,
     pixels: jax.Array,
     cfg: ResNetClipConfig,
     use_attnpool_for_spatial_feats: bool = True,
+    use_layer3: bool = False,
+    res5_out: bool = True,
 ) -> dict:
     """(B, H, W, 3) -> {'x_norm_clstoken', 'x_norm_patchtokens'} (normalized),
-    matching forward_return_spatial_feats (clip_backbone.py:243-300)."""
+    matching forward_return_spatial_feats (clip_backbone.py:243-300).
+
+    Precedence mirrors the reference exactly: when `res5_out` (res5 in
+    `_out_features`, the standard RegionCLIP config) the spatial features
+    come from the layer4 attnpool (or its c_proj) and `use_layer3` has NO
+    effect — raw layer3 features (stride 16, width*16 channels, no
+    projection to output_dim) surface only when `res5_out=False`
+    (clip_backbone.py:265-293). The CLS token is always the layer4
+    attnpool output."""
     eps = cfg.bn_eps
     x = pixels.astype(cfg.dtype)
     # 3-conv stem (conv1 stride 2) + avgpool 2
@@ -136,16 +147,27 @@ def resnet_spatial_forward(
     x = jax.nn.relu(_frozen_bn(_conv(x, params["stem"]["conv3"]),
                                params["stem"]["bn3"], eps))
     x = _avgpool(x, 2)
+    x3 = None
     for li, blocks in enumerate(params["layers"]):
         stride = 1 if li == 0 else 2
         for bi, blk in enumerate(blocks):
             x = _bottleneck(x, blk, stride if bi == 0 else 1, eps)
+        if li == 2:
+            x3 = x  # layer3 output, stride 16
 
     cls_tok, locals_ = _attnpool(x, params["attnpool"], cfg.heads)
-    if not use_attnpool_for_spatial_feats:
-        b, h, w, c = x.shape
-        flat = x.reshape(b, h * w, c)
-        locals_ = flat @ params["attnpool"]["c"]["w"] + params["attnpool"]["c"]["b"]
+    if res5_out:
+        if not use_attnpool_for_spatial_feats:
+            b, h, w, c = x.shape
+            flat = x.reshape(b, h * w, c)
+            locals_ = (flat @ params["attnpool"]["c"]["w"]
+                       + params["attnpool"]["c"]["b"])
+    else:
+        # with res5 absent both use_layer3 branches resolve to layer3
+        # (clip_backbone.py:265-268: x_3 if use_layer3 else x_3)
+        sp = x3
+        b, h, w, c = sp.shape
+        locals_ = sp.reshape(b, h * w, c)
     locals_ = locals_ / jnp.linalg.norm(locals_, axis=-1, keepdims=True)
     cls_tok = cls_tok / jnp.linalg.norm(cls_tok, axis=-1, keepdims=True)
     return {"x_norm_clstoken": cls_tok, "x_norm_patchtokens": locals_}

@@ -132,3 +132,32 @@ def test_regionclip_from_config():
     m = Patchioner.from_config(cfg, allow_missing_weights=True)
     assert m.backbone_type == "RegionCLIP"
     assert m.patch_size == 32
+
+
+def test_analyze_feature_compatibility():
+    """RegionCLIP layer diagnostic (src/model.py:1438-1576): with the
+    standard res5 config both rows analyze the same layer4 attnpool
+    features (reference quirk), and all metric keys are emitted."""
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    cfg = dict(prefix_size=24, support_memory_size=16,
+               regionclip_config={"embed_dim": 24, "patch_size": 32},
+               dino_model="RN50_regionclip", crop_dim=64,
+               projection_type="coco")
+    m = Patchioner.from_config(cfg, allow_missing_weights=True)
+    # batch of 2: torch.std is Bessel-corrected, so a single projected row
+    # would be NaN (as in the reference)
+    imgs = np.random.default_rng(0).standard_normal((2, 3, 64, 64)).astype("float32")
+    res = m.analyze_feature_compatibility(imgs)
+    assert set(res) == {"layer3", "layer4"}
+    for want in ("spatial_resolution", "embed_dim", "num_patches",
+                 "cls_max_similarity", "patch_max_similarity",
+                 "projection_efficiency"):
+        assert want in res["layer3"], want
+    # quirk: res5 present -> use_layer3 is a no-op, rows identical
+    assert res["layer3"] == res["layer4"]
+    m.print_compatibility_analysis(res)  # formatted report must not raise
+    # non-RegionCLIP models decline gracefully
+    assert Patchioner.analyze_feature_compatibility.__get__(
+        type("X", (), {"backbone_type": "DINO"})()
+    )(imgs) == {}

@@ -82,3 +82,32 @@ def test_raw_cproj_spatial_path(tiny):
     assert not np.allclose(
         np.asarray(a["x_norm_patchtokens"]), np.asarray(b["x_norm_patchtokens"])
     )
+
+def test_layer3_spatial_path(tiny):
+    """res5_out=False surfaces raw layer3 features (stride 16, width*16 ch);
+    with res5_out=True use_layer3 has no effect (clip_backbone.py:265-283)."""
+    params = resnet_clip.init_resnet_clip(jax.random.PRNGKey(0), tiny)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    l3 = resnet_clip.resnet_spatial_forward(
+        params, x, tiny, use_layer3=True, res5_out=False
+    )
+    # 64/16=4 -> 16 tokens, width*16=256 channels, unit-norm, no projection
+    assert l3["x_norm_patchtokens"].shape == (1, 16, 16 * 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(l3["x_norm_patchtokens"]), axis=-1), 1.0,
+        rtol=1e-4,
+    )
+    # CLS is still the layer4 attnpool output
+    base = resnet_clip.resnet_spatial_forward(params, x, tiny)
+    np.testing.assert_allclose(
+        np.asarray(l3["x_norm_clstoken"]), np.asarray(base["x_norm_clstoken"]),
+        rtol=1e-5,
+    )
+    # reference quirk: with res5 present, use_layer3 is a no-op
+    quirk = resnet_clip.resnet_spatial_forward(
+        params, x, tiny, use_layer3=True, res5_out=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(quirk["x_norm_patchtokens"]),
+        np.asarray(base["x_norm_patchtokens"]), rtol=1e-6,
+    )
