@@ -704,6 +704,18 @@ class Patchioner:
                     dataset or mb.PROJECTION_DATASETS.get(projection_type, projection_type),
                     dinotxt_slice="dinotxt" in (dino_model or ""),
                 )
+            # extension over the reference schema: memory_bank_int8 stores
+            # the bank per-row int8-quantized (4x smaller resident in HBM,
+            # dequantized inside the projection kernel; see PERF.md)
+            bank_int8 = bool(config.get("memory_bank_int8", False))
+
+            def _make_bank(emb):
+                if bank_int8:
+                    return memproj.quantize_bank(jnp.asarray(emb))
+                return memproj.prepare_bank(
+                    jnp.asarray(emb), dtype=None if dtype == jnp.float32 else dtype
+                )
+
             if loaded is not None:
                 emb = loaded.embeddings
                 # Reference filters zero-norm rows at load (:346); we filter
@@ -714,16 +726,11 @@ class Patchioner:
                 bank_texts = [t for t, k in zip(loaded.texts, keep) if k]
                 if (dino_model is not None) and ("dinov2" not in dino_model):
                     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
-                bank = memproj.prepare_bank(
-                    jnp.asarray(emb),
-                    dtype=None if dtype == jnp.float32 else dtype,
-                )
+                bank = _make_bank(emb)
             elif allow_missing_weights:
                 size = random_bank_size or support_size
                 emb = jax.random.normal(k_bank, (size, prefix_size), jnp.float32)
-                bank = memproj.prepare_bank(
-                    emb, dtype=None if dtype == jnp.float32 else dtype
-                )
+                bank = _make_bank(emb)
                 bank_texts = [f"synthetic caption {i}" for i in range(size)]
             else:
                 raise FileNotFoundError(f"memory bank not found at {bank_path}")
@@ -936,7 +943,7 @@ class Patchioner:
                     use_pallas=self._use_pallas)
                 # sims vs the STORED (un-normalized) rows, as the reference
                 # does with im_proj.embs_dataset (src/model.py:1495-1496)
-                rows = self.bank.rows[: self.bank.num_real].astype(jnp.float32)
+                rows = self._bank_real_rows().astype(jnp.float32)
                 cls_sims = proj_cls.astype(jnp.float32) @ rows.T
                 patch_sims = proj_patches.astype(jnp.float32) @ rows.T
                 layer_results.update({
@@ -1004,6 +1011,15 @@ class Patchioner:
             print(f"Spatial Resolution: Layer3 ({l3['spatial_resolution']}) "
                   f"vs Layer4 ({l4['spatial_resolution']})")
 
+    def _bank_real_rows(self) -> jnp.ndarray:
+        """Un-padded f32 bank rows (dequantized when the bank is int8) —
+        the reference's im_proj.embs_dataset as stored."""
+        b = self.bank
+        rows = b.rows[: b.num_real]
+        if rows.dtype == jnp.int8:
+            rows = rows.astype(jnp.float32) * b.scale[: b.num_real]
+        return rows.astype(jnp.float32)
+
     def project_features(
         self, feats: jnp.ndarray, project: bool = True, normalize: Optional[bool] = None
     ) -> jnp.ndarray:
@@ -1045,12 +1061,12 @@ class Patchioner:
         if self.bank is None:
             project = False
         if self.calculate_argmax_text:
-            idx = np.asarray(memproj.memory_argmax(feats, self.bank.rows[: self.bank.num_real]))
+            idx = np.asarray(memproj.memory_argmax(feats, self._bank_real_rows()))
             captions = [self.bank_texts[i] for i in idx]
             if return_n_best_sims:
                 sims = np.asarray(
                     memproj.memory_topk_sims(
-                        feats, self.bank.rows[: self.bank.num_real], return_n_best_sims
+                        feats, self._bank_real_rows(), return_n_best_sims
                     )
                 ).tolist()
                 captions = (captions, sims)
@@ -1065,7 +1081,7 @@ class Patchioner:
         if return_n_best_sims is not None:
             sims = np.asarray(
                 memproj.memory_topk_sims(
-                    feats, self.bank.rows[: self.bank.num_real], return_n_best_sims
+                    feats, self._bank_real_rows(), return_n_best_sims
                 )
             ).tolist()
             out = (capts, sims)

@@ -519,11 +519,24 @@ def memory_project(
     normalize: bool = False,
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatcher: Pallas on TPU, XLA elsewhere."""
-    d = bank.rows.shape[-1] if isinstance(bank, PreparedBank) else bank.shape[-1]
+    """Dispatcher: Pallas on TPU, XLA elsewhere. Accepts a raw (M, D)
+    array, a PreparedBank, or a QuantizedBank (int8 kernel on TPU,
+    dequantized XLA path elsewhere)."""
+    d = bank.rows.shape[-1] if isinstance(bank, (PreparedBank, QuantizedBank)) \
+        else bank.shape[-1]
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     use_pallas = use_pallas and d % 128 == 0
+    if isinstance(bank, QuantizedBank):
+        if use_pallas:
+            return memory_project_int8(
+                features, bank, temperature=temperature, normalize=normalize
+            )
+        rows = (bank.rows[: bank.num_real].astype(jnp.float32)
+                * bank.scale[: bank.num_real])
+        return memory_project_xla(
+            features, rows, temperature=temperature, normalize=normalize
+        )
     if use_pallas:
         return memory_project_pallas(
             features, bank, temperature=temperature, normalize=normalize

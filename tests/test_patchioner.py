@@ -170,3 +170,53 @@ def test_from_config_full_size(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     with pytest.raises(NotImplementedError, match="not wired"):
         Patchioner.from_config(str(p), allow_missing_weights=True)
+
+
+def test_int8_bank_orchestrator(tiny_model, imgs):
+    """memory_bank_int8 extension: a QuantizedBank behind the same
+    orchestrator surface — projection, argmax-text, and captions all work,
+    and the projection tracks the f32 bank closely."""
+    key = jax.random.PRNGKey(0)
+    vit_cfg = tiny_model.vit_cfg
+    k1, k2, k3 = jax.random.split(key, 3)
+    bank_emb = jax.random.normal(k3, (200, 128))
+    m8 = Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=tiny_model.vit_params,
+        gpt2_cfg=tiny_model.gpt2_cfg,
+        decoder=tiny_model.decoder,
+        bank=memproj.quantize_bank(bank_emb),
+        bank_texts=tiny_model.bank_texts,
+        normalize=True,
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(5), (3, 128))
+    a = tiny_model.project_features(feats)
+    b = m8.project_features(feats)
+    cos = jnp.sum(a * b, -1) / (
+        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1))
+    assert float(jnp.min(cos)) > 0.995
+    # argmax-text over dequantized rows picks the same nearest captions
+    m8.calculate_argmax_text = True
+    tiny_model.calculate_argmax_text = True
+    try:
+        assert m8.caption_tokens(feats) == tiny_model.caption_tokens(feats)
+    finally:
+        m8.calculate_argmax_text = False
+        tiny_model.calculate_argmax_text = False
+    capts = m8.forward(imgs, get_cls_capt=True)["cls_capt"]
+    assert len(capts) == 2 and all(isinstance(c, str) for c in capts)
+
+
+def test_int8_bank_from_config_flag():
+    cfg = {
+        "prefix_size": 64,
+        "support_memory_size": 64,
+        "projection_type": "coco",
+        "memory_bank_int8": True,
+        "dino_model": "dinov2_vits14",
+        "decoding_method": "decap",
+    }
+    m = Patchioner.from_config(
+        cfg, allow_missing_weights=True, random_bank_size=64
+    )
+    assert m.bank.rows.dtype == jnp.int8
