@@ -41,6 +41,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
     attn_impl: str = "xla"  # 'xla' | 'flash' (Pallas, TPU)
+    softmax_f32: bool = True  # f32 attention softmax (parity default)
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -155,7 +156,52 @@ def _ln(x, p, eps):
 
 
 def _dense(x, p):
+    if "w_q" in p:
+        return _dense_w8a8(x, p)
     return x @ p["w"] + p["b"]
+
+
+def _dense_w8a8(x, p):
+    """int8 x int8 -> int32 matmul with dynamic per-token activation
+    quantization and per-output-channel weight scales. v5e's MXU runs
+    int8 at 394 TOPS — 2x the bf16 rate — so this is the remaining
+    on-chip speed lever for the roofline-bound encoder (PERF.md).
+
+    x: (..., Ci) bf16/f32; p: {'w_q': (Ci, Co) int8,
+    'w_scale': (1, Co), 'b': (Co,)}.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, p["w_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * p["w_scale"].astype(jnp.float32)
+    return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_vit_weights(params: dict, targets=("qkv", "proj", "fc1", "fc2")) -> dict:
+    """Per-output-channel symmetric int8 quantization of the transformer
+    matmul weights (the 4 big dots: ~97% of encoder FLOPs). Everything
+    else — patch embed, LN, layerscale, cls/pos/reg tokens — stays
+    full precision. Returns a new param tree; forwards route through
+    the W8A8 path automatically when 'w_q' is present."""
+
+    def quant(p):
+        w = jnp.asarray(p["w"], jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"w_q": w_q, "w_scale": scale, "b": p["b"]}
+
+    out = dict(params)
+    out["blocks"] = [
+        {k: (quant(v) if k in targets else v) for k, v in blk.items()}
+        for blk in params["blocks"]
+    ]
+    return out
 
 
 def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) -> jax.Array:
@@ -218,9 +264,15 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
             out = builtin_flash(q, k, v, sm_scale=hd**-0.5)
     else:
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-            x_norm.dtype
-        )
+        if cfg.softmax_f32:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                x_norm.dtype
+            )
+        else:
+            # keep the (B, H, N, N) intermediate in the compute dtype —
+            # halves the dominant HBM traffic of the encoder at large
+            # batch (the attention matrix dwarfs every other tensor)
+            attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = _dense(out, blk["proj"])
@@ -264,9 +316,11 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
     g = hh // cfg.patch_size
     if cfg.dtype != jnp.float32:
         # Cast weights once so the matmuls actually run at cfg.dtype on the
-        # MXU (f32 params would promote every dot back to f32).
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+        # MXU (f32 params would promote every dot back to f32). int8
+        # weights and their dequant scales (W8A8 path) stay as-is.
+        params = jax.tree_util.tree_map_with_path(
+            lambda kp, p: p.astype(cfg.dtype)
+            if p.dtype == jnp.float32 and "w_scale" not in str(kp) else p,
             params,
         )
     x = pixels.astype(cfg.dtype)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from patchioner_tpu.io import torch_port
@@ -169,3 +170,45 @@ def test_hub_layout_port_equals_hf_layout(ported):
         [x.reshape(-1) for x in __import__("jax").tree_util.tree_leaves(params_hub)]
     )
     np.testing.assert_allclose(np.asarray(flat_hf), np.asarray(flat_hub))
+
+
+def test_w8a8_quantized_forward():
+    """W8A8 encoder path: per-channel int8 weights + dynamic per-token
+    activation quantization tracks the f32 forward closely (with O(1)
+    layerscale so residual contributions are visible — DINOv2 random init
+    puts layerscale at 1e-5, which would hide any error)."""
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=4,
+                        num_heads=4, num_registers=4, extract_heads=4,
+                        pos_grid=4)
+    p = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    for blk in p["blocks"]:
+        blk["ls1"] = jnp.ones_like(blk["ls1"])
+        blk["ls2"] = jnp.ones_like(blk["ls2"])
+    pq = vit.quantize_vit_weights(p)
+    assert pq["blocks"][0]["qkv"]["w_q"].dtype == jnp.int8
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(p, x, cfg)
+    b = vit.vit_forward(pq, x, cfg)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken"):
+        va, vb = a[key], b[key]
+        cos = jnp.sum(va * vb, -1) / (
+            jnp.linalg.norm(va, axis=-1) * jnp.linalg.norm(vb, axis=-1))
+        assert float(jnp.min(cos)) > 0.995, key
+    # a single quantized dense carries the expected ~1% error (i.e. the
+    # quantized path is actually exercised, not silently bypassed)
+    blk, blkq = p["blocks"][0]["fc1"], pq["blocks"][0]["fc1"]
+    xx = jax.random.normal(jax.random.PRNGKey(2), (8, 128))
+    da = xx @ blk["w"] + blk["b"]
+    db = vit._dense(xx, blkq)
+    rel = float(jnp.linalg.norm(da - db) / jnp.linalg.norm(da))
+    assert 1e-4 < rel < 0.05
+    # bf16 config: w_scale must survive the in-jit cast as f32
+    cfgb = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=4,
+                         num_heads=4, num_registers=4, extract_heads=4,
+                         pos_grid=4, dtype=jnp.bfloat16)
+    c = vit.vit_forward(pq, x, cfgb)["x_norm_patchtokens"]
+    cc = c.astype(jnp.float32)
+    cos = jnp.sum(a["x_norm_patchtokens"] * cc, -1) / (
+        jnp.linalg.norm(a["x_norm_patchtokens"], axis=-1)
+        * jnp.linalg.norm(cc, axis=-1))
+    assert float(jnp.min(cos)) > 0.99
