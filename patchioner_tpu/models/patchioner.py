@@ -229,10 +229,15 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
 def _traces_to_arrays(traces, max_points: Optional[int] = None):
     """Reference trace format (list per image of point dicts {'x','y'} — the
     flattened Localized-Narratives traces, src/bbox_utils.py:158) -> padded
-    (B, P, 2) array + (B, P) validity mask."""
+    (B, P, 2) array + (B, P) validity mask. Plain (x, y) pairs are accepted
+    too (convenience for the JSON demo API)."""
     seqs = []
     for tr in traces:
-        pts = [(float(p["x"]), float(p["y"])) for p in tr]
+        pts = [
+            (float(p["x"]), float(p["y"])) if isinstance(p, dict)
+            else (float(p[0]), float(p[1]))
+            for p in tr
+        ]
         seqs.append(pts)
     p = max_points or max((len(s) for s in seqs), default=1) or 1
     out = np.zeros((len(seqs), p, 2), np.float32)

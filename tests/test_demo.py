@@ -1,0 +1,130 @@
+"""Demo HTTP API smoke tests (stdlib server, tiny random model).
+
+Covers the reference's gradio demo surface (demo at repo root of the
+reference) as a JSON API: /health, /models, /caption, /caption_trace,
+/caption_bboxes, plus error paths.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from patchioner_tpu.models import decap, gpt2, vit
+from patchioner_tpu.models.patchioner import Patchioner
+from patchioner_tpu.ops import memory_projection as memproj
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def server():
+    key = jax.random.PRNGKey(0)
+    vit_cfg = vit.ViTConfig(
+        img_size=56, patch_size=14, embed_dim=128, depth=2, num_heads=4,
+        num_registers=4, extract_heads=4, pos_grid=4,
+    )
+    gcfg = gpt2.GPT2Config(vocab_size=49408, n_layer=2, n_head=4, n_embd=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    model = Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=vit.init_vit(k1, vit_cfg),
+        gpt2_cfg=gcfg,
+        decoder=decap.init_decap(k2, gcfg, prefix_size=128),
+        bank=memproj.prepare_bank(jax.random.normal(k3, (64, 128))),
+        bank_texts=[f"caption {i}" for i in range(64)],
+        normalize=True,
+        config={"dino_model": "tiny-test"},
+    )
+    from demo.app import make_handler
+
+    httpd = HTTPServer(("127.0.0.1", 0), make_handler(model))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _img_b64():
+    rgb = (np.random.default_rng(0).random((60, 70, 3)) * 255).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_models(server):
+    code, body = _get(server + "/health")
+    assert code == 200 and body["status"] == "ok"
+    assert body["model"] == "tiny-test"
+    code, body = _get(server + "/models")
+    assert code == 200 and body["loaded"] == ["default"]
+    code, body = _get(server + "/nope")
+    assert code == 404
+
+
+def test_caption_endpoints(server):
+    img = _img_b64()
+    code, body = _post(server + "/caption", {"image": img})
+    assert code == 200 and isinstance(body["caption"], str)
+    # reference Localized-Narratives dict points
+    code, body = _post(
+        server + "/caption_trace",
+        {"image": img,
+         "trace": [{"x": 0.1, "y": 0.1}, {"x": 0.5, "y": 0.5}]},
+    )
+    assert code == 200 and isinstance(body["caption"], str)
+    # plain pairs accepted too
+    code, body = _post(
+        server + "/caption_trace",
+        {"image": img, "trace": [[0.1, 0.1], [0.5, 0.5], [0.9, 0.9]]},
+    )
+    assert code == 200 and isinstance(body["caption"], str)
+    code, body = _post(
+        server + "/caption_bboxes",
+        {"image": img, "bboxes": [[0.0, 0.0, 0.5, 0.5], [0.2, 0.2, 0.9, 0.9]]},
+    )
+    assert code == 200
+    assert len(body["captions"]) == 2
+
+
+def test_error_paths(server):
+    # missing image field -> clean 500 JSON, server stays alive
+    code, body = _post(server + "/caption", {})
+    assert code == 500 and "error" in body
+    # unknown model without --config-dir
+    code, body = _post(server + "/caption", {"image": _img_b64(), "model": "x"})
+    assert code == 500 and "unknown model" in body["error"]
+    # unknown POST endpoint
+    code, body = _post(server + "/definitely_not", {"image": _img_b64()})
+    assert code == 404
+    # server still healthy after the errors
+    code, body = _get(server + "/health")
+    assert code == 200
