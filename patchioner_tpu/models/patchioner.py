@@ -23,6 +23,7 @@ reference (src/model.py:718-1058) so eval harnesses port unchanged.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import warnings
 from typing import Any, Optional, Sequence
@@ -382,6 +383,14 @@ class Patchioner:
                 backbone_type = "DINO"
                 variant = "dinov2_vitl14_reg"
             vit_cfg = vit_mod.config_for(variant, img_size=crop_dim, dtype=dtype)
+            # extensions over the reference schema — measured encoder
+            # variants (PERF.md): opt-in, defaults match the reference
+            if config.get("attn_impl") or config.get("softmax_f32") is not None:
+                vit_cfg = dataclasses.replace(
+                    vit_cfg,
+                    attn_impl=config.get("attn_impl", vit_cfg.attn_impl),
+                    softmax_f32=bool(config.get("softmax_f32", vit_cfg.softmax_f32)),
+                )
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):
                 import torch
@@ -399,6 +408,8 @@ class Patchioner:
                     "no local DINOv2 weights (set 'dino_weights' or pass "
                     "allow_missing_weights=True)"
                 )
+            if config.get("encoder_w8a8"):
+                vit_params = vit_mod.quantize_vit_weights(vit_params)
         elif config.get("regionclip_config") is not None:
             # RegionCLIP: CLIP ModifiedResNet, attnpool spatial features
             # (src/regionclip/clip_backbone.py:243-300), effective patch 32.
