@@ -220,28 +220,56 @@ def meteor(
     alpha: float = 0.9,
     beta: float = 3.0,
     gamma: float = 0.5,
+    stem_weight: float = 0.6,
 ) -> Tuple[float, List[float]]:
-    """Exact-match METEOR (no stem/synonym stages — approximation)."""
+    """METEOR with exact + Porter-stem match stages.
+
+    The reference scores METEOR with the Java METEOR-1.5 jar (speaksee,
+    used by its eval-*-captioning pipelines), whose English config runs
+    exact, stem, synonym and paraphrase modules with weights
+    (1.0, 0.6, 0.8, 0.6). We implement the first two (the synonym and
+    paraphrase tables are external resources); exact matches are tried
+    first, then Porter-stem matches over the leftovers at `stem_weight`.
+    Precision/recall use the weighted match mass; the fragmentation
+    penalty uses the unweighted match count, as in METEOR-1.5.
+    Set `stem_weight=0` for pure exact-match scoring.
+    """
+    from patchioner_tpu.text.porter import stem as _stem
 
     def align(cand, ref):
-        # Greedy in-order exact alignment; count matches and chunks.
         ref_used = [False] * len(ref)
-        matches = []
+        cand_used = [False] * len(cand)
+        matches = []  # (i, j, weight)
         for i, w in enumerate(cand):
             for j, r in enumerate(ref):
                 if not ref_used[j] and r == w:
                     ref_used[j] = True
-                    matches.append((i, j))
+                    cand_used[i] = True
+                    matches.append((i, j, 1.0))
                     break
+        if stem_weight > 0.0:
+            cand_stems = [_stem(w) for w in cand]
+            ref_stems = [_stem(r) for r in ref]
+            for i, ws in enumerate(cand_stems):
+                if cand_used[i]:
+                    continue
+                for j, rs in enumerate(ref_stems):
+                    if not ref_used[j] and rs == ws:
+                        ref_used[j] = True
+                        cand_used[i] = True
+                        matches.append((i, j, stem_weight))
+                        break
         m = len(matches)
         if m == 0:
             return 0.0
+        matches.sort()
         chunks = 1
-        for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
+        for (i1, j1, _), (i2, j2, _) in zip(matches, matches[1:]):
             if i2 != i1 + 1 or j2 != j1 + 1:
                 chunks += 1
-        p = m / len(cand)
-        r = m / len(ref)
+        wsum = sum(w for _, _, w in matches)
+        p = wsum / len(cand)
+        r = wsum / len(ref)
         fmean = p * r / (alpha * p + (1 - alpha) * r)
         penalty = gamma * (chunks / m) ** beta
         return fmean * (1 - penalty)

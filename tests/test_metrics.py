@@ -123,3 +123,50 @@ def test_ref_pac_score_max_over_refs():
     cand_feats = np.asarray([[1.0, 0.0]], np.float32)
     mean, per = ref_pac_score(_FakeScorer(mapping), [["r1", "r2", "r3"]], cand_feats)
     np.testing.assert_allclose(per, [1.0], rtol=1e-6)
+
+
+def test_porter_stemmer_canonical_pairs():
+    """Canonical Porter (1980) vocabulary outputs — full-pipeline stems."""
+    from patchioner_tpu.text.porter import stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "conflated": "conflat", "sized": "size",
+        "hopping": "hop", "falling": "fall", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "formative": "form", "formalize": "formal",
+        "electrical": "electr", "electriciti": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "adjustable": "adjust",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "activate": "activ",
+        "effective": "effect", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll", "running": "run",
+        "dogs": "dog", "cried": "cri",
+    }
+    for word, want in pairs.items():
+        assert stem(word) == want, (word, stem(word), want)
+
+
+def test_meteor_stem_stage():
+    # exact scoring unchanged when everything matches exactly
+    s, per = metrics.meteor([tok("the cat sat")], [[tok("the cat sat")]])
+    want = 1 * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(per[0] - want) < 1e-9
+    # morphological variant: zero under exact-only, credited via stems
+    _, exact = metrics.meteor(
+        [tok("dog running fast")], [[tok("dogs run fast")]], stem_weight=0.0
+    )
+    _, stemmed = metrics.meteor(
+        [tok("dog running fast")], [[tok("dogs run fast")]]
+    )
+    assert stemmed[0] > exact[0] > 0.0
+    # weighted mass: 1 exact + 2 stem matches -> P = (1 + 2*0.6)/3
+    # (penalty uses the unweighted count of 3 contiguous matches)
+    p = r = (1 + 2 * 0.6) / 3
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    want = fmean * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(stemmed[0] - want) < 1e-9
