@@ -138,7 +138,12 @@ def compute_scores(
     image_features=None,
 ) -> dict:
     """Caption metrics (+ optional CLIP-S/PAC-S/RefPAC-S when a scorer and
-    image features are supplied); appends a config-keyed CSV row."""
+    image features are supplied); appends a config-keyed CSV row.
+
+    For reference parity, `image_features` should come from images with
+    the trace points drawn on them (`utils.drawing.draw_trace_points`;
+    reference compute_scores.py:24-49 renders before feature extraction).
+    """
     cands = [p["pred"] for p in result["predictions"]]
     refs = [[p["gt"]] for p in result["predictions"]]
     per = metrics.compute_all_metrics(cands, refs)

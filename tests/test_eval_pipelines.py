@@ -202,3 +202,32 @@ def test_xla_flops(tiny_model):
 
     f = harness.xla_flops(lambda x: x @ x, jnp.ones((64, 64)))
     assert f is None or f >= 2 * 64 * 64 * 64 * 0.5
+
+
+def test_drawing_annotations():
+    """Reference-image rendering for CLIP-S/PAC-S (compute_scores.py:24-49,
+    bbox_utils.py:253-298): trace dots alpha-composited, boxes outlined."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from patchioner_tpu.utils import drawing
+
+    img = Image.new("RGB", (100, 80), (0, 255, 0))
+    out = drawing.draw_trace_points(
+        img, [{"x": 0.5, "y": 0.5}, (0.1, 0.1), (2.0, 0.5)]  # last skipped
+    )
+    assert out.size == img.size and out.mode == "RGB"
+    # dot center at (50, 40): alpha-blended red over green
+    r, g, b = out.getpixel((50, 40))
+    assert r > 100 and g < 255
+    # untouched corner stays green
+    assert out.getpixel((99, 79)) == (0, 255, 0)
+    # original unmodified
+    assert img.getpixel((50, 40)) == (0, 255, 0)
+
+    out2 = drawing.draw_bounding_boxes(
+        img, [[10, 10, 60, 50]], captions=["label"]
+    )
+    assert out2.getpixel((10, 30)) != (0, 255, 0)  # box edge drawn
+    assert out2.getpixel((35, 30)) == (0, 255, 0)  # interior untouched
+    assert img.getpixel((10, 30)) == (0, 255, 0)
