@@ -1,4 +1,4 @@
-"""Caption metrics: BLEU-1..4, METEOR (exact-match variant), ROUGE-L, CIDEr-D.
+"""Caption metrics: BLEU-1..4, METEOR (exact+stem), ROUGE-L, CIDEr-D.
 
 The reference scores through `speaksee` (Java PTBTokenizer + the
 pycocoevalcap scorer family, eval-trace-captioning/compute_scores.py:287-332).
@@ -12,10 +12,10 @@ algorithms:
   * ROUGE-L: F_beta (beta=1.2) of the LCS, max over references, averaged.
   * CIDEr-D: tf-idf n-gram cosine (n=1..4) with length-gaussian damping
     (sigma=6) and the min-count clipping, x10 — the pycocoevalcap formulation.
-  * METEOR here is the exact-match harmonic-mean variant (alpha=0.9,
-    gamma=0.5, beta=3 fragmentation penalty) WITHOUT the Java aligner's
-    stem/synonym stages — within ~1pt of Java METEOR on COCO-style data;
-    documented as approximate.
+  * METEOR implements the exact and Porter-stem stages of METEOR-1.5
+    with its English module weights (1.0/0.6; alpha=0.9, gamma=0.5,
+    beta=3 fragmentation penalty). The Java aligner's synonym/paraphrase
+    stages need its external resource tables — documented approximation.
 
 All scorers return (corpus_score, per_instance_scores).
 """

@@ -101,3 +101,44 @@ def ref_pac_score(
         mask = np.asarray(idxs) == i
         per[i] = np.max(sims[mask]) if mask.any() else 0.0
     return float(np.mean(per)), per
+
+
+def cached_image_features(
+    scorer: ClipScorer,
+    image_ids: Sequence[str],
+    load_pixels,
+    cache_path: Optional[str] = None,
+    batch_size: int = 64,
+) -> np.ndarray:
+    """Image features with an HDF5 cache keyed by image id — the
+    reference extracts CLIP-S image features once and reuses them across
+    scoring runs (eval-trace-captioning/compute_scores.py:166-256).
+
+    `load_pixels(ids) -> (B, H, W, 3)` is called only for cache misses
+    (pass the annotated renders from `utils.drawing` for parity). Without
+    `cache_path` (or without h5py) everything is computed in memory.
+    """
+    ids = [str(i) for i in image_ids]
+    feats: dict = {}
+    h5 = None
+    if cache_path is not None:
+        try:
+            import h5py
+
+            h5 = h5py.File(cache_path, "a")
+            for k in ids:
+                if k in h5:
+                    feats[k] = np.asarray(h5[k])
+        except ImportError:
+            h5 = None
+    missing = [k for k in ids if k not in feats]
+    for i in range(0, len(missing), batch_size):
+        chunk = missing[i : i + batch_size]
+        out = scorer.encode_images(load_pixels(chunk), batch_size=batch_size)
+        for k, f in zip(chunk, out):
+            feats[k] = f
+            if h5 is not None and k not in h5:
+                h5.create_dataset(k, data=f)
+    if h5 is not None:
+        h5.close()
+    return np.stack([feats[k] for k in ids])

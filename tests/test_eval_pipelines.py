@@ -231,3 +231,39 @@ def test_drawing_annotations():
     assert out2.getpixel((10, 30)) != (0, 255, 0)  # box edge drawn
     assert out2.getpixel((35, 30)) == (0, 255, 0)  # interior untouched
     assert img.getpixel((10, 30)) == (0, 255, 0)
+
+
+def test_cached_image_features(tmp_path):
+    """HDF5 CLIP-S feature cache: misses encoded once, hits read back
+    (reference compute_scores.py:166-256)."""
+    h5py = pytest.importorskip("h5py")
+    import jax
+
+    from patchioner_tpu.eval import pac_score as ps
+    from patchioner_tpu.models import clip as clip_mod
+
+    vc = clip_mod.ClipVisionConfig(img_size=32, patch_size=16, width=64,
+                                   depth=2, heads=4, proj_dim=48)
+    tc = clip_mod.ClipTextConfig(width=64, depth=2, heads=4, proj_dim=48)
+    vp = clip_mod.init_clip_vision(jax.random.PRNGKey(0), vc)
+    tp = clip_mod.init_clip_text(jax.random.PRNGKey(1), tc)
+    scorer = ps.ClipScorer(vp, tp, vc, tc)
+    rng = np.random.default_rng(0)
+    pix = {f"im{i}": rng.standard_normal((32, 32, 3)).astype("float32")
+           for i in range(4)}
+    calls = []
+
+    def load(ids):
+        calls.extend(ids)
+        return np.stack([pix[i] for i in ids])
+
+    cache = str(tmp_path / "c.h5")
+    a = ps.cached_image_features(scorer, list(pix), load, cache_path=cache)
+    assert len(calls) == 4
+    b = ps.cached_image_features(scorer, list(pix), load, cache_path=cache)
+    assert len(calls) == 4  # all hits second time
+    np.testing.assert_allclose(a, b)
+    # partial miss: one new id re-encodes only that id
+    pix["im9"] = rng.standard_normal((32, 32, 3)).astype("float32")
+    ps.cached_image_features(scorer, list(pix), load, cache_path=cache)
+    assert calls.count("im9") == 1 and len(calls) == 5
