@@ -31,6 +31,41 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 import numpy as np
 
 
+def strokes_to_traces(layers, max_points: int = 100):
+    """Convert editor stroke layers to normalized trace points.
+
+    Mirrors the reference demo's ImageEditor handling (demo/app.py:191-252):
+    each layer (PIL image or array, RGBA alpha>0 = drawn, RGB any>0) yields
+    one trace of <= `max_points` evenly sampled scan-order pixels as
+    {'x','y','t'} dicts with x/y in [0,1] and t = 0.1*index.
+    """
+    traces = []
+    for layer in layers:
+        arr = np.asarray(layer)
+        if arr.ndim != 3 or arr.size == 0:
+            continue
+        if arr.shape[2] == 4:
+            drawn = arr[:, :, 3] > 0
+        else:
+            drawn = np.any(arr > 0, axis=2)
+        ys, xs = np.where(drawn)
+        if len(xs) == 0:
+            continue
+        h, w = arr.shape[:2]
+        n = min(len(xs), max_points)
+        idx = np.linspace(0, len(xs) - 1, n, dtype=int)
+        pts = [
+            {
+                "x": min(1.0, max(0.0, float(x) / w if w else 0.0)),
+                "y": min(1.0, max(0.0, float(y) / h if h else 0.0)),
+                "t": i * 0.1,
+            }
+            for i, (x, y) in enumerate(zip(xs[idx], ys[idx]))
+        ]
+        traces.append(pts)
+    return traces
+
+
 def build_model(config_path: str, allow_missing_weights: bool):
     sys.path.insert(0, ".")
     from patchioner_tpu.models.patchioner import Patchioner
@@ -138,17 +173,29 @@ def main(argv=None):
         except ImportError:
             print("gradio not installed — falling back to the HTTP API")
         else:
-            def caption(img):
+            def caption(editor_data):
+                # ImageEditor payload: background image + stroke layers
+                # (reference demo/app.py:148-258): strokes -> trace
+                # caption, no strokes -> whole-image caption.
                 from patchioner_tpu.utils import transforms
 
+                img = editor_data["background"]
                 x = transforms.preprocess_pil(
                     img, model.resize_dim, model.crop_dim
                 )[None]
+                traces = strokes_to_traces(editor_data.get("layers") or [])
+                if traces:
+                    out = model.forward(x, get_cls_capt=False, traces=traces[:1])
+                    return out["trace_capts"][0]
                 return model.forward(x, get_cls_capt=True)["cls_capt"][0]
 
-            gr.Interface(caption, gr.Image(type="pil"), "text").launch(
-                server_port=args.port
-            )
+            gr.Interface(
+                caption,
+                gr.ImageEditor(type="pil"),
+                "text",
+                description="Draw a trace on the image (or leave it blank "
+                            "for a whole-image caption).",
+            ).launch(server_port=args.port)
             return
 
     server = HTTPServer(

@@ -128,3 +128,33 @@ def test_error_paths(server):
     # server still healthy after the errors
     code, body = _get(server + "/health")
     assert code == 200
+
+
+def test_strokes_to_traces():
+    """Editor stroke layers -> normalized {'x','y','t'} points (reference
+    demo/app.py:191-252): scan-order sampling, [0,1] clamping, 0.1*t."""
+    from demo.app import strokes_to_traces
+
+    # diagonal RGBA stroke on a 100x100 layer
+    layer = np.zeros((100, 100, 4), np.uint8)
+    for i in range(0, 100, 2):
+        layer[i, i, 3] = 255
+    # an empty layer and an RGB layer with a horizontal line
+    rgb = np.zeros((50, 200, 3), np.uint8)
+    rgb[25, 40:160] = 255
+    traces = strokes_to_traces([layer, np.zeros((10, 10, 4), np.uint8), rgb])
+    assert len(traces) == 2
+    diag = traces[0]
+    assert len(diag) == 50
+    for p in diag:
+        assert abs(p["x"] - p["y"]) < 0.03
+        assert 0.0 <= p["x"] <= 1.0
+    assert diag[0]["t"] == 0.0 and abs(diag[1]["t"] - 0.1) < 1e-9
+    horiz = traces[1]
+    assert all(abs(p["y"] - 0.5) < 0.02 for p in horiz)
+    assert max(len(t) for t in traces) <= 100
+    # the points feed straight into the captioner's trace rasterizer
+    from patchioner_tpu.models.patchioner import _traces_to_arrays
+
+    pts, valid = _traces_to_arrays(traces)
+    assert pts.shape[0] == 2 and float(valid.sum()) == len(diag) + len(horiz)
