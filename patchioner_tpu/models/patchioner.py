@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import warnings
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

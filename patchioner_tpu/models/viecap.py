@@ -26,7 +26,7 @@ import functools
 import json
 import os
 import pickle
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
