@@ -161,3 +161,40 @@ def test_analyze_feature_compatibility():
     assert Patchioner.analyze_feature_compatibility.__get__(
         type("X", (), {"backbone_type": "DINO"})()
     )(imgs) == {}
+
+
+def test_build_save_load_bank_roundtrip(tmp_path):
+    """The reference's _build_support_memory flow (im2txtprojection.py:
+    448-560): encode a caption corpus with the CLIP text tower (+ Talk2DINO
+    projection), persist to HDF5, reload, and project through it."""
+    pytest.importorskip("h5py")
+    from patchioner_tpu.io import memory_bank as mb
+    from patchioner_tpu.models import clip as clip_mod
+    from patchioner_tpu.ops import memory_projection as memproj
+    from patchioner_tpu.text import clip_bpe
+
+    tcfg = clip_mod.ClipTextConfig(width=64, depth=2, heads=4, proj_dim=48)
+    tp = clip_mod.init_clip_text(jax.random.PRNGKey(0), tcfg)
+    tok = clip_bpe.get_tokenizer()
+
+    def encode(texts):
+        toks = jnp.asarray(tok.tokenize(texts, tcfg.context_length))
+        return clip_mod.clip_text_forward(tp, toks, tcfg)
+
+    texts = [f"a photo of thing {i}" for i in range(7)]
+    bank = mb.build_bank(texts, encode, batch_size=3)
+    assert bank.embeddings.shape == (7, 48) and bank.texts == texts
+
+    path = str(tmp_path / "bank.h5")
+    mb.save_bank(path, "coco", bank)
+    loaded = mb.load_bank(path, "coco")
+    np.testing.assert_allclose(loaded.embeddings, bank.embeddings, rtol=1e-6)
+    assert loaded.texts == texts
+
+    # the built bank drives the projection + argmax-text path
+    prepared = memproj.prepare_bank(jnp.asarray(loaded.embeddings))
+    q = jnp.asarray(loaded.embeddings[2:3])
+    proj = memproj.memory_project(q, prepared, normalize=True, use_pallas=False)
+    assert proj.shape == (1, 48)
+    idx = int(memproj.memory_argmax(q, jnp.asarray(loaded.embeddings))[0])
+    assert loaded.texts[idx] == texts[2]
