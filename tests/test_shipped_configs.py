@@ -35,11 +35,19 @@ def test_config_builds(path):
         assert model.bank is not None
 
 
-def test_all_reference_config_families_present():
+def test_all_reference_configs_present():
+    """All 21 reference configs ship under the same names."""
     names = {os.path.basename(c) for c in CONFIGS}
-    for family in ("mlp.k.yaml", "decap_B16.k.yaml", "mlp.viecap.k.yaml",
-                   "mlp.meacap.k.yaml", "alphaclip_B16_CLS.k.yaml",
-                   "proxyclip_b16_dinov2.k.yaml", "INViTE_B16_1layer.k.yaml",
-                   "regionclip_resnet50_p32_512.k.yaml", "dinotxt.yaml",
-                   "denseclip_B16_seg_40patches.k.yaml"):
+    for family in (
+        "mlp.k.yaml", "mlp_noise.k.yaml", "decap_B16.k.yaml",
+        "decap_B16_resize.k.yaml", "decap_B32.k.yaml", "mlp.viecap.k.yaml",
+        "viecap.k.yaml", "viecap_b16_14patches.k.yaml",
+        "viecap_b16_37patches.k.yaml", "mlp.meacap.k.yaml",
+        "meacap_invlm.k.yaml", "meacap_invlm_b16_14patches.k.yaml",
+        "meacap_invlm_b16_37patches.k.yaml", "alphaclip_B16_CLS.k.yaml",
+        "proxyclip_b16.k.yaml", "proxyclip_b16_dinov2.k.yaml",
+        "INViTE_B16_1layer.k.yaml", "INViTE_B16_1layer_bigResize.k.yaml",
+        "regionclip_resnet50_p32_512.k.yaml", "dinotxt.yaml",
+        "denseclip_B16_seg_40patches.k.yaml",
+    ):
         assert family in names, f"missing shipped config: {family}"
