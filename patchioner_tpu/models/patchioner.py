@@ -691,6 +691,25 @@ class Patchioner:
                 )
             decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
 
+        # --- Talk2DINO embedding inversion (src/model.py:618-625). Detected
+        # before the bank build: with inversion active the bank lives in
+        # Talk2DINO (DINO) space and the decoder prefix in CLIP space, so the
+        # random-init fallback bank must use the inversion's input dim, not
+        # `prefix_size` (reference banks get this via the use_talk2dino HDF5).
+        embed_inversion = False
+        inversion = None
+        t2d_weights = config.get("talk2dino_weights", None)
+        if t2d_weights and os.path.exists(t2d_weights):
+            import torch
+
+            from patchioner_tpu.io import torch_port
+
+            t2d_params = torch_port.port_talk2dino(
+                torch.load(t2d_weights, map_location="cpu")
+            )
+            inversion = t2d.build_inversion(t2d_params)
+            embed_inversion = True
+
         # --- support memory
         bank = None
         bank_texts = None
@@ -745,26 +764,16 @@ class Patchioner:
                 bank = _make_bank(emb)
             elif allow_missing_weights:
                 size = random_bank_size or support_size
-                emb = jax.random.normal(k_bank, (size, prefix_size), jnp.float32)
+                bank_dim = (
+                    int(inversion["A_pinv"].shape[1])
+                    if embed_inversion
+                    else prefix_size
+                )
+                emb = jax.random.normal(k_bank, (size, bank_dim), jnp.float32)
                 bank = _make_bank(emb)
                 bank_texts = [f"synthetic caption {i}" for i in range(size)]
             else:
                 raise FileNotFoundError(f"memory bank not found at {bank_path}")
-
-        # --- Talk2DINO embedding inversion (src/model.py:618-625)
-        embed_inversion = False
-        inversion = None
-        t2d_weights = config.get("talk2dino_weights", None)
-        if t2d_weights and os.path.exists(t2d_weights):
-            import torch
-
-            from patchioner_tpu.io import torch_port
-
-            t2d_params = torch_port.port_talk2dino(
-                torch.load(t2d_weights, map_location="cpu")
-            )
-            inversion = t2d.build_inversion(t2d_params)
-            embed_inversion = True
 
         # --- alternative decoder families (nested config blocks)
         viecap = None

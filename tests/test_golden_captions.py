@@ -21,6 +21,32 @@ import pytest
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 CONFIG = os.environ.get("PATCHIONER_GOLDEN_CONFIG")
 
+# The one real pretrained artifact that ships inside the reference tree —
+# Talk2DINO's ViT-B MLP projector (used by embed_inversion in the caption
+# path, src/model.py:618-625). Everything else is seeded random init, so
+# these goldens pin end-to-end caption behavior (tokenizer post-processing,
+# EOT splitting, projection/inversion math) without network access.
+REF_T2D_WEIGHTS = (
+    "/root/reference/Patch-ioner/src/viecap/training/talk2dino/weights/"
+    "vitb_mlp_infonce.pth"
+)
+
+# Small crop (10x10 patch grid) keeps the CPU forward fast while exercising
+# the full stack: ViT-B/14 encode -> attention extraction -> trace pooling ->
+# memory projection -> Talk2DINO inversion -> greedy DeCap decode -> BPE text.
+T2D_GOLDEN_CONFIG = {
+    "dino_model": "dinov2_vitb14_reg",
+    "crop_dim": 140,
+    # decoder prefix is CLIP-dim: with embed_inversion the projected
+    # DINO-space bank combination is reverted to CLIP space before decoding
+    "prefix_size": 512,
+    "support_memory_size": 256,
+    "normalize": True,
+    "attention_type": "qkv",
+    "projection_type": "coco",
+    "talk2dino_weights": REF_T2D_WEIGHTS,
+}
+
 
 def _artifacts_available():
     if not CONFIG or not os.path.exists(CONFIG):
@@ -78,6 +104,52 @@ def test_golden_captions_match():
     outs = model.forward(imgs, get_cls_capt=True, traces=traces)
     assert outs["cls_capt"] == golden["cls_capt"]
     assert outs["trace_capts"] == golden["trace_capts"]
+
+
+def _t2d_generate():
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    model = Patchioner.from_config(
+        T2D_GOLDEN_CONFIG,
+        rng_seed=0,
+        allow_missing_weights=True,
+        random_bank_size=256,
+    )
+    imgs = _fixed_images(n=2, size=140)
+    traces = [
+        [{"x": 0.2, "y": 0.3}, {"x": 0.55, "y": 0.5}, {"x": 0.8, "y": 0.7}],
+        [{"x": 0.5, "y": 0.5}],
+    ]
+    outs = model.forward(imgs, get_cls_capt=True, get_avg_self_attn_capt=True,
+                         traces=traces)
+    return {
+        "cls_capt": outs["cls_capt"],
+        "avg_self_attn_capt": outs["avg_self_attn_capt"],
+        "trace_capts": outs["trace_capts"],
+    }
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_T2D_WEIGHTS),
+    reason="reference Talk2DINO weights not present",
+)
+def test_golden_talk2dino_captions():
+    """Caption-level regression pin: real Talk2DINO weights + seeded random
+    init for ViT/decoder/bank, fixed synthetic images, goldens committed
+    under tests/goldens/. Any drift in the end-to-end caption path (pooling,
+    projection, inversion, decode loop, BPE post-processing) fails this."""
+    golden_path = os.path.join(GOLDEN_DIR, "talk2dino_real.json")
+    got = _t2d_generate()
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(golden_path, "w") as f:
+            json.dump(got, f, indent=1)
+        pytest.fail(
+            f"goldens were missing; generated at {golden_path} — commit and rerun"
+        )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert got == golden
 
 
 if __name__ == "__main__":
