@@ -29,6 +29,8 @@ __all__ = [
     "gpt2_forward",
     "init_kv_cache",
     "gpt2_step",
+    "gpt2_candidates_step",
+    "commit_candidate",
     "KVCache",
 ]
 
@@ -179,11 +181,16 @@ def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
 
 
 def gpt2_prefill(
-    params: dict, embeds: jax.Array, cfg: GPT2Config, max_len: int
-) -> tuple[jax.Array, KVCache]:
+    params: dict, embeds: jax.Array, cfg: GPT2Config, max_len: int,
+    return_hidden: bool = False,
+):
     """Full-prompt prefill: run causal attention over (B, T, D) embeddings,
     return last-position logits and a KV cache of capacity `max_len` primed
-    with the prompt's keys/values (positions 0..T-1)."""
+    with the prompt's keys/values (positions 0..T-1).
+
+    With `return_hidden=True` also returns the post-ln_f hidden states
+    (B, T, D) in float32 — HF's `output_hidden_states[-1]`, needed by
+    contrastive search's degeneration penalty."""
     b, t, d = embeds.shape
     if cfg.dtype != jnp.float32:
         params = jax.tree_util.tree_map(
@@ -209,7 +216,10 @@ def gpt2_prefill(
         x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
     x = _ln(x, params["ln_f"], cfg.ln_eps)
     logits = (x[:, -1] @ params["wte"].T).astype(jnp.float32)
-    return logits, KVCache(new_k, new_v, jnp.asarray(t, jnp.int32))
+    cache = KVCache(new_k, new_v, jnp.asarray(t, jnp.int32))
+    if return_hidden:
+        return logits, cache, x.astype(jnp.float32)
+    return logits, cache
 
 
 def gpt2_step(
@@ -253,3 +263,85 @@ def gpt2_step(
     x = _ln(x, params["ln_f"], cfg.ln_eps)
     logits = (x[:, 0] @ params["wte"].T).astype(jnp.float32)
     return logits, KVCache(new_k, new_v, idx + 1)
+
+
+def gpt2_candidates_step(
+    params: dict, embeds: jax.Array, cache: KVCache, cfg: GPT2Config
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Evaluate K candidate next-tokens per sequence against a SHARED cache.
+
+    The reference expands past_key_values to a (b*k) batch every step
+    (src/viecap/search.py:599-617) — O(b·k·T·D) HBM traffic per layer per
+    step. Here candidates attend to the shared (b,)-cache plus their own
+    key/value, so the cache is never duplicated; only the selected
+    candidate is committed afterwards via `commit_candidate`.
+
+    Args:
+      embeds: (B, K, D) candidate token embeddings (all at position
+        cache.length).
+    Returns:
+      logits (B, K, V) f32, post-ln_f hidden (B, K, D) f32,
+      cand_k / cand_v (L, B, K, H, hd) — per-candidate keys/values to commit.
+    """
+    b, kk, d = embeds.shape
+    if cfg.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
+    idx = cache.length
+    x = embeds.astype(cfg.dtype) + jnp.take(params["wpe"], idx, axis=0).astype(
+        cfg.dtype
+    )  # (B, K, D)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    max_len = cache.k.shape[-2]
+    past_mask = (jnp.arange(max_len) < idx)[None, None, None, :]  # (1,1,1,T)
+
+    cand_ks, cand_vs = [], []
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each (B, K, D)
+        hd = cfg.head_dim
+        q = q.reshape(b, kk, cfg.n_head, hd)
+        k = k.reshape(b, kk, cfg.n_head, hd)
+        v = v.reshape(b, kk, cfg.n_head, hd)
+        cand_ks.append(k)
+        cand_vs.append(v)
+        pk = cache.k[li].astype(q.dtype)  # (B, H, T, hd)
+        pv = cache.v[li].astype(q.dtype)
+        logits_past = jnp.einsum(
+            "bkhd,bhtd->bkht", q * scale, pk
+        ).astype(jnp.float32)
+        logits_past = jnp.where(past_mask, logits_past, -1e30)
+        logits_self = jnp.sum(q * scale * k, axis=-1).astype(jnp.float32)
+        # softmax over [past positions, self]
+        all_logits = jnp.concatenate(
+            [logits_past, logits_self[..., None]], axis=-1
+        )
+        w = jax.nn.softmax(all_logits, axis=-1).astype(x.dtype)
+        a = jnp.einsum("bkht,bhtd->bkhd", w[..., :-1], pv)
+        a = a + w[..., -1, None] * v
+        x = x + _dense(a.reshape(b, kk, d), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    x = _ln(x, params["ln_f"], cfg.ln_eps)
+    logits = (x @ params["wte"].T).astype(jnp.float32)
+    cand_k = jnp.stack(cand_ks)  # (L, B, K, H, hd)
+    cand_v = jnp.stack(cand_vs)
+    return logits, x.astype(jnp.float32), cand_k, cand_v
+
+
+def commit_candidate(
+    cache: KVCache, cand_k: jax.Array, cand_v: jax.Array, select: jax.Array
+) -> KVCache:
+    """Write the selected candidate's keys/values at position cache.length.
+
+    select: (B,) int32 — index into the K axis of `cand_k`/`cand_v`."""
+    b = select.shape[0]
+    sel_k = cand_k[:, jnp.arange(b), select]  # (L, B, H, hd)
+    sel_v = cand_v[:, jnp.arange(b), select]
+    idx = cache.length
+    new_k = cache.k.at[:, :, :, idx, :].set(sel_k.astype(cache.k.dtype))
+    new_v = cache.v.at[:, :, :, idx, :].set(sel_v.astype(cache.v.dtype))
+    return KVCache(new_k, new_v, idx + 1)

@@ -43,6 +43,7 @@ __all__ = [
     "compose_discrete_prompt",
     "greedy_search",
     "beam_search",
+    "contrastive_search",
     "VieCap",
     "load_entities_text",
 ]
@@ -380,6 +381,91 @@ def beam_search(
     return [
         tokenizer.decode(toks[i, : int(lengths[i])].tolist()) for i in order
     ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_len", "top_k", "alpha")
+)
+def _contrastive_tokens(params, embeds, cfg: gpt2_mod.GPT2Config,
+                        max_len: int, top_k: int, alpha: float):
+    """Contrastive search (reference src/viecap/search.py:294-405): each step
+    scores the model's top-k candidates by
+    (1-alpha)*p(candidate) - alpha*max_cos(candidate hidden, context hiddens)
+    and commits the argmax. TPU redesign: one lax.scan over a shared KV cache;
+    candidates attend via gpt2_candidates_step instead of the reference's
+    (b*k)-expanded past_key_values, and context hidden states live in a
+    preallocated (B, T0+max_len, D) buffer masked by step index."""
+    b, t0, d = embeds.shape
+    logits, cache, hidden0 = gpt2_mod.gpt2_prefill(
+        params, embeds, cfg, t0 + max_len, return_hidden=True
+    )
+    hidden_buf = jnp.zeros((b, t0 + max_len, d), jnp.float32)
+    hidden_buf = hidden_buf.at[:, :t0].set(hidden0)
+
+    def step(carry, i):
+        logits, cache, hidden_buf = carry
+        probs = jax.nn.softmax(logits, axis=-1)  # (B, V)
+        _, top_idx = jax.lax.top_k(logits, top_k)  # (B, K)
+        top_probs = jnp.take_along_axis(probs, top_idx, axis=-1)  # (B, K)
+        cand_emb = params["wte"][top_idx]  # (B, K, D)
+        cand_logits, cand_hidden, ck, cv = gpt2_mod.gpt2_candidates_step(
+            params, cand_emb, cache, cfg
+        )
+        # degeneration penalty: max cosine vs all valid context hiddens
+        ctx = hidden_buf / jnp.maximum(
+            jnp.linalg.norm(hidden_buf, axis=-1, keepdims=True), 1e-12
+        )
+        nxt = cand_hidden / jnp.linalg.norm(cand_hidden, axis=-1, keepdims=True)
+        cos = jnp.einsum("bkd,btd->bkt", nxt, ctx)
+        valid = (jnp.arange(hidden_buf.shape[1]) < t0 + i)[None, None, :]
+        cos = jnp.where(valid, cos, -jnp.inf)
+        penalty = jnp.max(cos, axis=-1)  # (B, K)
+        score = (1.0 - alpha) * top_probs - alpha * penalty
+        sel = jnp.argmax(score, axis=-1)  # (B,)
+        ar = jnp.arange(b)
+        tok = top_idx[ar, sel]
+        new_logits = cand_logits[ar, sel]
+        cache = gpt2_mod.commit_candidate(cache, ck, cv, sel)
+        hidden_buf = hidden_buf.at[:, t0 + i].set(cand_hidden[ar, sel])
+        return (new_logits, cache, hidden_buf), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (logits, cache, hidden_buf), jnp.arange(max_len)
+    )
+    return toks.T  # (B, max_len)
+
+
+def contrastive_search(
+    params: dict,
+    embeds: jax.Array,
+    cfg: gpt2_mod.GPT2Config,
+    tokenizer,
+    *,
+    alpha: float = 0.1,
+    top_k: int = 48,
+    max_len: int = 64,
+    end_of_sentence: str = ".",
+) -> List[str]:
+    """Contrastive search with the reference's stopping semantics
+    (search.py:294-405): eos is the FIRST token of `end_of_sentence`'s
+    encoding; each sequence truncates at the first eos (inclusive; keep all
+    `max_len` tokens if none). Returns one string per batch row (the
+    reference returns a bare str for b==1; we always return a list —
+    callers index [0])."""
+    eos = tokenizer.encode(end_of_sentence)[0]
+    toks = np.asarray(
+        _contrastive_tokens(params, jnp.asarray(embeds), cfg, max_len,
+                            top_k, alpha)
+    )
+    sentences = []
+    for row in toks:
+        cut = len(row) - 1
+        for i, t in enumerate(row):
+            if int(t) == eos:
+                cut = i
+                break
+        sentences.append(tokenizer.decode(row[: cut + 1].tolist()))
+    return sentences
 
 
 # ------------------------------------------------------------------ model

@@ -239,6 +239,69 @@ def test_beam_search_parity(small_gpt2):
     assert got == want_texts
 
 
+def oracle_contrastive(hf, embeds, eos, alpha=0.1, top_k=8, max_len=10):
+    """Literal reference contrastive loop (search.py:294-405 +
+    ranking_and_selecting :640-683), with the KV-cache bookkeeping replaced
+    by full re-forwards (mathematically identical; the reference's
+    reshape_from/to_past_key_values is pure caching)."""
+    generating = torch.from_numpy(embeds)
+    b = generating.shape[0]
+    tokens = None
+    with torch.no_grad():
+        out = hf(inputs_embeds=generating, output_hidden_states=True)
+        next_logits = out.logits[:, -1, :]
+        past_hidden = out.hidden_states[-1]
+        cur = generating
+        for _ in range(max_len):
+            probs = torch.nn.functional.softmax(next_logits, dim=-1)
+            _, top_idx = next_logits.topk(top_k, dim=-1)
+            top_probs = probs.gather(1, top_idx)
+            cand_hidden = torch.zeros(b, top_k, past_hidden.shape[-1])
+            cand_logits = torch.zeros(b, top_k, next_logits.shape[-1])
+            for j in range(top_k):
+                emb = hf.transformer.wte(top_idx[:, j : j + 1])
+                o = hf(
+                    inputs_embeds=torch.cat([cur, emb], 1),
+                    output_hidden_states=True,
+                )
+                cand_logits[:, j] = o.logits[:, -1]
+                cand_hidden[:, j] = o.hidden_states[-1][:, -1]
+            nc = past_hidden / past_hidden.norm(dim=-1, keepdim=True)
+            nn_ = cand_hidden / cand_hidden.norm(dim=-1, keepdim=True)
+            cos = torch.einsum("bkd,btd->bkt", nn_, nc)
+            penalty = cos.max(-1).values
+            scores = (1.0 - alpha) * top_probs - alpha * penalty
+            sel = scores.max(-1).indices
+            tok = top_idx[range(b), sel].unsqueeze(-1)
+            next_logits = cand_logits[range(b), sel]
+            past_hidden = torch.cat(
+                [past_hidden, cand_hidden[range(b), sel].unsqueeze(1)], 1
+            )
+            cur = torch.cat([cur, hf.transformer.wte(tok)], 1)
+            tokens = tok if tokens is None else torch.cat([tokens, tok], 1)
+    outs = []
+    for row in tokens:
+        for i in range(len(row)):
+            if row[i].item() == eos:
+                break
+        outs.append(row[: i + 1].tolist())
+    return outs
+
+
+def test_contrastive_search_parity(small_gpt2):
+    hf, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    eos = tok.encode(".")[0]
+    rng = np.random.default_rng(7)
+    embeds = rng.standard_normal((2, 4, 32)).astype(np.float32)
+    want = oracle_contrastive(hf, embeds, eos, alpha=0.3, top_k=8, max_len=10)
+    got = viecap.contrastive_search(
+        params, jnp.asarray(embeds), cfg, tok,
+        alpha=0.3, top_k=8, max_len=10,
+    )
+    assert got == [tok.decode(w) for w in want]
+
+
 def test_viecap_end_to_end(small_gpt2):
     _, cfg, params = small_gpt2
     tok = WordTokenizer()
