@@ -58,7 +58,7 @@ class ResultsCollector:
     def table(
         self,
         task: str,
-        metrics: Sequence[str] = ("CIDEr", "METEOR", "ROUGE-L", "BLEU-4"),
+        metrics: Sequence[str] = ("CIDEr", "METEOR", "ROUGE_L", "Bleu_4"),
         best_of_duplicates: bool = True,
     ) -> List[dict]:
         """One row per model: display metadata + requested metrics. Duplicate

@@ -1,4 +1,4 @@
-"""Caption metrics: BLEU-1..4, METEOR (exact+stem), ROUGE-L, CIDEr-D.
+"""Caption metrics: BLEU-1..4, METEOR (4-stage), ROUGE-L, CIDEr-D, SPICE.
 
 The reference scores through `speaksee` (Java PTBTokenizer + the
 pycocoevalcap scorer family, eval-trace-captioning/compute_scores.py:287-332).
@@ -12,10 +12,12 @@ algorithms:
   * ROUGE-L: F_beta (beta=1.2) of the LCS, max over references, averaged.
   * CIDEr-D: tf-idf n-gram cosine (n=1..4) with length-gaussian damping
     (sigma=6) and the min-count clipping, x10 — the pycocoevalcap formulation.
-  * METEOR implements the exact and Porter-stem stages of METEOR-1.5
-    with its English module weights (1.0/0.6; alpha=0.9, gamma=0.5,
-    beta=3 fragmentation penalty). The Java aligner's synonym/paraphrase
-    stages need its external resource tables — documented approximation.
+  * METEOR implements all four METEOR-1.5 English stages (exact / stem /
+    synonym / paraphrase at weights 1.0/0.6/0.8/0.6; alpha=0.9, gamma=0.5,
+    beta=3 fragmentation penalty) with a greedy aligner. Synonym and
+    paraphrase stages take pluggable resource tables (`load_wordnet_synonyms`
+    when nltk corpora exist) and are inert without them.
+  * SPICE: scene-graph tuple F1 (lexicon-parser variant, `eval/spice.py`).
 
 All scorers return (corpus_score, per_instance_scores).
 """
@@ -25,6 +27,7 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter, defaultdict
+from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 __all__ = [
@@ -33,6 +36,7 @@ __all__ = [
     "rouge_l",
     "cider_d",
     "meteor",
+    "load_wordnet_synonyms",
     "compute_all_metrics",
 ]
 
@@ -214,6 +218,25 @@ def cider_d(
 # ------------------------------------------------------------------ METEOR
 
 
+def load_wordnet_synonyms():
+    """Word -> frozenset(synset names) via nltk WordNet, or None when the
+    corpus data is not installed (this zero-egress image ships nltk's code
+    but no corpora). Pass the result as `meteor(..., synonyms=...)` /
+    `spice(..., synonyms=...)`."""
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("test")  # force corpus load
+    except Exception:
+        return None
+
+    @lru_cache(maxsize=65536)
+    def groups(word: str) -> frozenset:
+        return frozenset(s.name() for s in wordnet.synsets(word))
+
+    return groups
+
+
 def meteor(
     candidates: Sequence[List[str]],
     references: Sequence[List[List[str]]],
@@ -221,55 +244,121 @@ def meteor(
     beta: float = 3.0,
     gamma: float = 0.5,
     stem_weight: float = 0.6,
+    synonyms=None,
+    synonym_weight: float = 0.8,
+    paraphrases=None,
+    paraphrase_weight: float = 0.6,
+    max_paraphrase_len: int = 4,
 ) -> Tuple[float, List[float]]:
-    """METEOR with exact + Porter-stem match stages.
+    """METEOR-1.5 scoring with all four English match stages.
 
     The reference scores METEOR with the Java METEOR-1.5 jar (speaksee,
     used by its eval-*-captioning pipelines), whose English config runs
     exact, stem, synonym and paraphrase modules with weights
-    (1.0, 0.6, 0.8, 0.6). We implement the first two (the synonym and
-    paraphrase tables are external resources); exact matches are tried
-    first, then Porter-stem matches over the leftovers at `stem_weight`.
-    Precision/recall use the weighted match mass; the fragmentation
-    penalty uses the unweighted match count, as in METEOR-1.5.
-    Set `stem_weight=0` for pure exact-match scoring.
+    (1.0, 0.6, 0.8, 0.6). All four stages are implemented here with a
+    greedy first-available aligner (the Java aligner beam-searches the
+    chunk-minimizing alignment — documented approximation):
+
+      * exact / stem (Porter) / synonym: word-level. `synonyms` is a
+        word -> frozenset-of-group-ids callable (see
+        `load_wordnet_synonyms`); words match when groups intersect.
+      * paraphrase: span-level over unused contiguous spans up to
+        `max_paraphrase_len` words. `paraphrases` maps a phrase string to a
+        frozenset of group ids; spans match when groups intersect.
+
+    Synonym/paraphrase stages are inert when their tables are None (the
+    resource files are external data this environment lacks) — scores then
+    equal the exact+stem configuration shipped previously.
+
+    Precision/recall use the weighted match mass per side; the
+    fragmentation penalty uses unweighted matched-word counts, as in
+    METEOR-1.5.
     """
     from patchioner_tpu.text.porter import stem as _stem
 
     def align(cand, ref):
         ref_used = [False] * len(ref)
         cand_used = [False] * len(cand)
-        matches = []  # (i, j, weight)
-        for i, w in enumerate(cand):
-            for j, r in enumerate(ref):
-                if not ref_used[j] and r == w:
-                    ref_used[j] = True
-                    cand_used[i] = True
-                    matches.append((i, j, 1.0))
-                    break
-        if stem_weight > 0.0:
-            cand_stems = [_stem(w) for w in cand]
-            ref_stems = [_stem(r) for r in ref]
-            for i, ws in enumerate(cand_stems):
+        # (cand_start, cand_len, ref_start, ref_len, weight)
+        matches: List[tuple] = []
+
+        def word_stage(key_c, key_r, weight):
+            for i in range(len(cand)):
                 if cand_used[i]:
                     continue
-                for j, rs in enumerate(ref_stems):
-                    if not ref_used[j] and rs == ws:
-                        ref_used[j] = True
-                        cand_used[i] = True
-                        matches.append((i, j, stem_weight))
+                kc = key_c(i)
+                if kc is None:
+                    continue
+                for j in range(len(ref)):
+                    if not ref_used[j]:
+                        kr = key_r(j)
+                        if kr is not None and _keys_match(kc, kr):
+                            ref_used[j] = True
+                            cand_used[i] = True
+                            matches.append((i, 1, j, 1, weight))
+                            break
+
+        def _keys_match(a, b):
+            if isinstance(a, frozenset) or isinstance(b, frozenset):
+                return bool(a & b)
+            return a == b
+
+        word_stage(lambda i: cand[i], lambda j: ref[j], 1.0)
+        if stem_weight > 0.0:
+            cs = [_stem(w) for w in cand]
+            rs = [_stem(r) for r in ref]
+            word_stage(lambda i: cs[i], lambda j: rs[j], stem_weight)
+        if synonyms is not None and synonym_weight > 0.0:
+            sc = [synonyms(w) or None for w in cand]
+            sr = [synonyms(r) or None for r in ref]
+            word_stage(lambda i: sc[i], lambda j: sr[j], synonym_weight)
+        if paraphrases is not None and paraphrase_weight > 0.0:
+            for i in range(len(cand)):
+                if cand_used[i]:
+                    continue
+                done = False
+                for lc in range(min(max_paraphrase_len, len(cand) - i), 0, -1):
+                    if any(cand_used[i : i + lc]):
+                        continue
+                    gc = paraphrases(" ".join(cand[i : i + lc]))
+                    if not gc:
+                        continue
+                    for j in range(len(ref)):
+                        for lr in range(
+                            min(max_paraphrase_len, len(ref) - j), 0, -1
+                        ):
+                            if any(ref_used[j : j + lr]):
+                                continue
+                            gr = paraphrases(" ".join(ref[j : j + lr]))
+                            if gr and (gc & gr):
+                                for k in range(i, i + lc):
+                                    cand_used[k] = True
+                                for k in range(j, j + lr):
+                                    ref_used[k] = True
+                                matches.append(
+                                    (i, lc, j, lr, paraphrase_weight)
+                                )
+                                done = True
+                                break
+                        if done:
+                            break
+                    if done:
                         break
-        m = len(matches)
-        if m == 0:
+
+        if not matches:
             return 0.0
         matches.sort()
         chunks = 1
-        for (i1, j1, _), (i2, j2, _) in zip(matches, matches[1:]):
-            if i2 != i1 + 1 or j2 != j1 + 1:
+        for (i1, lc1, j1, lr1, _), (i2, _, j2, _, _) in zip(
+            matches, matches[1:]
+        ):
+            if i2 != i1 + lc1 or j2 != j1 + lr1:
                 chunks += 1
-        wsum = sum(w for _, _, w in matches)
-        p = wsum / len(cand)
-        r = wsum / len(ref)
+        m = sum(lc for _, lc, _, _, _ in matches)  # matched cand words
+        wmass_c = sum(w * lc for _, lc, _, _, w in matches)
+        wmass_r = sum(w * lr for _, _, _, lr, w in matches)
+        p = wmass_c / len(cand)
+        r = wmass_r / len(ref)
         fmean = p * r / (alpha * p + (1 - alpha) * r)
         penalty = gamma * (chunks / m) ** beta
         return fmean * (1 - penalty)
@@ -286,23 +375,43 @@ def meteor(
 def compute_all_metrics(
     candidates: Sequence[str],
     references: Sequence[Sequence[str]],
+    *,
+    spice: bool = True,
+    synonyms="auto",
+    paraphrases=None,
 ) -> dict:
     """Tokenize and run the full scorer family. Returns
-    {metric: (corpus, per_instance)} with the reference CSV's metric names
-    (compute_scores.py:308-357)."""
+    {metric: (corpus, per_instance)} using the reference results-CSV metric
+    names (compute_scores.py:308-357): Bleu_1..Bleu_4, METEOR, ROUGE_L,
+    CIDEr, SPICE.
+
+    `spice=True` scores the lexicon-variant SPICE (see `eval/spice.py` —
+    same tuple-F1 metric, lexicon parser instead of the Java/Stanford
+    pipeline; per-instance values here are the All-F floats).
+    `synonyms="auto"` picks up nltk WordNet when its corpus is installed
+    (absent in zero-egress images -> the METEOR synonym stage is inert and
+    SPICE matches exactly)."""
     cand_t = [ptb_tokenize(c) for c in candidates]
     refs_t = [[ptb_tokenize(r) for r in refs] for refs in references]
+    if synonyms == "auto":
+        synonyms = load_wordnet_synonyms()
     b, b_inst = bleu(cand_t, refs_t)
     r, r_inst = rouge_l(cand_t, refs_t)
     c, c_inst = cider_d(cand_t, refs_t)
-    m, m_inst = meteor(cand_t, refs_t)
+    m, m_inst = meteor(cand_t, refs_t, synonyms=synonyms,
+                       paraphrases=paraphrases)
     out = {
-        "BLEU-1": (b[0], [x[0] for x in b_inst]),
-        "BLEU-2": (b[1], [x[1] for x in b_inst]),
-        "BLEU-3": (b[2], [x[2] for x in b_inst]),
-        "BLEU-4": (b[3], [x[3] for x in b_inst]),
-        "ROUGE-L": (r, r_inst),
+        "Bleu_1": (b[0], [x[0] for x in b_inst]),
+        "Bleu_2": (b[1], [x[1] for x in b_inst]),
+        "Bleu_3": (b[2], [x[2] for x in b_inst]),
+        "Bleu_4": (b[3], [x[3] for x in b_inst]),
+        "ROUGE_L": (r, r_inst),
         "CIDEr": (c, c_inst),
         "METEOR": (m, m_inst),
     }
+    if spice:
+        from patchioner_tpu.eval import spice as spice_mod
+
+        s, s_inst = spice_mod.spice(cand_t, refs_t, synonyms=synonyms)
+        out["SPICE"] = (s, [e["All"]["f"] for e in s_inst])
     return out

@@ -74,7 +74,7 @@ def test_trace_pipeline(tiny_model, tmp_path):
     scores = trace_captioning.compute_scores(
         result, csv_path=str(csv_path), config_row={"model": "tiny", "task": "trace"},
     )
-    assert "CIDEr" in scores and "BLEU-4" in scores
+    assert "CIDEr" in scores and "Bleu_4" in scores
     # dedup: second write is skipped
     assert not harness.append_results_csv(
         str(csv_path), {"model": "tiny", "task": "trace"}, ["model", "task"]
@@ -115,7 +115,7 @@ def test_image_captioning_pipeline(tiny_model, tmp_path):
         assert len(result["predictions"]) == 2
         assert result["predictions"][0]["refs"] == ["a dog runs", "a brown dog"]
     scores = image_captioning.compute_scores(result)
-    assert set(scores) >= {"CIDEr", "METEOR", "ROUGE-L"}
+    assert set(scores) >= {"CIDEr", "METEOR", "ROUGE_L"}
 
 
 def test_dense_captioning_pipeline(tiny_model, tmp_path):

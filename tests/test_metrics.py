@@ -85,7 +85,7 @@ def test_compute_all_metrics_keys():
         [["a dog runs fast", "the dog is running"], ["a cat sleeps now"]],
     )
     assert set(out) == {
-        "BLEU-1", "BLEU-2", "BLEU-3", "BLEU-4", "ROUGE-L", "CIDEr", "METEOR"
+        "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR", "SPICE"
     }
     for corpus, inst in out.values():
         assert 0.0 <= corpus
@@ -149,6 +149,87 @@ def test_porter_stemmer_canonical_pairs():
     }
     for word, want in pairs.items():
         assert stem(word) == want, (word, stem(word), want)
+
+
+def test_meteor_synonym_stage():
+    groups = {"happy": frozenset({"g1"}), "glad": frozenset({"g1"}),
+              "dog": frozenset({"g2"}), "cat": frozenset({"g3"})}
+    syn = lambda w: groups.get(w, frozenset())
+    cand, ref = [tok("the happy dog")], [[tok("the glad dog")]]
+    _, without = metrics.meteor(cand, ref)
+    _, with_syn = metrics.meteor(cand, ref, synonyms=syn)
+    assert with_syn[0] > without[0]
+    # hand-computed: exact matches "the","dog"; synonym happy~glad @0.8;
+    # all 3 contiguous -> 1 chunk, m=3
+    p = r = (2 + 0.8) / 3
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    want = fmean * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(with_syn[0] - want) < 1e-9
+    # no shared group -> no match
+    _, none = metrics.meteor([tok("dog")], [[tok("cat")]], synonyms=syn)
+    assert none[0] == 0.0
+
+
+def test_meteor_paraphrase_stage():
+    table = {"sofa": frozenset({"p1"}), "couch": frozenset({"p1"}),
+             "hot dog": frozenset({"p2"}), "frankfurter": frozenset({"p2"})}
+    para = lambda s: table.get(s, frozenset())
+    cand = [tok("a hot dog on the sofa")]
+    ref = [[tok("a frankfurter on the couch")]]
+    _, without = metrics.meteor(cand, ref)
+    _, with_para = metrics.meteor(cand, ref, paraphrases=para)
+    assert with_para[0] > without[0]
+    # exact: a, on, the (3); paraphrase spans: "hot dog"(2w)~"frankfurter"
+    # (1w) and "sofa"~"couch" @0.6
+    wc = 3 + 0.6 * (2 + 1)  # cand-side weighted mass
+    wr = 3 + 0.6 * (1 + 1)
+    p, r = wc / 6, wr / 5
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    m = 3 + 2 + 1  # matched cand words
+    # alignment: a | hot dog | on the | sofa -> 4 chunks? a..hot dog
+    # contiguous on cand but ref jumps (a -> frankfurter): count explicitly
+    # cand spans: (0,1)(1,2)(3,1)(4,1)(5,1); ref: (0,1)(1,1)(2,1)(3,1)(4,1)
+    # sorted by cand: 0:a->0, 1:hotdog(2)->1, 3:on->2, 4:the->3, 5:sofa->4
+    # chunk breaks: after hotdog cand 1+2=3==3 ref 1+1=2==2 contiguous!
+    # all contiguous -> 1 chunk
+    want = (p * r / (0.9 * p + 0.1 * r)) * (1 - 0.5 * (1 / m) ** 3)
+    assert abs(with_para[0] - want) < 1e-9
+
+
+def test_spice_hand_computed():
+    from patchioner_tpu.eval import spice as sp
+
+    cand = [tok("a black dog sitting on a wooden table")]
+    refs = [[tok("a black dog on a table"), tok("a dog is small")]]
+    corpus, per = sp.spice(cand, refs)
+    # cand graph: dog, table, (dog,black), (table,wooden),
+    #             (dog,"sitting on",table)
+    # merged ref: dog, table, (dog,black), (dog,small), (dog,"on",table)
+    # matches: dog, table, (dog,black) -> p=3/5, r=3/5
+    inst = per[0]["All"]
+    assert abs(inst["p"] - 3 / 5) < 1e-9
+    assert abs(inst["r"] - 3 / 5) < 1e-9
+    assert abs(corpus - 3 / 5) < 1e-9
+    assert per[0]["Object"]["f"] == 1.0
+    assert abs(per[0]["Attribute"]["p"] - 0.5) < 1e-9
+
+
+def test_spice_synonym_matching():
+    from patchioner_tpu.eval import spice as sp
+
+    groups = {"dog": frozenset({"canine"}), "puppy": frozenset({"canine"})}
+    syn = lambda w: groups.get(w, frozenset())
+    cand, refs = [tok("a dog")], [[tok("a puppy")]]
+    c0, _ = sp.spice(cand, refs)
+    c1, _ = sp.spice(cand, refs, synonyms=syn)
+    assert c0 == 0.0 and c1 == 1.0
+
+
+def test_spice_plural_lemmatization():
+    from patchioner_tpu.eval import spice as sp
+
+    g = sp.parse_scene_graph(tok("two dogs and three people"))
+    assert ("dog",) in g and ("person",) in g
 
 
 def test_meteor_stem_stage():
