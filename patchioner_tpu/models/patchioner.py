@@ -398,9 +398,20 @@ class Patchioner:
                 from patchioner_tpu.io import torch_port
 
                 sd = torch.load(dino_weights, map_location="cpu")
-                vit_params = torch_port.port_dinov2(
-                    sd, vit_cfg.depth, vit_cfg.num_registers
-                )
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                if "dinotxt" in dino_model:
+                    # hub dinotxt checkpoints nest the backbone under
+                    # visual_model.backbone.model (src/model.py:345-346)
+                    from patchioner_tpu.models import dinotxt as dinotxt_mod
+
+                    vit_params = dinotxt_mod.port_dinotxt_visual(
+                        sd, vit_cfg.depth, vit_cfg.num_registers
+                    )
+                else:
+                    vit_params = torch_port.port_dinov2(
+                        sd, vit_cfg.depth, vit_cfg.num_registers
+                    )
             elif allow_missing_weights:
                 vit_params = jax.jit(lambda k: vit_mod.init_vit(k, vit_cfg))(k_vit)
             else:
