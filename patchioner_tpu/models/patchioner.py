@@ -78,19 +78,39 @@ class _FallbackWordTokenizer:
         return " ".join(self.rev.get(int(i), "") for i in ids).strip()
 
 
+_WARNED_GPT2_FALLBACK = False
+
+
 def _get_gpt2_tokenizer(allow_fallback: bool):
+    """GPT-2 tokenizer resolution: transformers' local cache, then the
+    in-tree byte-level BPE implementation over any locally present vocab
+    files (text/gpt2_bpe.py — $GPT2_BPE_DIR or the HF cache), then a
+    whitespace fallback (warned once; not caption parity)."""
     try:
         from transformers import AutoTokenizer
 
         return AutoTokenizer.from_pretrained("gpt2", local_files_only=True)
     except Exception:
-        if allow_fallback:
+        pass
+    from patchioner_tpu.text import gpt2_bpe
+
+    tok = gpt2_bpe.load_gpt2_tokenizer()
+    if tok is not None:
+        return tok
+    if allow_fallback:
+        global _WARNED_GPT2_FALLBACK
+        if not _WARNED_GPT2_FALLBACK:
+            _WARNED_GPT2_FALLBACK = True
             warnings.warn(
-                "GPT-2 tokenizer files unavailable locally — using a "
-                "whitespace fallback tokenizer (not caption parity)"
+                "GPT-2 vocab files unavailable locally (set $GPT2_BPE_DIR "
+                "to a dir with vocab.json+merges.txt) — using a whitespace "
+                "fallback tokenizer (not caption parity)"
             )
-            return _FallbackWordTokenizer()
-        raise
+        return _FallbackWordTokenizer()
+    raise FileNotFoundError(
+        "GPT-2 tokenizer files unavailable; set $GPT2_BPE_DIR or pass "
+        "allow_missing_weights=True"
+    )
 
 
 def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
