@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "attention_reference"]
+__all__ = ["flash_attention", "flash_attention_1pass", "attention_reference"]
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
@@ -84,6 +84,94 @@ def _flash_kernel(
     @pl.when(ki == pl.num_programs(2) - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash1p_kernel(
+    q_ref,  # (1, BQ, hd)
+    k_ref,  # (1, NK, hd) — the FULL (padded) key block
+    v_ref,  # (1, NK, hd)
+    o_ref,  # (1, BQ, hd)
+    *,
+    scale: float,
+    num_real_k: int,
+):
+    """Single-pass exact softmax: the whole key range sits in one VMEM block,
+    so there is no online-rescaling state, no scratch, no @pl.when phases —
+    one QK^T matmul, one masked softmax, one PV matmul per program. Sized for
+    the flagship ViT geometry (N=1374 -> 1408 padded keys x hd=64: K/V tiles
+    are 176 KB each in bf16, logits (BQ, 1408) f32 comfortably fit VMEM)."""
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, NK) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < num_real_k, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "interpret")
+)
+def flash_attention_1pass(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, H, N, hd) x3 -> (B, H, N, hd); exact softmax with all keys
+    resident in VMEM (geometry-tuned variant of `flash_attention` for
+    moderate N — the flagship's N=1374; see PERF.md)."""
+    b, h, n, hd = q.shape
+    bh = b * h
+    lane = 128
+    nk = pl.cdiv(n, lane) * lane
+    nq = pl.cdiv(n, block_q) * block_q
+    qf = q.reshape(bh, n, hd)
+    kf = k.reshape(bh, n, hd)
+    vf = v.reshape(bh, n, hd)
+    if nq != n:
+        qf = jnp.pad(qf, ((0, 0), (0, nq - n), (0, 0)))
+    if nk != n:
+        kf = jnp.pad(kf, ((0, 0), (0, nk - n), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk - n), (0, 0)))
+    grid = (bh, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash1p_kernel, scale=scale, num_real_k=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nq * nk * hd,
+            bytes_accessed=4 * bh * n * hd * q.dtype.itemsize,
+            transcendentals=bh * nq * nk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :n].reshape(b, h, n, hd)
 
 
 @functools.partial(

@@ -40,6 +40,37 @@ def test_flash_bf16_inputs():
     )
 
 
+@pytest.mark.parametrize("n", [96, 130, 200])
+def test_flash_1pass_matches_reference(n):
+    rng = np.random.default_rng(2)
+    b, h, hd = 2, 3, 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, hd)), jnp.float32)
+    want = attention.attention_reference(q, k, v, 0.125)
+    got = attention.flash_attention_1pass(
+        q, k, v, scale=0.125, block_q=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_flash_1pass_bf16_inputs():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 2, 100, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 100, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 100, 64)), jnp.bfloat16)
+    want = attention.attention_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), 0.1
+    )
+    got = attention.flash_attention_1pass(
+        q, k, v, scale=0.1, block_q=64, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
 def test_vit_flash_impl_matches_xla():
     from patchioner_tpu.models import vit
 
