@@ -148,6 +148,20 @@ def main():
     dt = bench_fn(fn, args, iters)
     captions_per_sec = batch / dt
 
+    # MFU: XLA-analyzed FLOPs of the jitted caption step / measured time /
+    # chip peak (v5e bf16 = 197 TFLOPS; override for other chips/dtypes via
+    # PATCHIONER_PEAK_TFLOPS).
+    mfu = None
+    try:
+        from patchioner_tpu.eval import harness
+
+        flops = harness.xla_flops(fn, *args)
+        peak = float(os.environ.get("PATCHIONER_PEAK_TFLOPS", 197.0)) * 1e12
+        if flops:
+            mfu = round(flops / dt / peak, 4)
+    except Exception:
+        pass
+
     vs_baseline = None
     if os.environ.get("PATCHIONER_BENCH_SKIP_BASELINE", "0") != "1":
         naive_iters = max(1, iters // 5)
@@ -168,6 +182,9 @@ def main():
                 "value": round(captions_per_sec, 3),
                 "unit": "captions/s",
                 "vs_baseline": vs_baseline,
+                "ms_per_batch": round(dt * 1000, 1),
+                "batch": batch,
+                "mfu": mfu,
             }
         )
     )
