@@ -84,7 +84,12 @@ def xla_flops(fn: Callable, *args) -> Optional[float]:
 
     try:
         lowered = jax.jit(fn).lower(*args)
-        cost = lowered.compile().cost_analysis()
+        try:
+            # pre-compile analysis (cheap — avoids a second multi-minute
+            # backend compile of the flagship program over the TPU tunnel)
+            cost = lowered.cost_analysis()
+        except Exception:
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) if cost else None

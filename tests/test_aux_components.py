@@ -198,3 +198,13 @@ def test_build_save_load_bank_roundtrip(tmp_path):
     assert proj.shape == (1, 48)
     idx = int(memproj.memory_argmax(q, jnp.asarray(loaded.embeddings))[0])
     assert loaded.texts[idx] == texts[2]
+
+
+def test_chain_bench_times_op():
+    import jax.numpy as jnp
+
+    from patchioner_tpu.eval.chain_bench import chain_time
+
+    w = jnp.ones((8, 8)) * 0.5
+    res = chain_time(lambda x, w: x @ w, jnp.ones((4, 8)), w, chain=4, reps=2)
+    assert res["per_op_ms"] > 0 and len(res["times_ms"]) == 2
