@@ -36,10 +36,13 @@ def chain_time(
     {"per_op_ms": best, "times_ms": all reps, "compile_s": first-call}.
     """
 
+    # consts enter as jit *arguments* — closing over device arrays would bake
+    # them into the HLO as constants (CLAUDE.md: a 1.8 GB closure constant
+    # once made a compile take 25 min over the tunnel).
     @jax.jit
-    def run(x):
+    def run(x, *cs):
         def body(_, acc):
-            y = fn(acc, *consts)
+            y = fn(acc, *cs)
             return y.astype(cast) if cast is not None else y
 
         return jax.lax.fori_loop(0, chain, body, x)
@@ -50,12 +53,12 @@ def chain_time(
         np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
 
     t0 = time.perf_counter()
-    sync(run(x0))
+    sync(run(x0, *consts))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(run(x0))
+        sync(run(x0, *consts))
         times.append((time.perf_counter() - t0) / chain * 1000)
     return {
         "per_op_ms": min(times),

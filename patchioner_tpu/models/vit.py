@@ -40,7 +40,7 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
-    attn_impl: str = "xla"  # 'xla' | 'flash' (Pallas, TPU)
+    attn_impl: str = "xla"  # 'xla' | 'flash' | 'flash1p' | 'flash_builtin'
     softmax_f32: bool = True  # f32 attention softmax (parity default)
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
@@ -234,6 +234,10 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
         from patchioner_tpu.ops.attention import flash_attention
 
         out = flash_attention(q, k, v, scale=hd**-0.5)
+    elif cfg.attn_impl == "flash1p":
+        from patchioner_tpu.ops.attention import flash_attention_1pass
+
+        out = flash_attention_1pass(q, k, v, scale=hd**-0.5)
     elif cfg.attn_impl == "flash_builtin":
         # jax's bundled TPU flash kernel — opt-in only. Measured on v5e at
         # this workload's shapes (hd=64, N=1374, bf16, B=128): 1649ms per

@@ -127,12 +127,14 @@ def flash_attention_1pass(
     v: jax.Array,
     *,
     scale: float,
-    block_q: int = 128,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """(B, H, N, hd) x3 -> (B, H, N, hd); exact softmax with all keys
     resident in VMEM (geometry-tuned variant of `flash_attention` for
-    moderate N — the flagship's N=1374; see PERF.md)."""
+    moderate N — the flagship's N=1374; see PERF.md). block_q=512 measured
+    best on v5e at the flagship shape (23.9 ms vs 26.9/29.0 at 256/128,
+    dispatch-amortized chain timing)."""
     b, h, n, hd = q.shape
     bh = b * h
     lane = 128
