@@ -49,7 +49,7 @@ def _build(batch: int, bank_size: int):
     pts = jnp.asarray(rng.uniform(0, 1, (batch, 64, 2)), jnp.float32)
     valid = jnp.ones((batch, 64), jnp.float32)
     args = (pixels, pts, valid)
-    return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank)
+    return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank), state
 
 
 def _naive_reference_port(model, batch: int):
@@ -144,7 +144,7 @@ def main():
     )
     iters = int(os.environ.get("PATCHIONER_BENCH_ITERS", 10 if on_tpu else 2))
 
-    fn, args, model = _build(batch, bank_size)
+    fn, args, model, state = _build(batch, bank_size)
     dt = bench_fn(fn, args, iters)
     captions_per_sec = batch / dt
 
@@ -153,9 +153,22 @@ def main():
     # PATCHIONER_PEAK_TFLOPS).
     mfu = None
     try:
+        import dataclasses
+
+        import __graft_entry__ as ge
         from patchioner_tpu.eval import harness
 
         flops = harness.xla_flops(fn, *args)
+        if not flops:
+            # Pre-compile cost analysis cannot see through a Pallas custom
+            # call; lower (trace-only, no backend compile) the algorithmic
+            # twin with XLA attention for the FLOP numerator instead.
+            vit_cfg, _, gcfg, _, bank = model
+            xcfg = dataclasses.replace(vit_cfg, attn_impl="xla")
+            step_x = ge.make_caption_step(xcfg, gcfg, on_tpu, bank.num_real)
+            flops = harness.xla_flops(
+                lambda p, t, v: step_x(state, p, t, v), *args
+            )
         peak = float(os.environ.get("PATCHIONER_PEAK_TFLOPS", 197.0)) * 1e12
         if flops:
             mfu = round(flops / dt / peak, 4)

@@ -405,11 +405,16 @@ class Patchioner:
             vit_cfg = vit_mod.config_for(variant, img_size=crop_dim, dtype=dtype)
             # extensions over the reference schema — measured encoder
             # variants (PERF.md): opt-in, defaults match the reference
-            if config.get("attn_impl") or config.get("softmax_f32") is not None:
+            if (
+                config.get("attn_impl")
+                or config.get("softmax_f32") is not None
+                or config.get("gelu_approx") is not None
+            ):
                 vit_cfg = dataclasses.replace(
                     vit_cfg,
                     attn_impl=config.get("attn_impl", vit_cfg.attn_impl),
                     softmax_f32=bool(config.get("softmax_f32", vit_cfg.softmax_f32)),
+                    gelu_approx=bool(config.get("gelu_approx", vit_cfg.gelu_approx)),
                 )
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):

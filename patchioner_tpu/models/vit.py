@@ -42,6 +42,10 @@ class ViTConfig:
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
     attn_impl: str = "xla"  # 'xla' | 'flash' | 'flash1p' | 'flash_builtin'
     softmax_f32: bool = True  # f32 attention softmax (parity default)
+    # tanh-approximate GELU: ~9% faster encoder layers on v5e (45.8 vs
+    # 50.4 ms at the flagship shape — erf is expensive on the VPU) but a
+    # numerics change vs the reference's exact nn.GELU, so opt-in only.
+    gelu_approx: bool = False
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -221,11 +225,26 @@ def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) ->
     )
 
 
-def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
+def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
+               num_real_k=None):
     b, n, d = x_norm.shape
     nh = cfg.num_heads
     hd = d // nh
     qkv = _dense(x_norm, blk["qkv"])  # (B, N, 3D)
+    if cfg.attn_impl == "fusedqkv":
+        # Transpose-free head-pair kernel on the fused qkv activation.
+        # Measured 38.1 ms/layer vs 50.5 XLA at the flagship shape
+        # (B=128, N padded 1374->1408, bf16, v5e) — see PERF.md. Requires
+        # the encoder to run at N%128==0 (vit_forward pads) with real keys
+        # masked via num_real_k.
+        from patchioner_tpu.ops.attention import fused_qkv_attention
+
+        merged = fused_qkv_attention(
+            qkv, num_heads=nh, scale=hd**-0.5, num_real_k=num_real_k,
+            block_q=n,
+        )
+        out = _dense(merged, blk["proj"])
+        return (out, qkv) if return_qkv else (out, None)
     q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd), 3, axis=2)
     q = q.squeeze(2).transpose(0, 2, 1, 3)  # (B, H, N, hd)
     k = k.squeeze(2).transpose(0, 2, 1, 3)
@@ -283,14 +302,16 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool):
     return (out, qkv) if return_qkv else (out, None)
 
 
-def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False):
-    a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg, return_qkv)
+def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
+           num_real_k=None):
+    a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
+                        return_qkv, num_real_k)
     if cfg.layerscale:
         a = a * blk["ls1"]
     x = x + a
     m = _dense(
         jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
-                    approximate=False),
+                    approximate=cfg.gelu_approx),
         blk["fc2"],
     )
     if cfg.layerscale:
@@ -344,15 +365,29 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
         )
         x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
 
+    # fusedqkv kernel needs lane-aligned N: pad the token axis once for the
+    # whole stack (padded rows are zero -> LN emits the bias row -> finite
+    # garbage, masked out of attention as keys and sliced off at the end).
+    num_real = x.shape[1]
+    pad_n = (-num_real) % 128 if cfg.attn_impl == "fusedqkv" else 0
+    if pad_n:
+        x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
+    nrk = num_real if pad_n else None
+
     last_input = None
     qkv_last = None
     for i, blk in enumerate(params["blocks"]):
         is_last = i == len(params["blocks"]) - 1
         if is_last:
             last_input = x
-        x, qkv = _block(x, blk, cfg, return_qkv=is_last)
+        x, qkv = _block(x, blk, cfg, return_qkv=is_last, num_real_k=nrk)
         if is_last:
             qkv_last = qkv
+
+    if pad_n:
+        x = x[:, :num_real]
+        qkv_last = qkv_last[:, :num_real]
+        last_input = last_input[:, :num_real]
 
     x_norm = _ln(x, params["norm"], cfg.ln_eps)
     ng = cfg.num_global_tokens
@@ -404,7 +439,7 @@ def last_block_rerun(
     x = tokens + a
     m = _dense(
         jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
-                    approximate=False),
+                    approximate=cfg.gelu_approx),
         blk["fc2"],
     )
     if cfg.layerscale:

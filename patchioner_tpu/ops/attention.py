@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_1pass", "attention_reference"]
+__all__ = [
+    "flash_attention",
+    "flash_attention_1pass",
+    "fused_qkv_attention",
+    "attention_reference",
+]
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
@@ -174,6 +179,115 @@ def flash_attention_1pass(
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :n].reshape(b, h, n, hd)
+
+
+def _fusedqkv_kernel(
+    q_ref,  # (1, BQ, 2·hd) — 128-wide column block = one head PAIR
+    k_ref,  # (1, NK, 2·hd) — same pair's keys
+    v_ref,  # (1, NK, 2·hd)
+    o_ref,  # (1, BQ, 2·hd) — head pair of the (B, N, D) output
+    *,
+    scale: float,
+    num_real_k: int,
+    hd: int,
+):
+    # Mosaic requires the trailing block dim to be a multiple of 128, so a
+    # single hd=64 head cannot be a column block; each program handles two
+    # adjacent heads, sliced on the lane axis.
+    def one_head(lo):
+        q = q_ref[0, :, lo:lo + hd] * jnp.asarray(scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, lo:lo + hd],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, NK) f32
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < num_real_k, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v_ref.dtype), v_ref[0, :, lo:lo + hd],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lo:lo + hd] = o.astype(o_ref.dtype)
+
+    one_head(0)
+    one_head(hd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "num_real_k", "block_q",
+                     "interpret"),
+)
+def fused_qkv_attention(
+    qkv: jax.Array,
+    *,
+    num_heads: int,
+    scale: float,
+    num_real_k: int | None = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention directly on the fused qkv activation — no transposes.
+
+    `qkv` is the (B, N, 3·D) output of the fused qkv projection, laid out
+    (3, H, hd) along the last axis (the torch/DINOv2 fused-linear layout,
+    reference src/dino_extraction.py:24-27). The standard path splits it
+    into three (B, H, N, hd) tensors — four HBM round-trips of transposed
+    copies that XLA cannot always fuse away. This kernel instead addresses
+    q/k/v as head-PAIR-indexed *column blocks* of the original array (the
+    same array is passed three times with different index maps; pairs
+    because Mosaic needs 128-wide trailing blocks and hd=64) and writes the
+    output already in (B, N, D) merged-head layout, ready for the out-proj
+    matmul. Single-pass exact softmax with the whole (padded) key range
+    resident in VMEM, like `flash_attention_1pass`.
+
+    Requires N a multiple of 128 (run the encoder padded; mask real keys
+    via `num_real_k`), an even head count, and hd=64.
+    """
+    b, n, three_d = qkv.shape
+    hd = three_d // (3 * num_heads)
+    if n % 128:
+        raise ValueError(f"fused_qkv_attention needs N%128==0, got {n}")
+    if num_heads % 2 or hd != 64:
+        raise ValueError("fused_qkv_attention needs even heads and hd=64")
+    if num_real_k is None:
+        num_real_k = n
+    nq_blocks = pl.cdiv(n, block_q)
+    hp = num_heads // 2  # head pairs; column blocks are 128 = 2·hd wide
+    grid = (b, hp, nq_blocks)
+    out = pl.pallas_call(
+        functools.partial(
+            _fusedqkv_kernel, scale=scale, num_real_k=num_real_k, hd=hd
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * hd), lambda i, hh, j: (i, j, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * hd), lambda i, hh, j: (i, 0, hp + hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * hd), lambda i, hh, j: (i, 0, 2 * hp + hh),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 2 * hd), lambda i, hh, j: (i, j, hh),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * hd,
+            bytes_accessed=4 * b * n * num_heads * hd * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
 
 
 @functools.partial(

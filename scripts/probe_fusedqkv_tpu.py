@@ -1,0 +1,62 @@
+"""TPU probe: full encoder layer with fused-qkv attention (padded N=1408)
+vs the XLA baseline at N=1374 (50.4 ms/layer from probe_layer2).
+
+The fused kernel reads q/k/v as column blocks of the qkv activation and
+writes merged-head output — no transposes. Also sweeps block_q.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.eval.chain_bench import chain_time
+from patchioner_tpu.models import vit as V
+from patchioner_tpu.ops.attention import fused_qkv_attention
+from scripts.probe_layer_tpu import make_block
+
+B, D, H, HD = 128, 768, 12, 64
+NREAL, NPAD = 1374, 1408
+
+
+def main():
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}))
+    sys.stdout.flush()
+    cfg = V.ViTConfig(dtype=jnp.bfloat16)
+    blk = make_block(jax.random.PRNGKey(0), cfg)
+
+    def layer_fused(x, blk, bq):
+        xn = V._ln(x, blk["norm1"], cfg.ln_eps)
+        qkv = V._dense(xn, blk["qkv"])
+        a = fused_qkv_attention(
+            qkv, num_heads=H, scale=HD**-0.5, num_real_k=NREAL, block_q=bq
+        )
+        a = V._dense(a, blk["proj"])
+        x = x + a * blk["ls1"]
+        m = V._dense(
+            jax.nn.gelu(V._dense(V._ln(x, blk["norm2"], cfg.ln_eps),
+                                 blk["fc1"]), approximate=False),
+            blk["fc2"],
+        )
+        return x + m * blk["ls2"]
+
+    xpad = jax.random.normal(jax.random.PRNGKey(1), (B, NPAD, D), jnp.bfloat16)
+    for bq in (512, 256, 1408):
+        try:
+            r = chain_time(lambda x, blk, bq=bq: layer_fused(x, blk, bq),
+                           xpad, blk, chain=6, reps=3)
+            print(json.dumps({"variant": f"fusedqkv_bq{bq}_n1408", **r}))
+        except Exception as e:
+            print(json.dumps({"variant": f"fusedqkv_bq{bq}", "error": repr(e)[:400]}))
+        sys.stdout.flush()
+
+    # baseline re-measured in the same session for a clean pair
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, NREAL, D), jnp.bfloat16)
+    r = chain_time(lambda x, blk: V._block(x, blk, cfg)[0], x, blk,
+                   chain=6, reps=3)
+    print(json.dumps({"variant": "xla_n1374_baseline", **r}))
+
+
+if __name__ == "__main__":
+    main()

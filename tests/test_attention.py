@@ -71,6 +71,74 @@ def test_flash_1pass_bf16_inputs():
     )
 
 
+@pytest.mark.parametrize("num_real_k", [None, 200])
+def test_fused_qkv_matches_split_path(num_real_k):
+    rng = np.random.default_rng(4)
+    b, n, h, hd = 2, 256, 4, 64
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * hd)), jnp.float32)
+    q, k, v = jnp.split(qkv.reshape(b, n, 3, h, hd), 3, axis=2)
+    q = q.squeeze(2).transpose(0, 2, 1, 3)
+    k = k.squeeze(2).transpose(0, 2, 1, 3)
+    v = v.squeeze(2).transpose(0, 2, 1, 3)
+    nk = num_real_k or n
+    want = attention.attention_reference(
+        q, k[:, :, :nk], v[:, :, :nk], hd**-0.5
+    ).transpose(0, 2, 1, 3).reshape(b, n, h * hd)
+    got = attention.fused_qkv_attention(
+        qkv, num_heads=h, scale=hd**-0.5, num_real_k=num_real_k,
+        block_q=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_fused_qkv_rejects_ragged_n():
+    qkv = jnp.zeros((1, 130, 3 * 2 * 64))
+    with pytest.raises(ValueError, match="N%128"):
+        attention.fused_qkv_attention(
+            qkv, num_heads=2, scale=0.125, interpret=True
+        )
+
+
+def test_gelu_approx_knob_close_but_distinct():
+    from patchioner_tpu.models import vit
+
+    cfg_e = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                          num_heads=2, num_registers=0, pos_grid=4)
+    cfg_a = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                          num_heads=2, num_registers=0, pos_grid=4,
+                          gelu_approx=True)
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_e)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = np.asarray(vit.vit_forward(params, x, cfg_e)["x_norm_patchtokens"])
+    b = np.asarray(vit.vit_forward(params, x, cfg_a)["x_norm_patchtokens"])
+    assert np.max(np.abs(a - b)) > 0  # genuinely different math
+    np.testing.assert_allclose(a, b, rtol=0.1, atol=5e-2)  # but close
+
+
+def test_vit_fusedqkv_impl_matches_xla():
+    """fusedqkv pads N 21->128 internally; outputs must match XLA exactly
+    (same math, just transpose-free layout + key masking)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=128, depth=2,
+              num_heads=2, num_registers=4, pos_grid=4)
+    cfg_x = vit.ViTConfig(**kw)
+    cfg_f = vit.ViTConfig(**kw, attn_impl="fusedqkv")
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(params, x, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        b = vit.vit_forward(params, x, cfg_f)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken", "qkv_last"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-4, atol=5e-5,
+            err_msg=key,
+        )
+
+
 def test_vit_flash_impl_matches_xla():
     from patchioner_tpu.models import vit
 
