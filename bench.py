@@ -119,6 +119,38 @@ def _naive_reference_port(model, batch: int):
     return encode_and_project, naive_decode_time
 
 
+def _analytic_caption_flops(model, batch: int) -> float:
+    """Closed-form matmul FLOPs of one caption batch (2·m·n·k per matmul):
+    encoder (qkv/proj/MLP/attention at the real token count), CLS-attention
+    extraction, memory projection (sim + recombination), and the 30-step
+    KV-cached decode with LM head."""
+    from patchioner_tpu.models import decap as decap_mod
+
+    vit_cfg, _, gcfg, _, bank = model
+    n = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
+    d = vit_cfg.embed_dim
+    mlp = int(d * vit_cfg.mlp_ratio)
+    enc_layer = (
+        2 * n * d * 3 * d          # qkv
+        + 2 * 2 * n * n * d        # QK^T + PV
+        + 2 * n * d * d            # out proj
+        + 2 * 2 * n * d * mlp      # fc1 + fc2
+    )
+    enc = vit_cfg.depth * enc_layer + 2 * (n - vit_cfg.num_global_tokens) * (
+        vit_cfg.patch_size**2 * 3
+    ) * d
+    extract = 2 * n * n * d        # qkᵀ recompute for CLS attention
+    proj = 2 * 2 * bank.num_real * d  # sim matmul + recombination
+    t = decap_mod.ENTRY_LENGTH
+    gd, gmlp = gcfg.n_embd, 4 * gcfg.n_embd
+    dec_step = gcfg.n_layer * (
+        2 * gd * 3 * gd + 2 * gd * gd + 2 * 2 * gd * gmlp
+        + 2 * 2 * (t // 2) * gd    # attention against the mean cached length
+    ) + 2 * gd * gcfg.vocab_size   # LM head
+    dec = t * dec_step
+    return float(batch) * (enc + extract + proj + dec)
+
+
 def _sync(out):
     """Force completion via a device->host copy of one small leaf —
     block_until_ready is unreliable on the experimental remote-TPU backend."""
@@ -128,11 +160,25 @@ def _sync(out):
 
 
 def bench_fn(fn, args, iters: int, warmup: int = 2):
+    """Per-batch latency: submit, sync, repeat (host roundtrip included)."""
     for _ in range(warmup):
         _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         _sync(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_fn_pipelined(fn, args, iters: int):
+    """Serving throughput: keep batches in flight, sync once at the end —
+    device-side steady state with the per-dispatch host roundtrip hidden
+    (async dispatch double-buffers on device). This is the captions/s a
+    deployment sees; `bench_fn` is the per-batch latency."""
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -145,7 +191,8 @@ def main():
     iters = int(os.environ.get("PATCHIONER_BENCH_ITERS", 10 if on_tpu else 2))
 
     fn, args, model, state = _build(batch, bank_size)
-    dt = bench_fn(fn, args, iters)
+    dt_lat = bench_fn(fn, args, iters)  # also serves as warmup
+    dt = bench_fn_pipelined(fn, args, iters)
     captions_per_sec = batch / dt
 
     # MFU: XLA-analyzed FLOPs of the jitted caption step / measured time /
@@ -153,22 +200,16 @@ def main():
     # PATCHIONER_PEAK_TFLOPS).
     mfu = None
     try:
-        import dataclasses
-
-        import __graft_entry__ as ge
         from patchioner_tpu.eval import harness
 
-        flops = harness.xla_flops(fn, *args)
+        flops = harness.xla_flops(fn, *args, allow_compile=False)
         if not flops:
-            # Pre-compile cost analysis cannot see through a Pallas custom
-            # call; lower (trace-only, no backend compile) the algorithmic
-            # twin with XLA attention for the FLOP numerator instead.
-            vit_cfg, _, gcfg, _, bank = model
-            xcfg = dataclasses.replace(vit_cfg, attn_impl="xla")
-            step_x = ge.make_caption_step(xcfg, gcfg, on_tpu, bank.num_real)
-            flops = harness.xla_flops(
-                lambda p, t, v: step_x(state, p, t, v), *args
-            )
+            # XLA cost analysis is unavailable pre-compile on the remote-TPU
+            # backend (returns None) and cannot see through the Pallas
+            # attention custom call anyway; a post-compile analysis means a
+            # second multi-minute flagship compile over the tunnel. Use the
+            # closed-form algorithmic FLOPs of the caption step instead.
+            flops = _analytic_caption_flops(model, batch)
         peak = float(os.environ.get("PATCHIONER_PEAK_TFLOPS", 197.0)) * 1e12
         if flops:
             mfu = round(flops / dt / peak, 4)
@@ -186,7 +227,9 @@ def main():
         dt_encode = (time.perf_counter() - t0) / naive_iters
         dt_decode = naive_decode_time(prefix, naive_iters)
         naive_cps = batch / (dt_encode + dt_decode)
-        vs_baseline = round(captions_per_sec / naive_cps, 3)
+        # apples-to-apples: the baseline loop is synced per call, so compare
+        # it against the synced latency, not the pipelined throughput
+        vs_baseline = round((batch / dt_lat) / naive_cps, 3)
 
     print(
         json.dumps(
@@ -196,6 +239,7 @@ def main():
                 "unit": "captions/s",
                 "vs_baseline": vs_baseline,
                 "ms_per_batch": round(dt * 1000, 1),
+                "latency_ms_per_batch": round(dt_lat * 1000, 1),
                 "batch": batch,
                 "mfu": mfu,
             }

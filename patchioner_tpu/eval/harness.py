@@ -77,22 +77,34 @@ def timing_summary(timer: PhaseTimer, num_items: int) -> dict:
     }
 
 
-def xla_flops(fn: Callable, *args) -> Optional[float]:
+def xla_flops(fn: Callable, *args, allow_compile: bool = True) -> Optional[float]:
     """FLOPs of one jitted call via XLA cost analysis (replaces the
-    reference's fvcore first-batch measurement)."""
+    reference's fvcore first-batch measurement).
+
+    Pre-compile analysis is tried first (cheap). On the remote-TPU backend
+    it returns None rather than raising, so on any miss we fall through to
+    post-compile analysis — unless `allow_compile=False` (a second backend
+    compile of a flagship-sized program over the TPU tunnel can take many
+    minutes; callers with a cheap analytic fallback should disable it)."""
     import jax
+
+    def _flops(cost):
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
+        if not cost:
+            return None
+        f = cost.get("flops")
+        return float(f) if f else None
 
     try:
         lowered = jax.jit(fn).lower(*args)
         try:
-            # pre-compile analysis (cheap — avoids a second multi-minute
-            # backend compile of the flagship program over the TPU tunnel)
-            cost = lowered.cost_analysis()
+            flops = _flops(lowered.cost_analysis())
         except Exception:
-            cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) if cost else None
+            flops = None
+        if flops is None and allow_compile:
+            flops = _flops(lowered.compile().cost_analysis())
+        return flops
     except Exception:
         return None
 
