@@ -409,12 +409,14 @@ class Patchioner:
                 config.get("attn_impl")
                 or config.get("softmax_f32") is not None
                 or config.get("gelu_approx") is not None
+                or config.get("mlp_fused") is not None
             ):
                 vit_cfg = dataclasses.replace(
                     vit_cfg,
                     attn_impl=config.get("attn_impl", vit_cfg.attn_impl),
                     softmax_f32=bool(config.get("softmax_f32", vit_cfg.softmax_f32)),
                     gelu_approx=bool(config.get("gelu_approx", vit_cfg.gelu_approx)),
+                    mlp_fused=bool(config.get("mlp_fused", vit_cfg.mlp_fused)),
                 )
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):

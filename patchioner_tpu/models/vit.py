@@ -46,6 +46,11 @@ class ViTConfig:
     # 50.4 ms at the flagship shape — erf is expensive on the VPU) but a
     # numerics change vs the reference's exact nn.GELU, so opt-in only.
     gelu_approx: bool = False
+    # fused LN+fc1+GELU+fc2+residual Pallas kernel for the MLP half —
+    # keeps the (B, N, 4D) intermediate in VMEM. 31.2 vs 38.1 ms/layer on
+    # v5e combined with fusedqkv (PERF.md). Requires N%128==0 (i.e. the
+    # fusedqkv padded-token path); TPU-only.
+    mlp_fused: bool = False
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -309,6 +314,20 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
     if cfg.layerscale:
         a = a * blk["ls1"]
     x = x + a
+    n = x.shape[1]
+    if cfg.mlp_fused and n % 128 == 0 and "w" in blk["fc1"]:
+        from patchioner_tpu.ops.mlp import fused_ln_mlp
+
+        bq = next(b for b in (704, 512, 256, 128) if n % b == 0)
+        ls = blk["ls2"] if cfg.layerscale else jnp.ones(
+            (x.shape[-1],), x.dtype
+        )
+        return fused_ln_mlp(
+            x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+            blk["fc1"]["w"], blk["fc1"]["b"],
+            blk["fc2"]["w"], blk["fc2"]["b"], ls,
+            eps=cfg.ln_eps, gelu_approx=cfg.gelu_approx, block_q=bq,
+        ), qkv
     m = _dense(
         jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
                     approximate=cfg.gelu_approx),

@@ -1,0 +1,89 @@
+"""Fused LN+MLP+residual kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.ops import mlp
+
+
+def _params(rng, d, h, dtype):
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+    return {
+        "norm2": {"scale": arr(d), "bias": arr(d)},
+        "fc1": {"w": arr(d, h, scale=d**-0.5), "b": arr(h)},
+        "fc2": {"w": arr(h, d, scale=h**-0.5), "b": arr(d)},
+        "ls2": jnp.full((d,), 1e-2, dtype),
+    }
+
+
+@pytest.mark.parametrize("gelu_approx", [False, True])
+def test_fused_ln_mlp_matches_reference_f32(gelu_approx):
+    rng = np.random.default_rng(0)
+    b, n, d, h = 2, 256, 128, 512
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    p = _params(rng, d, h, jnp.float32)
+    want = mlp.ln_mlp_reference(x, p, eps=1e-6, gelu_approx=gelu_approx)
+    got = mlp.fused_ln_mlp(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+        p["ls2"], eps=1e-6, gelu_approx=gelu_approx, block_q=128,
+        interpret=True,
+    )
+    # exact-GELU path uses a rational erf with |abs err| < 1.5e-7, which the
+    # fc2 reduction amplifies to a few e-6 — tolerance covers that.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ln_mlp_bf16():
+    rng = np.random.default_rng(1)
+    b, n, d, h = 1, 128, 128, 512
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    p = _params(rng, d, h, jnp.bfloat16)
+    want = mlp.ln_mlp_reference(x, p, eps=1e-6)
+    got = mlp.fused_ln_mlp(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"],
+        p["ls2"], eps=1e-6, block_q=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_vit_mlp_fused_matches_xla():
+    """mlp_fused (with fusedqkv's padded-N path) must match the plain-XLA
+    encoder end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=128, depth=2,
+              num_heads=2, num_registers=4, pos_grid=4)
+    cfg_x = vit.ViTConfig(**kw)
+    cfg_f = vit.ViTConfig(**kw, attn_impl="fusedqkv", mlp_fused=True)
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(params, x, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        b = vit.vit_forward(params, x, cfg_f)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken", "qkv_last"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-4, atol=5e-5,
+            err_msg=key,
+        )
+
+
+def test_fused_ln_mlp_rejects_ragged_n():
+    x = jnp.zeros((1, 130, 128))
+    z = jnp.zeros((128,))
+    with pytest.raises(ValueError, match="N%"):
+        mlp.fused_ln_mlp(x, z, z, jnp.zeros((128, 512)), jnp.zeros((512,)),
+                         jnp.zeros((512, 128)), z, z, eps=1e-6,
+                         interpret=True)
