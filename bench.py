@@ -49,7 +49,7 @@ def _build(batch: int, bank_size: int):
     pts = jnp.asarray(rng.uniform(0, 1, (batch, 64, 2)), jnp.float32)
     valid = jnp.ones((batch, 64), jnp.float32)
     args = (pixels, pts, valid)
-    return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank), state
+    return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank), state, step
 
 
 def _naive_reference_port(model, batch: int):
@@ -190,7 +190,7 @@ def main():
     )
     iters = int(os.environ.get("PATCHIONER_BENCH_ITERS", 10 if on_tpu else 2))
 
-    fn, args, model, state = _build(batch, bank_size)
+    fn, args, model, state, step = _build(batch, bank_size)
     dt_lat = bench_fn(fn, args, iters)  # also serves as warmup
     dt = bench_fn_pipelined(fn, args, iters)
     captions_per_sec = batch / dt
@@ -202,7 +202,10 @@ def main():
     try:
         from patchioner_tpu.eval import harness
 
-        flops = harness.xla_flops(fn, *args, allow_compile=False)
+        # state goes in as an ARGUMENT: `fn` closes over it, and jitting a
+        # closure over the ~0.9 GB bank would trace it into the lowered
+        # module as a constant (CLAUDE.md closure rule).
+        flops = harness.xla_flops(step, state, *args, allow_compile=False)
         if not flops:
             # XLA cost analysis is unavailable pre-compile on the remote-TPU
             # backend (returns None) and cannot see through the Pallas

@@ -89,8 +89,11 @@ class ResultsCollector:
             out.append(row)
         return sorted(out, key=lambda r: r["model"])
 
-    def markdown(self, task: str, metrics=("CIDEr", "METEOR", "ROUGE-L",
-                                           "BLEU-4")) -> str:
+    def markdown(self, task: str, metrics=("CIDEr", "METEOR", "ROUGE_L",
+                                           "Bleu_4")) -> str:
+        # default column names follow the reference CSV schema
+        # (eval-trace-captioning/compute_scores.py:308-357) that
+        # metrics.compute_all_metrics writes — "ROUGE_L"/"Bleu_4".
         rows = self.table(task, metrics)
         header = ["model", "method", "grid", "backbone", *metrics]
         lines = ["| " + " | ".join(header) + " |",

@@ -38,6 +38,7 @@ __all__ = [
     "meteor",
     "load_wordnet_synonyms",
     "compute_all_metrics",
+    "variant_markers",
 ]
 
 _PUNCT = re.compile(r"[^\w\s]")
@@ -415,3 +416,15 @@ def compute_all_metrics(
         s, s_inst = spice_mod.spice(cand_t, refs_t, synonyms=synonyms)
         out["SPICE"] = (s, [e["All"]["f"] for e in s_inst])
     return out
+
+
+def variant_markers(synonyms="auto") -> dict:
+    """CSV markers naming the METEOR/SPICE variant that `compute_all_metrics`
+    actually ran — "auto" silently changes values when an nltk WordNet corpus
+    is installed, so result rows from different machines must carry these to
+    stay comparable (SPICE is additionally the lexicon-parser variant, not
+    the Java/Stanford scorer — see eval/spice.py)."""
+    if synonyms == "auto":
+        synonyms = load_wordnet_synonyms()
+    stage = "exact+stem" if synonyms is None else "exact+stem+synonym"
+    return {"METEOR_variant": stage, "SPICE_variant": f"lexicon/{stage}"}

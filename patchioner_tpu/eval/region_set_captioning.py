@@ -148,6 +148,7 @@ def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
     if csv_path is not None:
         row = dict(config_row or {})
         row.update({k: f"{v:.4f}" for k, v in scores.items()})
+        row.update(metrics.variant_markers())
         harness.append_results_csv(
             csv_path, row, key_fields=list((config_row or {}).keys())
         )

@@ -299,8 +299,11 @@ def _prf(cand: Set[tuple], ref: Set[tuple], syn) -> Dict[str, float]:
         return {"p": 0.0, "r": 0.0, "f": 0.0}
     matched = 0
     used: Set[tuple] = set()
-    for t in cand:
-        for r in ref:
+    # sorted iteration: greedy matching over raw set order would make scores
+    # depend on PYTHONHASHSEED when synonym matching creates many-to-many
+    # match options (same captions, different SPICE across processes)
+    for t in sorted(cand):
+        for r in sorted(ref):
             if r not in used and _match(t, r, syn):
                 used.add(r)
                 matched += 1

@@ -164,10 +164,10 @@ def compute_scores(
         row = dict(config_row or {})
         row.update({k: f"{v:.4f}" for k, v in scores.items()})
         if "SPICE" in scores:
-            # SPICE here is the lexicon-parser variant (eval/spice.py), not
-            # the Java/Stanford scorer — recorded so result CSVs are never
-            # compared against reference-computed SPICE unawares.
-            row["SPICE_variant"] = "lexicon"
+            # record which METEOR/SPICE variant ran (lexicon SPICE, and
+            # synonym stages only when a WordNet corpus is installed) so
+            # result CSVs are never compared across machines unawares.
+            row.update(metrics.variant_markers())
         timing = result.get("timing") or {}
         if timing.get("images_per_sec_inference"):
             row["images_per_sec_inference"] = (
