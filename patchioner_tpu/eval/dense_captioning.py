@@ -37,9 +37,12 @@ def evaluate(
     keep_img_ratio: bool = True,
     use_attn_map_for_bboxes: bool = False,
     compute_scores: bool = False,
+    caption_bboxes_type: Optional[str] = None,
+    caption_from: str = "patches",
     limit: Optional[int] = None,
     out_path: Optional[str] = None,
     loader=None,
+    pil_loader=None,
 ) -> dict:
     coco = CocoAnnotations(annotations_path)
     image_ids = coco.image_ids
@@ -80,6 +83,23 @@ def evaluate(
 
     loader = loader or default_loader
 
+    def default_pil_loader(infos):
+        from PIL import Image
+
+        pils = []
+        for info in infos:
+            path = None
+            for root in image_roots:
+                cand = os.path.join(root, info["file_name"])
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
+            pils.append(img.convert("RGB") if img.mode != "RGB" else img)
+        return pils
+
+    pil_loader = pil_loader or default_pil_loader
+
     for bi, batch_ids in harness.batched(image_ids, batch_size):
         with timer.phase("preprocessing"):
             infos = coco.load_imgs(list(batch_ids))
@@ -116,15 +136,52 @@ def evaluate(
             bboxes = np.asarray(adjusted, np.float32)
 
         with timer.phase("inference"):
-            outs = model.forward(
-                imgs,
-                get_cls_capt=False,
-                bboxes=bboxes,
-                gaussian_avg=use_gaussian_weighting,
-                gaussian_bbox_variance=gaussian_variance,
-                use_attn_map_for_bboxes=use_attn_map_for_bboxes,
-                compute_scores=compute_scores,
-            )
+            if caption_bboxes_type is not None:
+                # crop-and-caption baseline (reference eval_densecap.py:429
+                # "Variant B" -> src/model.py:1356-1390): PIL-crop each RAW
+                # box from the original image, caption the crops with
+                # cls/avg-self-attn. Raw xywh boxes — crops come from the
+                # untransformed image, so no coordinate remap.
+                raw_boxes = [
+                    [[a["bbox"][0], a["bbox"][1],
+                      max(a["bbox"][2] - a["bbox"][0], 1),
+                      max(a["bbox"][3] - a["bbox"][1], 1)] for a in anns_i]
+                    for anns_i in raw_anns
+                ]
+                max_raw = max(len(b) for b in raw_boxes)
+                for b in raw_boxes:
+                    b.extend([[0, 0, 1, 1]] * (max_raw - len(b)))
+                outs = model.caption_bboxes(
+                    pil_loader(infos), np.asarray(raw_boxes, np.float32),
+                    capt_type=caption_bboxes_type, crop_boxes=True,
+                    compute_scores=compute_scores,
+                )
+            elif caption_from in ("cls", "avg_self_attn"):
+                # whole-image caption assigned to every box — the reference's
+                # cls/avg-self-attn dense baseline (eval_densecap.py:431-435)
+                w_outs = model.forward(
+                    imgs,
+                    get_cls_capt=caption_from == "cls",
+                    get_avg_self_attn_capt=caption_from == "avg_self_attn",
+                    compute_scores=compute_scores,
+                )
+                key = f"{caption_from}_capt"
+                n_b = bboxes.shape[1]
+                outs = {"bbox_capts": [[c] * n_b for c in w_outs[key]]}
+                if compute_scores:
+                    outs["bbox_scores"] = [
+                        [s] * n_b for s in w_outs[f"{key}_scores"]
+                    ]
+            else:
+                outs = model.forward(
+                    imgs,
+                    get_cls_capt=False,
+                    bboxes=bboxes,
+                    gaussian_avg=use_gaussian_weighting,
+                    gaussian_bbox_variance=gaussian_variance,
+                    use_attn_map_for_bboxes=use_attn_map_for_bboxes,
+                    compute_scores=compute_scores,
+                )
 
         for i, anns in enumerate(raw_anns):
             capts = outs["bbox_capts"][i]

@@ -58,6 +58,7 @@ def evaluate(
     gaussian_variance: float = 0.5,
     keep_img_ratio: bool = True,
     use_attn_map_for_bboxes: bool = False,
+    caption_from: str = "patches",
     limit: Optional[int] = None,
     out_path: Optional[str] = None,
     loader=None,
@@ -108,16 +109,22 @@ def evaluate(
                 adj += [DUMMY_BOX] * (n_max - len(adj))
                 adjusted.append(adj)
         with timer.phase("inference"):
+            # caption_from != 'patches' is the reference's cls baseline: the
+            # whole-image caption stands in for the region-set caption
+            # (eval_region_set_captioning.py:323,345).
             outs = model.forward(
                 imgs,
-                get_cls_capt=False,
+                get_cls_capt=caption_from == "cls",
                 bboxes=np.asarray(adjusted, np.float32),
                 gaussian_avg=use_gaussian_weighting,
                 gaussian_bbox_variance=gaussian_variance,
                 get_controllable_capts=True,
                 use_attn_map_for_bboxes=use_attn_map_for_bboxes,
             )
-            preds.extend(outs["set_controllable_capts"])
+            preds.extend(
+                outs["set_controllable_capts"] if caption_from == "patches"
+                else outs["cls_capt"]
+            )
 
     records = [
         {

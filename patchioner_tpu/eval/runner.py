@@ -75,6 +75,10 @@ TASK_REGISTRY: Dict[str, Callable] = {
     "image_captioning": _image_task,
     "dense_captioning": _dense_task,
     "region_set_captioning": _region_set_task,
+    # reference grid-config task names (evaluation/configs/*.json,
+    # run_tasks.py task registry) — aliases to the same adapters
+    "narratives": _trace_task,
+    "controllable_captioning": _region_set_task,
 }
 
 

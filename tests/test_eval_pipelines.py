@@ -136,6 +136,72 @@ def test_dense_captioning_pipeline(tiny_model, tmp_path):
     assert abs(out["map"] - 1.0) < 1e-9  # perfect captions + boxes
 
 
+def test_dense_crop_and_cls_modes(tiny_model, tmp_path):
+    from PIL import Image
+
+    p = make_coco_json(tmp_path, with_xyxy_boxes=True)
+
+    def pil_loader(infos):
+        rng = np.random.default_rng(1)
+        return [
+            Image.fromarray(
+                (rng.uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+            )
+            for _ in infos
+        ]
+
+    # crop-and-caption baseline (reference eval_densecap.py:429)
+    r1 = dense_captioning.evaluate(
+        tiny_model, p, str(tmp_path), batch_size=2,
+        caption_bboxes_type="cls_capt",
+        loader=fake_loader_with_sizes, pil_loader=pil_loader,
+    )
+    anns1 = r1["predictions"]["annotations"]
+    assert len(anns1) == 3 and all(a["caption"] for a in anns1)
+    # whole-image cls baseline (reference eval_densecap.py:431-435):
+    # every box in an image gets the image's caption
+    r2 = dense_captioning.evaluate(
+        tiny_model, p, str(tmp_path), batch_size=2, caption_from="cls",
+        loader=fake_loader_with_sizes,
+    )
+    anns2 = r2["predictions"]["annotations"]
+    by_img = {}
+    for a in anns2:
+        by_img.setdefault(a["image_id"], set()).add(a["caption"])
+    assert all(len(c) == 1 for c in by_img.values())
+
+
+def test_region_set_cls_baseline(tiny_model, tmp_path):
+    ann = {"7": {"two dogs": [[10, 10, 60, 60]]}}
+    p = tmp_path / "regions_cls.json"
+    p.write_text(json.dumps(ann))
+    r = region_set_captioning.evaluate(
+        tiny_model, str(p), str(tmp_path), batch_size=2, caption_from="cls",
+        loader=fake_loader_with_sizes,
+    )
+    assert len(r["predictions"]) == 1 and r["predictions"][0]["pred"]
+
+
+def test_shipped_grid_configs_resolve():
+    """The translated reference experiment grids must parse, expand, and
+    name only registered tasks (model YAMLs resolve when shipped — like the
+    reference, a few grid entries name lab-only configs)."""
+    import os
+
+    from patchioner_tpu.eval.runner import TASK_REGISTRY
+
+    for name in ("main_table", "backbones_ablations"):
+        path = os.path.join("configs", "evaluation", f"{name}.json")
+        grid = json.load(open(path))
+        assert grid["experiments"], name
+        for e in grid["experiments"]:
+            for task, settings in e["tasks"].items():
+                assert task in TASK_REGISTRY, (name, task)
+                variants = settings if isinstance(settings, list) else [settings]
+                for v in variants:
+                    assert "evaluate" in v, (name, task)
+
+
 def test_region_set_pipeline(tiny_model, tmp_path):
     ann = {
         "7": {
