@@ -115,11 +115,12 @@ def _flash1p_kernel(
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    # normalize the small output, not the (BQ, NK) matrix
     o = jax.lax.dot_general(
-        (p / l).astype(v_ref.dtype), v_ref[0],
+        p.astype(v_ref.dtype), v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / l
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -206,11 +207,13 @@ def _fusedqkv_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        # normalize the (BQ, hd) OUTPUT, not the (BQ, NK) matrix — same
+        # math, ~NK/hd fewer VPU divides
         o = jax.lax.dot_general(
-            (p / l).astype(v_ref.dtype), v_ref[0, :, lo:lo + hd],
+            p.astype(v_ref.dtype), v_ref[0, :, lo:lo + hd],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) / l
         o_ref[0, :, lo:lo + hd] = o.astype(o_ref.dtype)
 
     one_head(0)
