@@ -318,7 +318,13 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
     if cfg.mlp_fused and n % 128 == 0 and "w" in blk["fc1"]:
         from patchioner_tpu.ops.mlp import fused_ln_mlp
 
-        bq = next(b for b in (704, 512, 256, 128) if n % b == 0)
+        # VMEM pressure sets the q-block: both weight matrices stay pinned
+        # (2·d·4d·itemsize), so large-d towers want the smallest block.
+        # Measured on v5e: ViT-B (9.4 MB weights) best at bq704
+        # (14.5 ms/half), ViT-L (16.8 MB) best at bq128 (25.7 vs 28.1).
+        w_bytes = 2 * blk["fc1"]["w"].size * blk["fc1"]["w"].dtype.itemsize
+        cands = (128,) if w_bytes > 12_000_000 else (704, 512, 256, 128)
+        bq = next(b for b in cands if n % b == 0)
         ls = blk["ls2"] if cfg.layerscale else jnp.ones(
             (x.shape[-1],), x.dtype
         )
