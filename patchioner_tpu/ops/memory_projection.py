@@ -498,6 +498,21 @@ def memory_project_pallas(
     if not isinstance(bank, PreparedBank):
         bank = prepare_bank(bank, block_m=block_m)
     block_b = min(block_b, max(8, features.shape[0]))
+    # Scoped-VMEM guard: the double-buffered bank tile + sim/acc scratch
+    # must stay under the ~16 MB limit — block_m=2048 overflowed it at
+    # d=1024 on v5e while fitting at d=768. The closed-form footprint below
+    # underestimates Mosaic's accounting by ~1.5x, so the threshold is
+    # calibrated to those two measured points: d=768 keeps 2048
+    # (8.5 MB est), d=1024 halves to 1024 (11.0 -> 6.3 MB est). Any
+    # power-of-2 block_m <= 2048 still divides prepare_bank's padding.
+    d = bank.rows.shape[-1]
+    itemsize = bank.rows.dtype.itemsize
+    while block_m > 256 and (
+        2 * block_m * d * itemsize        # double-buffered bank tile
+        + block_b * block_m * 4           # sim tile (f32)
+        + 3 * block_b * d * 4             # f/acc/out tiles
+    ) > 10_300_000:
+        block_m //= 2
     return _mem_proj_call(
         features,
         bank.rows,
