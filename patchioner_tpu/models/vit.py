@@ -244,9 +244,13 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
         # masked via num_real_k.
         from patchioner_tpu.ops.attention import fused_qkv_attention
 
+        # whole-N q-blocks are the bf16 winner; at f32 the two per-program
+        # (block_q, N) f32 logits overflow the 16 MB scoped-VMEM limit
+        # (23.8 MB at N=1408), so cap the block for wider dtypes.
+        bq = n if qkv.dtype == jnp.bfloat16 else min(n, 512)
         merged = fused_qkv_attention(
             qkv, num_heads=nh, scale=hd**-0.5, num_real_k=num_real_k,
-            block_q=n,
+            block_q=bq,
         )
         out = _dense(merged, blk["proj"])
         return (out, qkv) if return_qkv else (out, None)
