@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ln_mlp", "ln_mlp_reference"]
+__all__ = [
+    "fused_ln_mlp",
+    "fused_ln_mlp_w8",
+    "quantize_mlp_weights",
+    "ln_mlp_reference",
+]
 
 
 def ln_mlp_reference(x, p, *, eps: float, gelu_approx: bool = False,
@@ -145,3 +150,130 @@ def fused_ln_mlp(
         ),
         interpret=interpret,
     )(x, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2), row(ls))
+
+
+# ------------------------------------------------- int8 W8A8 variant
+
+
+def quantize_mlp_weights(w1, b1, w2, b2):
+    """Per-output-channel symmetric int8 quantization of the two MLP weight
+    matrices (done once at load, outside the hot path). Returns
+    (w1q, w1s, b1, w2q, w2s, b2) with f32 scales/biases."""
+    def q(w):
+        w = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0,
+                        1e-12)
+        return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
+    w1q, w1s = q(w1)
+    w2q, w2s = q(w2)
+    return w1q, w1s, b1.astype(jnp.float32), w2q, w2s, b2.astype(jnp.float32)
+
+
+def _w8_kernel(
+    x_ref,    # (1, BQ, D)
+    g_ref,    # (1, D)
+    bg_ref,   # (1, D)
+    w1_ref,   # (D, H) int8
+    s1_ref,   # (1, H) f32 per-channel scales
+    b1_ref,   # (1, H) f32
+    w2_ref,   # (H, D) int8
+    s2_ref,   # (1, D) f32
+    b2_ref,   # (1, D) f32
+    ls_ref,   # (1, D)
+    o_ref,    # (1, BQ, D)
+    *,
+    eps: float,
+    gelu_approx: bool,
+):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + bg_ref[0].astype(jnp.float32)
+
+    def qdot(act_f32, wq_ref, s_ref):
+        # dynamic per-row activation quantization; int8 x int8 -> int32 on
+        # the MXU at 2x the bf16 rate (v5e: 394 TOPS)
+        sa = jnp.maximum(
+            jnp.max(jnp.abs(act_f32), axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        aq = jnp.clip(jnp.round(act_f32 / sa), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            aq, wq_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * sa * s_ref[0]
+
+    h = qdot(y, w1_ref, s1_ref) + b1_ref[0]
+    if gelu_approx:
+        h = jax.nn.gelu(h, approximate=True)
+    else:
+        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    o = qdot(h, w2_ref, s2_ref) + b2_ref[0]
+    o_ref[0] = (x + (o * ls_ref[0].astype(jnp.float32)).astype(x.dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "gelu_approx", "block_q", "interpret"),
+)
+def fused_ln_mlp_w8(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1q: jax.Array,   # (D, H) int8
+    w1s: jax.Array,   # (1, H) f32
+    b1: jax.Array,    # (H,) f32
+    w2q: jax.Array,   # (H, D) int8
+    w2s: jax.Array,   # (1, D) f32
+    b2: jax.Array,    # (D,) f32
+    ls: jax.Array,
+    *,
+    eps: float,
+    gelu_approx: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """W8A8 variant of `fused_ln_mlp`: int8 weights resident in VMEM (half
+    the footprint), dynamic per-row activation quantization IN-KERNEL — the
+    quant/dequant VPU work that made the round-1 XLA W8A8 path a net loss
+    is fused here. Numerics: int8 symmetric quantization error on both
+    matmuls (opt-in, like `gelu_approx`)."""
+    b, n, d = x.shape
+    h = w1q.shape[1]
+    if n % block_q:
+        raise ValueError(f"fused_ln_mlp_w8 needs N%{block_q}==0, got {n}")
+    grid = (b, n // block_q)
+    row = lambda v: v.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(_w8_kernel, eps=eps, gelu_approx=gelu_approx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * d * h,
+            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
+            transcendentals=b * n * h,
+        ),
+        interpret=interpret,
+    )(x, row(ln_scale), row(ln_bias), w1q, w1s.reshape(1, -1), row(b1),
+      w2q, w2s.reshape(1, -1), row(b2), row(ls))

@@ -80,6 +80,26 @@ def test_vit_mlp_fused_matches_xla():
         )
 
 
+def test_fused_ln_mlp_w8_parity():
+    """W8A8 variant matches the f32 reference within int8 quantization
+    error (per-channel weights + dynamic per-row activations)."""
+    rng = np.random.default_rng(2)
+    b, n, d, h = 2, 256, 128, 512
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    p = _params(rng, d, h, jnp.float32)
+    want = mlp.ln_mlp_reference(x, p, eps=1e-6)
+    w1q, w1s, b1, w2q, w2s, b2 = mlp.quantize_mlp_weights(
+        p["fc1"]["w"], p["fc1"]["b"], p["fc2"]["w"], p["fc2"]["b"]
+    )
+    got = mlp.fused_ln_mlp_w8(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        w1q, w1s, b1, w2q, w2s, b2, p["ls2"],
+        eps=1e-6, block_q=128, interpret=True,
+    )
+    diff = np.abs(np.asarray(got) - np.asarray(want))
+    assert diff.max() / np.abs(np.asarray(want)).max() < 0.01
+
+
 def test_fused_ln_mlp_rejects_ragged_n():
     x = jnp.zeros((1, 130, 128))
     z = jnp.zeros((128,))
