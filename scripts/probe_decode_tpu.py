@@ -1,0 +1,36 @@
+"""TPU probe: 30-step KV-cached greedy decode on-chip cost (the last
+stage-table entry still quoted with the dispatch floor included)."""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.eval.chain_bench import chain_time
+from patchioner_tpu.models import decap, gpt2
+
+B = 128
+
+
+def main():
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}))
+    sys.stdout.flush()
+    gcfg = gpt2.GPT2Config(n_layer=4, n_head=4, n_embd=768,
+                           dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda k: decap.init_decap(k, gcfg, prefix_size=768)
+    )(jax.random.PRNGKey(0))
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (B, 768), jnp.float32)
+
+    def link(prefix, params):
+        toks, scores = decap.greedy_decode(params, prefix, gcfg)
+        # keep the chain data-dependent without changing the prefix value
+        return prefix + 0.0 * scores[:, None]
+
+    r = chain_time(link, prefix, params, chain=8, reps=3)
+    print(json.dumps({"variant": "greedy_decode_30step_b128", **r}))
+
+
+if __name__ == "__main__":
+    main()
