@@ -59,20 +59,21 @@ def evaluate(
     }
     annotation_id = 1
 
-    def default_loader(infos):
+    def open_rgb(info):
         from PIL import Image
 
+        path = next(
+            (c for root in image_roots
+             if os.path.exists(c := os.path.join(root, info["file_name"]))),
+            os.path.join(image_roots[0], info["file_name"]),
+        )
+        img = Image.open(path)
+        return img.convert("RGB") if img.mode != "RGB" else img
+
+    def default_loader(infos):
         imgs, sizes = [], []
         for info in infos:
-            path = None
-            for root in image_roots:
-                cand = os.path.join(root, info["file_name"])
-                if os.path.exists(cand):
-                    path = cand
-                    break
-            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
-            if img.mode != "RGB":
-                img = img.convert("RGB")
+            img = open_rgb(info)
             sizes.append(img.size)
             imgs.append(
                 transforms.preprocess_pil(
@@ -82,23 +83,7 @@ def evaluate(
         return np.stack(imgs), sizes
 
     loader = loader or default_loader
-
-    def default_pil_loader(infos):
-        from PIL import Image
-
-        pils = []
-        for info in infos:
-            path = None
-            for root in image_roots:
-                cand = os.path.join(root, info["file_name"])
-                if os.path.exists(cand):
-                    path = cand
-                    break
-            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
-            pils.append(img.convert("RGB") if img.mode != "RGB" else img)
-        return pils
-
-    pil_loader = pil_loader or default_pil_loader
+    pil_loader = pil_loader or (lambda infos: [open_rgb(i) for i in infos])
 
     for bi, batch_ids in harness.batched(image_ids, batch_size):
         with timer.phase("preprocessing"):

@@ -91,6 +91,28 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _softmax_attend(q, k, v, *, scale: float, num_real_k: int):
+    """One program's exact-softmax attention with every key resident:
+    QK^T (f32 accum) -> key mask -> max-subtracted exp -> PV -> normalize
+    the small (BQ, hd) OUTPUT rather than the (BQ, NK) matrix (~NK/hd fewer
+    VPU divides). Shared by the 1-pass and fused-qkv kernels."""
+    s = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, NK) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < num_real_k, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l
+
+
 def _flash1p_kernel(
     q_ref,  # (1, BQ, hd)
     k_ref,  # (1, NK, hd) — the FULL (padded) key block
@@ -105,22 +127,8 @@ def _flash1p_kernel(
     one QK^T matmul, one masked softmax, one PV matmul per program. Sized for
     the flagship ViT geometry (N=1374 -> 1408 padded keys x hd=64: K/V tiles
     are 176 KB each in bf16, logits (BQ, 1408) f32 comfortably fit VMEM)."""
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
-    s = jax.lax.dot_general(
-        q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, NK) f32
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < num_real_k, s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    # normalize the small output, not the (BQ, NK) matrix
-    o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / l
+    o = _softmax_attend(q_ref[0], k_ref[0], v_ref[0], scale=scale,
+                        num_real_k=num_real_k)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -195,29 +203,12 @@ def _fusedqkv_kernel(
     # Mosaic requires the trailing block dim to be a multiple of 128, so a
     # single hd=64 head cannot be a column block; each program handles two
     # adjacent heads, sliced on the lane axis.
-    def one_head(lo):
-        q = q_ref[0, :, lo:lo + hd] * jnp.asarray(scale, q_ref.dtype)
-        s = jax.lax.dot_general(
-            q, k_ref[0, :, lo:lo + hd],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BQ, NK) f32
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < num_real_k, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        # normalize the (BQ, hd) OUTPUT, not the (BQ, NK) matrix — same
-        # math, ~NK/hd fewer VPU divides
-        o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, :, lo:lo + hd],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / l
+    for lo in (0, hd):
+        o = _softmax_attend(
+            q_ref[0, :, lo:lo + hd], k_ref[0, :, lo:lo + hd],
+            v_ref[0, :, lo:lo + hd], scale=scale, num_real_k=num_real_k,
+        )
         o_ref[0, :, lo:lo + hd] = o.astype(o_ref.dtype)
-
-    one_head(0)
-    one_head(hd)
 
 
 @functools.partial(

@@ -57,6 +57,23 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _ln_rows(x_ref, g_ref, bg_ref, eps):
+    """In-kernel LN over the trailing dim: f32 statistics, f32 result."""
+    xf = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * g_ref[0].astype(jnp.float32) + bg_ref[0].astype(jnp.float32)
+
+
+def _gelu_f32(hf, approximate):
+    if approximate:
+        return jax.nn.gelu(hf, approximate=True)
+    # Mosaic lowers neither erf nor erfc, so exact GELU uses the rational
+    # erf above (error far below the bf16 resolution the result is cast to)
+    return 0.5 * hf * (1.0 + _erf(hf * 0.7071067811865476))
+
+
 def _kernel(
     x_ref,    # (1, BQ, D)
     g_ref,    # (1, D) ln scale
@@ -72,24 +89,12 @@ def _kernel(
     gelu_approx: bool,
 ):
     x = x_ref[0]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = (y * g_ref[0].astype(jnp.float32) + bg_ref[0].astype(jnp.float32))
-    y = y.astype(x.dtype)
+    y = _ln_rows(x_ref, g_ref, bg_ref, eps).astype(x.dtype)
     h = jax.lax.dot_general(
         y, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + b1_ref[0]
-    hf = h.astype(jnp.float32)
-    if gelu_approx:
-        h = jax.nn.gelu(hf, approximate=True)
-    else:
-        # Mosaic lowers neither erf nor erfc, so exact GELU uses the
-        # Abramowitz-Stegun 7.1.26 rational erf (|error| < 1.5e-7 — far
-        # below the bf16 resolution the result is cast to).
-        h = 0.5 * hf * (1.0 + _erf(hf * 0.7071067811865476))
+    h = _gelu_f32(h.astype(jnp.float32), gelu_approx)
     o = jax.lax.dot_general(
         h.astype(x.dtype), w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -187,11 +192,7 @@ def _w8_kernel(
     gelu_approx: bool,
 ):
     x = x_ref[0]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[0].astype(jnp.float32) + bg_ref[0].astype(jnp.float32)
+    y = _ln_rows(x_ref, g_ref, bg_ref, eps)
 
     def qdot(act_f32, wq_ref, s_ref):
         # dynamic per-row activation quantization; int8 x int8 -> int32 on
@@ -206,11 +207,7 @@ def _w8_kernel(
         )
         return acc.astype(jnp.float32) * sa * s_ref[0]
 
-    h = qdot(y, w1_ref, s1_ref) + b1_ref[0]
-    if gelu_approx:
-        h = jax.nn.gelu(h, approximate=True)
-    else:
-        h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = _gelu_f32(qdot(y, w1_ref, s1_ref) + b1_ref[0], gelu_approx)
     o = qdot(h, w2_ref, s2_ref) + b2_ref[0]
     o_ref[0] = (x + (o * ls_ref[0].astype(jnp.float32)).astype(x.dtype))
 
