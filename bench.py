@@ -5,10 +5,12 @@ extraction -> trace aggregation -> 591k x 768 support-memory projection ->
 30-step greedy decode) in captions/sec, steady state.
 
 `vs_baseline` is measured, not assumed: the same pipeline with the
-reference's *algorithms* faithfully ported to XLA — no KV cache (full-context
-re-forward every decode step, src/decap/decap.py:131,155) and the unfused
-two-matmul + materialized-softmax memory projection
-(im2txtprojection.py:367-377) — run on the same chip. That isolates the
+reference's *algorithms* faithfully ported to XLA — stock XLA
+attention/MLP encoder with no Pallas fusions (src/model.py:783), no KV
+cache (full-context re-forward every decode step,
+src/decap/decap.py:131,155) and the unfused two-matmul +
+materialized-softmax memory projection (im2txtprojection.py:367-377) —
+run on the same chip, weights, batch, and dtype. That isolates the
 TPU-native design wins from the hardware change. (The reference repo
 publishes no GPU numbers to compare against — BASELINE.md.)
 
@@ -53,8 +55,16 @@ def _build(batch: int, bank_size: int):
 
 
 def _naive_reference_port(model, batch: int):
-    """Reference algorithms on the same chip: growing-context decode, unfused
-    projection with materialized (B, M) softmax."""
+    """Reference algorithms on the same chip: stock XLA attention/MLP
+    encoder (no Pallas fusions, exact GELU — attn_impl='xla',
+    mlp_fused=False), growing-context decode, and the unfused projection
+    with materialized (B, M) softmax. This is the algorithm-for-algorithm
+    comparison: only the algorithms the reference itself runs
+    (src/model.py:783, src/decap/decap.py:131,155,
+    im2txtprojection.py:367-377), faithfully expressed in XLA on the same
+    chip/batch/dtype."""
+    import dataclasses
+
     from patchioner_tpu.models import gpt2 as gpt2_mod
     from patchioner_tpu.models import decap as decap_mod
     from patchioner_tpu.models import vit as vit_mod
@@ -62,6 +72,11 @@ def _naive_reference_port(model, batch: int):
     from patchioner_tpu.ops import memory_projection as memproj
 
     vit_cfg, vit_params, gcfg, decoder, bank = model
+    # Strip every builder-side kernel fusion off the baseline encoder —
+    # params are impl-independent, so the same weights run both sides.
+    vit_cfg = dataclasses.replace(
+        vit_cfg, attn_impl="xla", mlp_fused=False, gelu_approx=False
+    )
     bank_rows = bank.rows[: bank.num_real]
 
     @jax.jit
@@ -199,6 +214,7 @@ def main():
     # chip peak (v5e bf16 = 197 TFLOPS; override for other chips/dtypes via
     # PATCHIONER_PEAK_TFLOPS).
     mfu = None
+    flop_source = None
     try:
         from patchioner_tpu.eval import harness
 
@@ -206,6 +222,7 @@ def main():
         # closure over the ~0.9 GB bank would trace it into the lowered
         # module as a constant (CLAUDE.md closure rule).
         flops = harness.xla_flops(step, state, *args, allow_compile=False)
+        flop_source = "xla" if flops else None
         if not flops:
             # XLA cost analysis is unavailable pre-compile on the remote-TPU
             # backend (returns None) and cannot see through the Pallas
@@ -213,6 +230,7 @@ def main():
             # second multi-minute flagship compile over the tunnel. Use the
             # closed-form algorithmic FLOPs of the caption step instead.
             flops = _analytic_caption_flops(model, batch)
+            flop_source = "analytic"
         peak = float(os.environ.get("PATCHIONER_PEAK_TFLOPS", 197.0)) * 1e12
         if flops:
             mfu = round(flops / dt / peak, 4)
@@ -245,6 +263,7 @@ def main():
                 "latency_ms_per_batch": round(dt_lat * 1000, 1),
                 "batch": batch,
                 "mfu": mfu,
+                "mfu_flop_source": flop_source,
             }
         )
     )

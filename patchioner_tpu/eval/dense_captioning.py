@@ -26,6 +26,23 @@ __all__ = ["evaluate"]
 DUMMY_BOX = [0, 0, 1, 1]
 
 
+def _normalize_xyxy(bbox, image_id):
+    """Stored-xyxy -> xywh with the reference's degenerate handling
+    (eval_densecap.py:302-310): zero-extent boxes widened by one pixel,
+    inverted boxes are an error — both eval variants must score the
+    identical annotation set."""
+    x1, y1, x2, y2 = bbox
+    if x1 == x2:
+        x2 += 1
+    if y1 == y2:
+        y2 += 1
+    if x2 - x1 <= 0 or y2 - y1 <= 0:
+        raise ValueError(
+            f"Invalid bounding box {bbox} for image {image_id}"
+        )
+    return [x1, y1, x2 - x1, y2 - y1]
+
+
 def evaluate(
     model,
     annotations_path: str,
@@ -93,12 +110,8 @@ def evaluate(
             for info, (w, h) in zip(infos, sizes):
                 per_img, anns = [], []
                 for ann in coco.img_to_anns[info["id"]]:
-                    x1, y1, x2, y2 = ann["bbox"]  # stored xyxy (:303)
-                    if x1 == x2:
-                        x2 += 1
-                    if y1 == y2:
-                        y2 += 1
-                    bbox = [x1, y1, x2 - x1, y2 - y1]
+                    # stored xyxy (:303)
+                    bbox = _normalize_xyxy(ann["bbox"], info["id"])
                     if keep_img_ratio:
                         adj = geometry.adjust_bbox_for_transform(
                             w, h, bbox, model.resize_dim, model.crop_dim
@@ -128,9 +141,8 @@ def evaluate(
                 # cls/avg-self-attn. Raw xywh boxes — crops come from the
                 # untransformed image, so no coordinate remap.
                 raw_boxes = [
-                    [[a["bbox"][0], a["bbox"][1],
-                      max(a["bbox"][2] - a["bbox"][0], 1),
-                      max(a["bbox"][3] - a["bbox"][1], 1)] for a in anns_i]
+                    [_normalize_xyxy(a["bbox"], a["image_id"])
+                     for a in anns_i]
                     for anns_i in raw_anns
                 ]
                 max_raw = max(len(b) for b in raw_boxes)

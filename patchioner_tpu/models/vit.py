@@ -40,8 +40,15 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
-    attn_impl: str = "xla"  # 'xla' | 'flash' | 'flash1p' | 'flash_builtin'
-    softmax_f32: bool = True  # f32 attention softmax (parity default)
+    # 'xla' | 'fusedqkv' | 'flash' | 'flash1p' | 'flash_builtin'
+    # ('fusedqkv' is the TPU flagship default — transpose-free Pallas
+    # head-pair kernel over the fused qkv activation, PERF.md)
+    attn_impl: str = "xla"
+    # f32 attention softmax (parity default). Only consulted by the 'xla'
+    # impl: every Pallas kernel (fusedqkv/flash*) accumulates logits and
+    # runs softmax in f32 unconditionally, so softmax_f32=False is a no-op
+    # there (_attention raises if you explicitly ask for the combination).
+    softmax_f32: bool = True
     # tanh-approximate GELU: ~9% faster encoder layers on v5e (45.8 vs
     # 50.4 ms at the flagship shape — erf is expensive on the VPU) but a
     # numerics change vs the reference's exact nn.GELU, so opt-in only.
@@ -242,6 +249,12 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
         # (B=128, N padded 1374->1408, bf16, v5e) — see PERF.md. Requires
         # the encoder to run at N%128==0 (vit_forward pads) with real keys
         # masked via num_real_k.
+        if not cfg.softmax_f32:
+            raise ValueError(
+                "attn_impl='fusedqkv' always runs an f32 softmax in-kernel; "
+                "softmax_f32=False has no effect there — use attn_impl='xla' "
+                "for a compute-dtype softmax"
+            )
         from patchioner_tpu.ops.attention import fused_qkv_attention
 
         # whole-N q-blocks are the bf16 winner; at f32 the two per-program
@@ -319,6 +332,18 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         a = a * blk["ls1"]
     x = x + a
     n = x.shape[1]
+    if cfg.mlp_fused and not (n % 128 == 0 and "w" in blk["fc1"]):
+        # Opting in without the kernel's preconditions (lane-aligned N —
+        # i.e. the fusedqkv padded-token path — and plain bf16/f32 fc1
+        # weights) would silently benchmark the unfused MLP; say so once
+        # per trace instead (ADVICE r2).
+        import warnings
+
+        warnings.warn(
+            f"mlp_fused requested but unusable here (N={n} % 128 != 0 or "
+            "quantized fc1); falling back to the unfused XLA MLP",
+            stacklevel=2,
+        )
     if cfg.mlp_fused and n % 128 == 0 and "w" in blk["fc1"]:
         from patchioner_tpu.ops.mlp import fused_ln_mlp
 
