@@ -269,6 +269,58 @@ def port_hf_clip_vision(sd: Mapping, depth: int) -> dict:
     }
 
 
+def port_openai_clip_text(sd: Mapping, depth: int, prefix: str = "") -> dict:
+    """Port an OpenAI-CLIP-layout text tower (token_embedding.weight,
+    positional_embedding, transformer.resblocks.{i}.attn.in_proj_*,
+    ln_final, text_projection) to `clip_text_forward` params.
+
+    This layout is shared — under different key prefixes — by every text
+    tower the reference trains decoders in: OpenAI CLIP / open_clip (bare
+    keys, decoderTraining.py:196-208), RegionCLIP ('lang_encoder.' stripped
+    by src/regionclip/loader.py:97-105), DenseCLIP ('text_encoder.',
+    src/denseclip/clip_loader/denseclip_loader.py:215-217), and DINO.txt
+    ('text_model.'). `prefix` selects the nesting; depth the block count.
+    """
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    required = ["token_embedding.weight", "positional_embedding",
+                "ln_final.weight", "text_projection"]
+    missing = [k for k in required if k not in sd]
+    if missing:
+        raise KeyError(
+            f"openai-clip text port (prefix={prefix!r}): missing {missing}; "
+            f"got e.g. {sorted(sd)[:5]}"
+        )
+    params = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "pos_embed": _np(sd["positional_embedding"]),
+        "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                     "bias": _np(sd["ln_final.bias"])},
+        "text_projection": _np(sd["text_projection"]),  # stored (D, proj)
+        "blocks": [],
+    }
+    for i in range(depth):
+        p = f"transformer.resblocks.{i}"
+        params["blocks"].append(
+            {
+                "ln_1": {"scale": _np(sd[f"{p}.ln_1.weight"]),
+                         "bias": _np(sd[f"{p}.ln_1.bias"])},
+                "qkv": {"w": _np(sd[f"{p}.attn.in_proj_weight"]).T,
+                        "b": _np(sd[f"{p}.attn.in_proj_bias"])},
+                "out_proj": {"w": _np(sd[f"{p}.attn.out_proj.weight"]).T,
+                             "b": _np(sd[f"{p}.attn.out_proj.bias"])},
+                "ln_2": {"scale": _np(sd[f"{p}.ln_2.weight"]),
+                         "bias": _np(sd[f"{p}.ln_2.bias"])},
+                "fc1": {"w": _np(sd[f"{p}.mlp.c_fc.weight"]).T,
+                        "b": _np(sd[f"{p}.mlp.c_fc.bias"])},
+                "fc2": {"w": _np(sd[f"{p}.mlp.c_proj.weight"]).T,
+                        "b": _np(sd[f"{p}.mlp.c_proj.bias"])},
+            }
+        )
+    return params
+
+
 def port_hf_clip_text(sd: Mapping, depth: int) -> dict:
     return {
         "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),

@@ -121,44 +121,7 @@ def port_dinotxt_text(sd: Mapping, depth: int = 24) -> dict:
         }
         if len(candidates) == 1:
             inner = _strip_prefix(inner, candidates.pop() + ".")
-    required = ["token_embedding.weight", "positional_embedding",
-                "ln_final.weight", "text_projection"]
-    missing = [k for k in required if k not in inner]
-    if missing:
-        raise KeyError(f"dinotxt text port: missing keys {missing}")
-
-    def g(key):
-        t = inner[key]
-        if hasattr(t, "detach"):
-            t = t.detach().cpu().numpy()
-        return np.asarray(t, np.float32)
-
-    params = {
-        "token_embedding": g("token_embedding.weight"),
-        "pos_embed": g("positional_embedding"),
-        "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
-        "text_projection": g("text_projection"),  # stored (D, proj)
-        "blocks": [],
-    }
-    for i in range(depth):
-        q = f"transformer.resblocks.{i}"
-        params["blocks"].append(
-            {
-                "ln_1": {"scale": g(f"{q}.ln_1.weight"),
-                         "bias": g(f"{q}.ln_1.bias")},
-                "qkv": {"w": g(f"{q}.attn.in_proj_weight").T,
-                        "b": g(f"{q}.attn.in_proj_bias")},
-                "out_proj": {"w": g(f"{q}.attn.out_proj.weight").T,
-                             "b": g(f"{q}.attn.out_proj.bias")},
-                "ln_2": {"scale": g(f"{q}.ln_2.weight"),
-                         "bias": g(f"{q}.ln_2.bias")},
-                "fc1": {"w": g(f"{q}.mlp.c_fc.weight").T,
-                        "b": g(f"{q}.mlp.c_fc.bias")},
-                "fc2": {"w": g(f"{q}.mlp.c_proj.weight").T,
-                        "b": g(f"{q}.mlp.c_proj.bias")},
-            }
-        )
-    return params
+    return clip_mod.port_openai_clip_text(inner, depth)
 
 
 def port_dinotxt(sd: Mapping, *, visual_depth: int = 24,

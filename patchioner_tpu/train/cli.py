@@ -28,6 +28,7 @@ from patchioner_tpu.models import decap as decap_mod
 from patchioner_tpu.models import gpt2 as gpt2_mod
 from patchioner_tpu.train import data as data_mod
 from patchioner_tpu.train import decoder_train
+from patchioner_tpu.train import text_spaces
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -37,9 +38,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--features", default=None,
                    help="pre-extracted text features .npy aligned with --data")
     p.add_argument("--encode_on_the_fly", action="store_true",
-                   help="encode captions with the CLIP text tower instead of "
+                   help="encode captions with a frozen text tower instead of "
                         "--features (reference decoderTraining.py:289-306)")
-    p.add_argument("--clip_text_weights", default=None)
+    p.add_argument("--text_encoder", default="clip",
+                   choices=list(text_spaces.TEXT_SPACE_NAMES),
+                   help="text-embedding space to train in (the reference's "
+                        "--use_open_clip/--use_dinotxt/--use-regionclip/"
+                        "--denseclip_config switches, "
+                        "decoderTraining.py:116-208)")
+    p.add_argument("--text_weights", default=None,
+                   help="checkpoint for the chosen text encoder")
+    p.add_argument("--denseclip_config", default="denseclip_segmentation_vitb16",
+                   help="vendored DenseCLIP yaml name (text geometry)")
+    p.add_argument("--clip_text_weights", default=None,
+                   help="legacy alias for --text_weights with "
+                        "--text_encoder clip")
     p.add_argument("--talk2dino_weights", default=None)
     p.add_argument("--out_dir", default="./decap_ckpt")
     p.add_argument("--epochs", type=int, default=10)
@@ -80,24 +93,18 @@ def main(argv=None):
         features = np.load(args.features).astype(np.float32)
         assert len(features) == n, "features misaligned with captions"
     elif args.encode_on_the_fly:
-        # Frozen CLIP text tower (+ optional Talk2DINO projection) — the
-        # reference's in-loop encode path, done once up front here since the
-        # encoder is frozen anyway (identical features, no repeated work).
-        from patchioner_tpu.models import clip as clip_mod
-
-        tcfg = clip_mod.ClipTextConfig()
-        if args.clip_text_weights and os.path.exists(args.clip_text_weights):
-            import torch
-
-            tp = clip_mod.port_hf_clip_text(
-                torch.load(args.clip_text_weights, map_location="cpu"),
-                tcfg.depth,
-            )
-        else:
-            print("[!] no CLIP text weights — random frozen encoder")
-            tp = jax.jit(lambda k: clip_mod.init_clip_text(k, tcfg))(
-                jax.random.PRNGKey(args.seed + 7)
-            )
+        # Frozen text tower (+ optional Talk2DINO projection) — the
+        # reference's in-loop encode path (decoderTraining.py:289-306),
+        # done once up front here since the encoder is frozen anyway
+        # (identical features, no repeated work). The tower is selected by
+        # --text_encoder: clip/open_clip/dinotxt/regionclip/denseclip
+        # (decoderTraining.py:116-208).
+        space = text_spaces.build_text_space(
+            args.text_encoder,
+            args.text_weights or args.clip_text_weights,
+            denseclip_config=args.denseclip_config,
+            seed=args.seed + 7,
+        )
         project = None
         if args.talk2dino_weights and os.path.exists(args.talk2dino_weights):
             import torch
@@ -110,13 +117,21 @@ def main(argv=None):
             )
             project = lambda x: t2d.project_clip_txt(t2dp, x)
         chunks = []
-        enc = jax.jit(lambda t: clip_mod.clip_text_forward(tp, t, tcfg))
         for i in range(0, n, 256):
-            f = enc(jnp.asarray(ds.tokens[i : i + 256, :77]))
+            # encoder tokens are tokenized at the TOWER's context length
+            # (13 for DenseCLIP), independent of the decoder targets
+            toks = space.tokenize(captions[i : i + 256])
+            f = space.encode_tokens(toks)
             if project is not None:
                 f = project(f)
             chunks.append(np.asarray(f))
         features = np.concatenate(chunks).astype(np.float32)
+        if features.shape[1] != args.prefix_size:
+            # the reference derives prefix_size from the loaded tower
+            # (decoderTraining.py:84-105,131-138)
+            print(f"Updating prefix_size from {args.prefix_size} to "
+                  f"{features.shape[1]} ({args.text_encoder} space)")
+            args.prefix_size = int(features.shape[1])
     else:
         raise SystemExit(
             "--features or --encode_on_the_fly required (see also "
