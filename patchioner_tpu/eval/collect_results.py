@@ -86,6 +86,13 @@ class ResultsCollector:
                    "backbone": backbone}
             for m in metrics:
                 row[m] = r.get(m, "")
+            # carry metric-variant markers (METEOR_variant/SPICE_variant,
+            # eval/metrics.variant_markers) into every assembled table so a
+            # report can never silently present variant scores as
+            # Java-toolchain scores (VERDICT r2 weak #6)
+            for k, v in r.items():
+                if k.endswith("_variant") and v:
+                    row[k] = v
             out.append(row)
         return sorted(out, key=lambda r: r["model"])
 
@@ -95,7 +102,11 @@ class ResultsCollector:
         # (eval-trace-captioning/compute_scores.py:308-357) that
         # metrics.compute_all_metrics writes — "ROUGE_L"/"Bleu_4".
         rows = self.table(task, metrics)
-        header = ["model", "method", "grid", "backbone", *metrics]
+        marker_cols = sorted(
+            {k for r in rows for k in r if k.endswith("_variant")}
+        )
+        header = ["model", "method", "grid", "backbone", *metrics,
+                  *marker_cols]
         lines = ["| " + " | ".join(header) + " |",
                  "|" + "---|" * len(header)]
         for r in rows:

@@ -135,19 +135,28 @@ def rouge_l(
     references: Sequence[List[List[str]]],
     beta: float = 1.2,
 ) -> Tuple[float, List[float]]:
+    """pycocoevalcap ROUGE-L (rouge.py calc_score): the max LCS precision
+    and max LCS recall are taken SEPARATELY over the references (possibly
+    from different references) and then combined into F_beta — not the max
+    per-reference F. Pinned against a literal transcription of that formula
+    in tests/test_metric_reference_parity.py (a round-2 version of this
+    scorer used max-F and deviated)."""
     scores = []
     for cand, refs in zip(candidates, references):
-        best = 0.0
+        prec_max = rec_max = 0.0
         for r in refs:
             lcs = _lcs_len(cand, r)
             if lcs == 0:
                 continue
-            prec = lcs / len(cand) if cand else 0.0
-            rec = lcs / len(r) if r else 0.0
-            if prec and rec:
-                f = ((1 + beta**2) * prec * rec) / (rec + beta**2 * prec)
-                best = max(best, f)
-        scores.append(best)
+            prec_max = max(prec_max, lcs / len(cand) if cand else 0.0)
+            rec_max = max(rec_max, lcs / len(r) if r else 0.0)
+        if prec_max and rec_max:
+            f = ((1 + beta**2) * prec_max * rec_max) / (
+                rec_max + beta**2 * prec_max
+            )
+        else:
+            f = 0.0
+        scores.append(f)
     return (sum(scores) / len(scores) if scores else 0.0), scores
 
 
@@ -256,20 +265,24 @@ def meteor(
     The reference scores METEOR with the Java METEOR-1.5 jar (speaksee,
     used by its eval-*-captioning pipelines), whose English config runs
     exact, stem, synonym and paraphrase modules with weights
-    (1.0, 0.6, 0.8, 0.6). All four stages are implemented here with a
-    greedy first-available aligner (the Java aligner beam-searches the
-    chunk-minimizing alignment — documented approximation):
+    (1.0, 0.6, 0.8, 0.6). The aligner here follows METEOR-1.5's own
+    procedure: a beam search over match selections with the lexicographic
+    objective (maximize covered words, then minimize chunks, then maximize
+    weighted match mass); tests pin it against an exhaustive-search oracle
+    of the same objective (tests/test_metric_reference_parity.py — a
+    round-2 greedy aligner under-scored vs this objective).
 
       * exact / stem (Porter) / synonym: word-level. `synonyms` is a
         word -> frozenset-of-group-ids callable (see
-        `load_wordnet_synonyms`); words match when groups intersect.
-      * paraphrase: span-level over unused contiguous spans up to
+        `load_wordnet_synonyms`); words match when groups intersect. A word
+        pair matching several modules scores its highest-weight module.
+      * paraphrase: span-level over contiguous spans up to
         `max_paraphrase_len` words. `paraphrases` maps a phrase string to a
         frozenset of group ids; spans match when groups intersect.
 
     Synonym/paraphrase stages are inert when their tables are None (the
     resource files are external data this environment lacks) — scores then
-    equal the exact+stem configuration shipped previously.
+    equal the exact+stem configuration.
 
     Precision/recall use the weighted match mass per side; the
     fragmentation penalty uses unweighted matched-word counts, as in
@@ -277,91 +290,91 @@ def meteor(
     """
     from patchioner_tpu.text.porter import stem as _stem
 
+    beam_width = 64
+
     def align(cand, ref):
-        ref_used = [False] * len(ref)
-        cand_used = [False] * len(cand)
-        # (cand_start, cand_len, ref_start, ref_len, weight)
-        matches: List[tuple] = []
-
-        def word_stage(key_c, key_r, weight):
-            for i in range(len(cand)):
-                if cand_used[i]:
-                    continue
-                kc = key_c(i)
-                if kc is None:
-                    continue
-                for j in range(len(ref)):
-                    if not ref_used[j]:
-                        kr = key_r(j)
-                        if kr is not None and _keys_match(kc, kr):
-                            ref_used[j] = True
-                            cand_used[i] = True
-                            matches.append((i, 1, j, 1, weight))
-                            break
-
-        def _keys_match(a, b):
-            if isinstance(a, frozenset) or isinstance(b, frozenset):
-                return bool(a & b)
-            return a == b
-
-        word_stage(lambda i: cand[i], lambda j: ref[j], 1.0)
-        if stem_weight > 0.0:
-            cs = [_stem(w) for w in cand]
-            rs = [_stem(r) for r in ref]
-            word_stage(lambda i: cs[i], lambda j: rs[j], stem_weight)
-        if synonyms is not None and synonym_weight > 0.0:
-            sc = [synonyms(w) or None for w in cand]
-            sr = [synonyms(r) or None for r in ref]
-            word_stage(lambda i: sc[i], lambda j: sr[j], synonym_weight)
+        # ---- match candidates: i -> [(lc, j, lr, weight)] --------------
+        options: Dict[int, list] = defaultdict(dict)
+        cs = [_stem(w) for w in cand] if stem_weight > 0.0 else None
+        rs = [_stem(r) for r in ref] if stem_weight > 0.0 else None
+        sc = ([synonyms(w) or None for w in cand]
+              if synonyms is not None and synonym_weight > 0.0 else None)
+        sr = ([synonyms(r) or None for r in ref]
+              if synonyms is not None and synonym_weight > 0.0 else None)
+        for i in range(len(cand)):
+            for j in range(len(ref)):
+                w = 0.0
+                if cand[i] == ref[j]:
+                    w = 1.0
+                elif cs is not None and cs[i] == rs[j]:
+                    w = stem_weight
+                elif (sc is not None and sc[i] is not None
+                      and sr[j] is not None and (sc[i] & sr[j])):
+                    w = synonym_weight
+                if w > 0.0:
+                    options[i][(1, j, 1)] = w
         if paraphrases is not None and paraphrase_weight > 0.0:
             for i in range(len(cand)):
-                if cand_used[i]:
-                    continue
-                done = False
-                for lc in range(min(max_paraphrase_len, len(cand) - i), 0, -1):
-                    if any(cand_used[i : i + lc]):
-                        continue
+                for lc in range(1, min(max_paraphrase_len,
+                                       len(cand) - i) + 1):
                     gc = paraphrases(" ".join(cand[i : i + lc]))
                     if not gc:
                         continue
                     for j in range(len(ref)):
-                        for lr in range(
-                            min(max_paraphrase_len, len(ref) - j), 0, -1
-                        ):
-                            if any(ref_used[j : j + lr]):
-                                continue
+                        for lr in range(1, min(max_paraphrase_len,
+                                               len(ref) - j) + 1):
                             gr = paraphrases(" ".join(ref[j : j + lr]))
                             if gr and (gc & gr):
-                                for k in range(i, i + lc):
-                                    cand_used[k] = True
-                                for k in range(j, j + lr):
-                                    ref_used[k] = True
-                                matches.append(
-                                    (i, lc, j, lr, paraphrase_weight)
-                                )
-                                done = True
-                                break
-                        if done:
-                            break
-                    if done:
-                        break
+                                key = (lc, j, lr)
+                                if options[i].get(key, 0.0) < paraphrase_weight:
+                                    options[i][key] = paraphrase_weight
 
-        if not matches:
+        # ---- beam search over candidate positions ----------------------
+        # state: (next_i, covered, -chunks, wmass_c, wmass_r, covered_r,
+        #         ref_used frozenset, last match end (i_end, j_end))
+        states = [(0, 0, 0, 0.0, 0.0, 0, frozenset(), None)]
+        final = []
+        while states:
+            new = []
+            for st in states:
+                ni, cov, nch, wc, wr, covr, used, last = st
+                if ni >= len(cand):
+                    final.append(st)
+                    continue
+                # skip position ni
+                new.append((ni + 1, cov, nch, wc, wr, covr, used, last))
+                for (lc, j, lr), w in options.get(ni, {}).items():
+                    span = frozenset(range(j, j + lr))
+                    if used & span:
+                        continue
+                    contiguous = last is not None and last == (ni, j)
+                    new.append((
+                        ni + lc,
+                        cov + lc,
+                        nch - (0 if contiguous else 1),
+                        wc + w * lc,
+                        wr + w * lr,
+                        covr + lr,
+                        used | span,
+                        (ni + lc, j + lr),
+                    ))
+            # prune
+            new.sort(key=lambda s: (s[1], s[2], s[3]), reverse=True)
+            states = new[:beam_width]
+            if all(s[0] >= len(cand) for s in states):
+                final.extend(states)
+                break
+        if not final:
             return 0.0
-        matches.sort()
-        chunks = 1
-        for (i1, lc1, j1, lr1, _), (i2, _, j2, _, _) in zip(
-            matches, matches[1:]
-        ):
-            if i2 != i1 + lc1 or j2 != j1 + lr1:
-                chunks += 1
-        m = sum(lc for _, lc, _, _, _ in matches)  # matched cand words
-        wmass_c = sum(w * lc for _, lc, _, _, w in matches)
-        wmass_r = sum(w * lr for _, _, _, lr, w in matches)
-        p = wmass_c / len(cand)
-        r = wmass_r / len(ref)
+        best = max(final, key=lambda s: (s[1], s[2], s[3]))
+        _, cov, nch, wc, wr, covr, _, _ = best
+        if cov == 0:
+            return 0.0
+        chunks = -nch
+        p = wc / len(cand)
+        r = wr / len(ref)
         fmean = p * r / (alpha * p + (1 - alpha) * r)
-        penalty = gamma * (chunks / m) ** beta
+        penalty = gamma * (chunks / cov) ** beta
         return fmean * (1 - penalty)
 
     scores = []

@@ -44,6 +44,24 @@ def test_results_collector(tmp_path):
     assert get_model_infos("viecap.k")[0] == "ViECap"
 
 
+def test_results_collector_surfaces_variant_markers(tmp_path):
+    """Variant markers written by the eval pipelines must survive into the
+    assembled tables (a report must never present variant SPICE/METEOR as
+    Java-toolchain scores)."""
+    from patchioner_tpu.eval import harness, metrics
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    csv_path = str(tmp_path / "trace_captioning.csv")
+    row = {"model": "mlp.k", "task": "trace", "CIDEr": "0.80"}
+    row.update(metrics.variant_markers())
+    harness.append_results_csv(csv_path, row, ["model", "task"])
+    rc = ResultsCollector(str(tmp_path))
+    table = rc.table("trace_captioning", metrics=("CIDEr",))
+    assert table[0].get("SPICE_variant", "").startswith("lexicon")
+    md = rc.markdown("trace_captioning", metrics=("CIDEr",))
+    assert "SPICE_variant" in md and "METEOR_variant" in md
+
+
 def test_prefix_training_decreases_loss():
     import optax
 

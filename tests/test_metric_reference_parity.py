@@ -1,7 +1,20 @@
-"""Quality-side parity pinning (VERDICT r1 #9): metric values on a fixed
-synthetic split are locked against (a) an independent third-party BLEU
-implementation (nltk) and (b) golden values, so any scorer drift fails here
-before it can skew a benchmark comparison."""
+"""Quality-side parity pinning (VERDICT r1 #9, r2 #7): every scorer is
+locked against INDEPENDENTLY-WRITTEN code on a fixed synthetic split —
+BLEU vs nltk's corpus_bleu, ROUGE-L and CIDEr-D vs literal transcriptions
+of the pycocoevalcap formulas (rouge.py / cider_scorer.py — the scorers
+the reference runs through speaksee), and METEOR exact+stem vs an
+exhaustive-search aligner implementing METEOR-1.5's lexicographic
+objective. Golden values additionally freeze the exact numbers so drift
+fails before it can skew a benchmark comparison.
+
+Round-3 note: transcribing the pycocoevalcap formulas exposed two real
+round-2 deviations, both fixed in eval/metrics.py — ROUGE-L used max-F
+over references where pycocoevalcap combines the separately-maximized
+precision and recall, and the METEOR greedy aligner under-scored vs the
+chunk-minimizing objective. The goldens moved accordingly (deliberate).
+"""
+
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -47,18 +60,184 @@ def test_bleu_parity_vs_nltk():
         assert abs(ours[n - 1] - want) < 1e-12, (n, ours[n - 1], want)
 
 
+def _tokenized():
+    cand_t = [metrics.ptb_tokenize(c) for c in CANDS]
+    refs_t = [[metrics.ptb_tokenize(r) for r in refs] for refs in REFS]
+    return cand_t, refs_t
+
+
+def _pycoco_lcs(string, sub):
+    """Literal transcription of pycocoevalcap rouge.py my_lcs."""
+    if len(string) < len(sub):
+        sub, string = string, sub
+    lengths = [[0] * (len(sub) + 1) for _ in range(len(string) + 1)]
+    for j in range(1, len(sub) + 1):
+        for i in range(1, len(string) + 1):
+            if string[i - 1] == sub[j - 1]:
+                lengths[i][j] = lengths[i - 1][j - 1] + 1
+            else:
+                lengths[i][j] = max(lengths[i - 1][j], lengths[i][j - 1])
+    return lengths[len(string)][len(sub)]
+
+
+def test_rouge_l_parity_vs_pycocoevalcap_transcription():
+    """ROUGE-L must equal a literal transcription of pycocoevalcap
+    rouge.py calc_score — max precision and max recall taken SEPARATELY
+    over references (possibly from different refs), combined at beta=1.2."""
+    cand_t, refs_t = _tokenized()
+    beta = 1.2
+    want = []
+    for c, refs in zip(cand_t, refs_t):
+        prec, rec = [], []
+        for r in refs:
+            lcs = _pycoco_lcs(r, c)
+            prec.append(lcs / float(len(c)))
+            rec.append(lcs / float(len(r)))
+        pm, rm = max(prec), max(rec)
+        want.append(
+            ((1 + beta**2) * pm * rm) / (rm + beta**2 * pm)
+            if pm != 0 and rm != 0 else 0.0
+        )
+    corpus, inst = metrics.rouge_l(cand_t, refs_t)
+    np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
+    assert abs(corpus - sum(want) / len(want)) < 1e-12
+
+
+def test_cider_d_parity_vs_pycocoevalcap_transcription():
+    """CIDEr-D must equal a literal transcription of pycocoevalcap
+    cider_scorer.py (tf-idf vectors with ref_len = log(#images), min-clipped
+    dot, length-gaussian at sigma=6, averaged over refs and n, x10)."""
+    cand_t, refs_t = _tokenized()
+    n_max, sigma = 4, 6.0
+
+    def precook(words):
+        counts = defaultdict(int)
+        for k in range(1, n_max + 1):
+            for i in range(len(words) - k + 1):
+                counts[tuple(words[i : i + k])] += 1
+        return counts
+
+    crefs = [[precook(r) for r in refs] for refs in refs_t]
+    ctest = [precook(c) for c in cand_t]
+    document_frequency = defaultdict(float)
+    for refs in crefs:
+        for ngram in set(ng for ref in refs for ng in ref):
+            document_frequency[ngram] += 1
+    ref_len = np.log(float(len(crefs)))
+
+    def counts2vec(cnts):
+        vec = [defaultdict(float) for _ in range(n_max)]
+        length = 0
+        norm = [0.0] * n_max
+        for ngram, term_freq in cnts.items():
+            df = np.log(max(1.0, document_frequency[ngram]))
+            n = len(ngram) - 1
+            vec[n][ngram] = float(term_freq) * (ref_len - df)
+            norm[n] += pow(vec[n][ngram], 2)
+            if n == 1:  # pycocoevalcap counts BIGRAMS here (its quirk)
+                length += term_freq
+        return vec, [np.sqrt(x) for x in norm], length
+
+    def sim(vh, vr, nh, nr, lh, lr):
+        delta = float(lh - lr)
+        val = np.zeros(n_max)
+        for n in range(n_max):
+            for ngram, _ in vh[n].items():
+                val[n] += min(vh[n][ngram], vr[n][ngram]) * vr[n][ngram]
+            if nh[n] != 0 and nr[n] != 0:
+                val[n] /= nh[n] * nr[n]
+            val[n] *= np.e ** (-(delta**2) / (2 * sigma**2))
+        return val
+
+    want = []
+    for test, refs in zip(ctest, crefs):
+        vec, norm, length = counts2vec(test)
+        score = np.zeros(n_max)
+        for ref in refs:
+            vr, nr, lr = counts2vec(ref)
+            score += sim(vec, vr, norm, nr, length, lr)
+        want.append(float(np.mean(score) / len(refs) * 10.0))
+    corpus, inst = metrics.cider_d(cand_t, refs_t)
+    np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
+    assert abs(corpus - sum(want) / len(want)) < 1e-12
+
+
+def test_meteor_exact_stem_vs_exhaustive_aligner():
+    """METEOR's beam-search aligner must reach the true optimum of the
+    METEOR-1.5 objective (max covered words, then min chunks, then max
+    weighted mass) — verified against an independently-coded exhaustive
+    search over all non-conflicting match subsets."""
+    from patchioner_tpu.text.porter import stem
+
+    cand_t, refs_t = _tokenized()
+    alpha, beta_p, gamma, stem_w = 0.9, 3.0, 0.5, 0.6
+
+    def best_alignment(cand, ref):
+        by_i = {}
+        for i, cw in enumerate(cand):
+            for j, rw in enumerate(ref):
+                w = 1.0 if cw == rw else (
+                    stem_w if stem(cw) == stem(rw) else 0.0
+                )
+                if w > 0.0:
+                    by_i.setdefault(i, []).append((j, w))
+        idxs = sorted(by_i)
+        best = [None]
+
+        def rec(k, used_r, chosen):
+            if k == len(idxs):
+                if not chosen:
+                    key = (0, 0, 0.0)
+                else:
+                    cs = sorted(chosen)
+                    chunks = 1
+                    for (i1, j1, _), (i2, j2, _) in zip(cs, cs[1:]):
+                        if i2 != i1 + 1 or j2 != j1 + 1:
+                            chunks += 1
+                    key = (len(chosen), -chunks,
+                           sum(w for _, _, w in chosen))
+                if best[0] is None or key > best[0]:
+                    best[0] = key
+                return
+            i = idxs[k]
+            rec(k + 1, used_r, chosen)
+            for j, w in by_i[i]:
+                if j not in used_r:
+                    rec(k + 1, used_r | {j}, chosen + [(i, j, w)])
+
+        rec(0, frozenset(), [])
+        return best[0]
+
+    def score_pair(cand, ref):
+        b = best_alignment(cand, ref)
+        if b is None or b[0] == 0:
+            return 0.0
+        count, negchunks, wmass = b
+        p = wmass / len(cand)
+        r = wmass / len(ref)
+        fmean = p * r / (alpha * p + (1 - alpha) * r)
+        return fmean * (1 - gamma * ((-negchunks) / count) ** beta_p)
+
+    want = [max(score_pair(c, r) for r in refs)
+            for c, refs in zip(cand_t, refs_t)]
+    corpus, inst = metrics.meteor(cand_t, refs_t)
+    np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
+
+
 # Golden values for the fixed split, generated by
-# `python -m tests.test_metric_reference_parity` and hand-checked against
-# the per-metric unit oracles in test_metrics.py. Any scorer change that
-# moves these is a behavior change and must be deliberate.
+# `python -m tests.test_metric_reference_parity` and locked against the
+# per-metric independent oracles above. Any scorer change that moves these
+# is a behavior change and must be deliberate. (Round 3: ROUGE_L
+# 0.844849 -> 0.857151 and METEOR 0.862907 -> 0.880905 — the oracle-exposed
+# aligner/formula fixes described in the module docstring.)
 GOLDEN = {
     "Bleu_1": 0.949153,
     "Bleu_2": 0.873524,
     "Bleu_3": 0.752369,
     "Bleu_4": 0.642448,
-    "ROUGE_L": 0.844849,
+    "ROUGE_L": 0.857151,
     "CIDEr": 4.041725,
-    "METEOR": 0.862907,
+    "METEOR": 0.880905,
     "SPICE": 0.711932,
 }
 
