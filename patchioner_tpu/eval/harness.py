@@ -164,6 +164,53 @@ def batched(items: Sequence, batch_size: int):
         yield i // batch_size, items[i : i + batch_size]
 
 
+def prefetch(items: Sequence, fn: Callable, depth: int = 2):
+    """Yield `fn(item)` for each item, computing up to `depth` items ahead
+    in a background thread.
+
+    The eval pipelines' host work (JPEG decode + resize) otherwise
+    serializes with device compute — the accelerator idles while the next
+    batch is decoded (reference behavior: a torch DataLoader with workers;
+    eval_trace_captioning.py:233-330). With prefetch, the generator's yield
+    only blocks when the host falls behind the device, so the
+    "preprocessing" phase of PhaseTimer measures true pipeline STALL time,
+    not total host work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if depth < 1:
+        for it in items:
+            yield fn(it)
+        return
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = []
+        items = list(items)
+        for it in items[:depth]:
+            futs.append(ex.submit(fn, it))
+        for i, _ in enumerate(items):
+            if i + depth < len(items):
+                futs.append(ex.submit(fn, items[i + depth]))
+            yield futs[i].result()
+
+
+def parallel_image_loader(preprocess_one: Callable, workers: int = None):
+    """Batch loader decoding images on a thread pool (PIL JPEG decode and
+    resize release the GIL). Single-threaded PIL costs ~10-20 ms/image at
+    518px — ~2 s per 128-batch against ~0.34 s of device compute; threads
+    bring host work under the device time so prefetch can hide it."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = workers or min(16, _os.cpu_count() or 8)
+    ex = ThreadPoolExecutor(max_workers=workers)
+
+    def load(paths):
+        import numpy as _np
+
+        return _np.stack(list(ex.map(preprocess_one, paths)))
+
+    return load
+
+
 class profile_trace:
     """Context manager around `jax.profiler.trace` — the TPU-native
     replacement for the reference's wall-clock-only instrumentation

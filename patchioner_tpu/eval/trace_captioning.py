@@ -74,24 +74,30 @@ def evaluate(
     preds = []
     flops = None
 
-    def default_loader(paths):
+    if loader is None:
         from PIL import Image
 
-        return np.stack(
-            [
-                transforms.preprocess_pil(
-                    Image.open(p), model.resize_dim, model.crop_dim
-                )
-                for p in paths
-            ]
+        loader = harness.parallel_image_loader(
+            lambda p: transforms.preprocess_pil(
+                Image.open(p), model.resize_dim, model.crop_dim
+            )
+        )
+    idxs = list(range(n))
+
+    def load_batch(batch):
+        _, batch_idx = batch
+        return (
+            loader([samples["img_paths"][i] for i in batch_idx]),
+            [samples["traces"][i] for i in batch_idx],
         )
 
-    loader = loader or default_loader
-    idxs = list(range(n))
-    for bi, batch_idx in harness.batched(idxs, batch_size):
+    batches = list(harness.batched(idxs, batch_size))
+    loaded = harness.prefetch(batches, load_batch, depth=2)
+    for bi, batch_idx in batches:
         with timer.phase("preprocessing"):
-            imgs = loader([samples["img_paths"][i] for i in batch_idx])
-            traces = [samples["traces"][i] for i in batch_idx]
+            # with prefetch, this measures pipeline STALL (host behind
+            # device), not total host decode work
+            imgs, traces = next(loaded)
         with timer.phase("inference"):
             outs = model.forward(
                 imgs,

@@ -40,9 +40,11 @@ class ViTConfig:
     qkv_bias: bool = True
     ln_eps: float = 1e-6
     pos_grid: Optional[int] = None  # grid the stored pos-embed was trained at
-    # 'xla' | 'fusedqkv' | 'flash' | 'flash1p' | 'flash_builtin'
-    # ('fusedqkv' is the TPU flagship default — transpose-free Pallas
-    # head-pair kernel over the fused qkv activation, PERF.md)
+    # 'xla' | 'fusedqkv' | 'fusedqkv_proj' | 'flash' | 'flash1p' |
+    # 'flash_builtin' ('fusedqkv' is the TPU flagship default — the
+    # transpose-free Pallas head-pair kernel over the fused qkv activation;
+    # 'fusedqkv_proj' additionally folds out-proj+layerscale+residual into
+    # the kernel epilogue — PERF.md for measurements)
     attn_impl: str = "xla"
     # f32 attention softmax (parity default). Only consulted by the 'xla'
     # impl: every Pallas kernel (fusedqkv/flash*) accumulates logits and
@@ -326,11 +328,32 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
 
 def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
            num_real_k=None):
-    a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
-                        return_qkv, num_real_k)
-    if cfg.layerscale:
-        a = a * blk["ls1"]
-    x = x + a
+    if cfg.attn_impl == "fusedqkv_proj":
+        # Attention + out-proj + layerscale + residual in ONE kernel — the
+        # merged (B, N, D) attention output never round-trips HBM
+        # (ops/attention.fused_qkv_attention_proj; VERDICT r2 #6 attempt).
+        from patchioner_tpu.ops.attention import fused_qkv_attention_proj
+
+        if not cfg.softmax_f32:
+            raise ValueError(
+                "attn_impl='fusedqkv_proj' always runs an f32 softmax "
+                "in-kernel; use attn_impl='xla' for a compute-dtype softmax"
+            )
+        d = x.shape[-1]
+        nh = cfg.num_heads
+        qkv = _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
+        ls1 = blk["ls1"] if cfg.layerscale else jnp.ones((d,), x.dtype)
+        x = fused_qkv_attention_proj(
+            qkv, x, blk["proj"]["w"], blk["proj"]["b"], ls1,
+            num_heads=nh, scale=(d // nh) ** -0.5, num_real_k=num_real_k,
+        )
+        qkv = qkv if return_qkv else None
+    else:
+        a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
+                            return_qkv, num_real_k)
+        if cfg.layerscale:
+            a = a * blk["ls1"]
+        x = x + a
     n = x.shape[1]
     if cfg.mlp_fused and not (n % 128 == 0 and "w" in blk["fc1"]):
         # Opting in without the kernel's preconditions (lane-aligned N —
@@ -423,7 +446,10 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
     # whole stack (padded rows are zero -> LN emits the bias row -> finite
     # garbage, masked out of attention as keys and sliced off at the end).
     num_real = x.shape[1]
-    pad_n = (-num_real) % 128 if cfg.attn_impl == "fusedqkv" else 0
+    pad_n = (
+        (-num_real) % 128
+        if cfg.attn_impl in ("fusedqkv", "fusedqkv_proj") else 0
+    )
     if pad_n:
         x = jnp.pad(x, ((0, 0), (0, pad_n), (0, 0)))
     nrk = num_real if pad_n else None

@@ -26,6 +26,7 @@ __all__ = [
     "flash_attention",
     "flash_attention_1pass",
     "fused_qkv_attention",
+    "fused_qkv_attention_proj",
     "attention_reference",
 ]
 
@@ -281,6 +282,151 @@ def fused_qkv_attention(
         ),
         interpret=interpret,
     )(qkv, qkv, qkv)
+    return out
+
+
+def _fusedqkv_proj_kernel(
+    q_ref,    # (1, BQ, 2·hd) — q columns of one head pair
+    k_ref,    # (1, NK, 2·hd)
+    v_ref,    # (1, NK, 2·hd)
+    w_ref,    # (2·hd, D) — this pair's out-projection rows
+    b_ref,    # (1, D) out-proj bias
+    ls_ref,   # (1, D) layerscale (ones when disabled)
+    x_ref,    # (1, BQ, D) residual-stream input block
+    o_ref,    # (1, BQ, D) residual-stream output block
+    acc_ref,  # (BQ, D) f32 scratch — out-proj partial sum across pairs
+    *,
+    scale: float,
+    num_real_k: int,
+    hd: int,
+):
+    hh = pl.program_id(2)  # head-pair axis, innermost reduction
+
+    @pl.when(hh == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Both heads' (BQ, hd) outputs concatenate to the pair's (BQ, 2·hd)
+    # merged slice, so the out-proj contribution is ONE dot with a 128-deep
+    # contraction — a full MXU tile (per-head hd=64 dots would run the MXU
+    # at half depth).
+    pair = jnp.concatenate(
+        [
+            _softmax_attend(
+                q_ref[0, :, lo:lo + hd], k_ref[0, :, lo:lo + hd],
+                v_ref[0, :, lo:lo + hd], scale=scale,
+                num_real_k=num_real_k,
+            )
+            for lo in (0, hd)
+        ],
+        axis=-1,
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        pair.astype(w_ref.dtype), w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(hh == pl.num_programs(2) - 1)
+    def _finish():
+        a = acc_ref[:] + b_ref[0].astype(jnp.float32)
+        a = a * ls_ref[0].astype(jnp.float32)
+        o_ref[0] = (x_ref[0].astype(jnp.float32) + a).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "num_real_k", "block_q",
+                     "interpret"),
+)
+def fused_qkv_attention_proj(
+    qkv: jax.Array,
+    x_res: jax.Array,
+    w_proj: jax.Array,
+    b_proj: jax.Array,
+    layerscale: jax.Array,
+    *,
+    num_heads: int,
+    scale: float,
+    num_real_k: int | None = None,
+    block_q: int = 704,
+    interpret: bool = False,
+) -> jax.Array:
+    """`fused_qkv_attention` with the out-projection, bias, layerscale and
+    residual add folded into the kernel epilogue (VERDICT r2 #6).
+
+    The merged (B, N, D) attention output never touches HBM: each head-pair
+    program accumulates its `pair @ W_proj[pair_rows]` partial product into
+    an f32 VMEM scratch over the innermost (reduction) grid axis, and the
+    last pair adds bias/layerscale/residual and writes the updated residual
+    stream. Saves the merged tensor's HBM write+read (~0.55 GB/layer at the
+    flagship shape) at the cost of K/V re-reads when block_q < N (VMEM
+    pressure from the (BQ, D) f32 accumulator forces block_q below the
+    whole-N optimum of the unfused kernel — measured tradeoff in PERF.md).
+
+    qkv: (B, N, 3·D) fused activations; x_res: (B, N, D) residual stream;
+    w_proj: (D, D) stored (in, out); layerscale: (D,) (pass ones when the
+    block has no layerscale). Same N%128==0 / even-heads / hd=64
+    requirements as `fused_qkv_attention`.
+    """
+    b, n, three_d = qkv.shape
+    hd = three_d // (3 * num_heads)
+    d = num_heads * hd
+    if n % 128:
+        raise ValueError(f"fused_qkv_attention_proj needs N%128==0, got {n}")
+    if num_heads % 2 or hd != 64:
+        raise ValueError(
+            "fused_qkv_attention_proj needs even heads and hd=64"
+        )
+    if num_real_k is None:
+        num_real_k = n
+    nq_blocks = pl.cdiv(n, block_q)
+    hp = num_heads // 2
+    grid = (b, nq_blocks, hp)
+    out = pl.pallas_call(
+        functools.partial(
+            _fusedqkv_proj_kernel, scale=scale, num_real_k=num_real_k, hd=hd
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * hd), lambda i, j, hh: (i, j, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * hd), lambda i, j, hh: (i, 0, hp + hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2 * hd), lambda i, j, hh: (i, 0, 2 * hp + hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hd, d), lambda i, j, hh: (hh, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, hh: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, hh: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, hh: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j, hh: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * hd + 2 * b * n * d * d,
+            bytes_accessed=(3 * b * n * d + 2 * b * n * d)
+            * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(
+        qkv, qkv, qkv,
+        w_proj.astype(qkv.dtype),
+        b_proj.reshape(1, -1).astype(qkv.dtype),
+        jnp.asarray(layerscale).reshape(1, -1).astype(qkv.dtype),
+        x_res,
+    )
     return out
 
 

@@ -1,0 +1,115 @@
+"""TPU experiment: drive the REAL trace-captioning eval harness at bench
+throughput (VERDICT r2 #3).
+
+bench.py feeds pre-staged device tensors; this script instead pushes a
+synthetic LN-COCO-style split — real JPEG bytes decoded by the harness's
+own loader — through `eval/trace_captioning.evaluate` on the flagship
+config (DINOv2-B/14-reg @518, fused kernels, 592k random bank) and reports
+sustained captions/s with phase timing. Target: within ~15% of bench's
+latency-basis number (the eval loop syncs per batch; bench's pipelined
+mode additionally hides the dispatch roundtrip).
+
+Usage: python -m scripts.eval_throughput_tpu [n_images] [batch]
+Writes predictions + a results CSV next to the images.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_split(root: str, n_images: int, trace_len: int = 32) -> str:
+    """n random-content 640x480 JPEGs + LN-style annotation JSON (one
+    caption+trace per image; fixed trace length keeps batch shapes static
+    so the forward jits once)."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    ann = {}
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        img_id = f"{i:06d}"
+        path = os.path.join(root, f"{img_id}.jpg")
+        if not os.path.exists(path):
+            # smooth noise compresses like a natural image (not flat noise)
+            small = rng.integers(0, 255, (30, 40, 3), np.uint8)
+            img = Image.fromarray(small).resize((640, 480), Image.BICUBIC)
+            img.save(path, quality=90)
+        pts = rng.uniform(0.05, 0.95, (trace_len, 2))
+        ann[img_id] = {
+            "captions": [f"synthetic caption {i}"],
+            "traces": [[{"x": float(x), "y": float(y)} for x, y in pts]],
+        }
+    ann_path = os.path.join(root, "ln_synth.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path
+
+
+def main():
+    import jax
+
+    from patchioner_tpu.eval import trace_captioning
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    on_tpu = jax.default_backend() not in ("cpu",)
+    root = os.environ.get("PATCHIONER_EVAL_TP_DIR", "/tmp/eval_tp_images")
+    ann_path = make_split(root, n_images)
+    print(json.dumps({"split": root, "n_images": n_images, "batch": batch,
+                      "devices": [str(d) for d in jax.devices()]}))
+    sys.stdout.flush()
+
+    dim = 518 if on_tpu else 140  # CPU smoke: full-518 compiles take minutes
+    config = {
+        "dino_model": "dinov2_vitb14_reg",
+        "resize_dim": dim,
+        "crop_dim": dim,
+        "prefix_size": 768,
+        "normalize": True,
+        "projection_type": "coco",
+        "support_memory_size": 591753 if on_tpu else 2048,
+    }
+    if on_tpu:
+        config.update({"attn_impl": "fusedqkv", "mlp_fused": True})
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    model = Patchioner.from_config(
+        config, rng_seed=0, allow_missing_weights=True,
+        random_bank_size=config["support_memory_size"],
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    print(json.dumps({"model_built_s": round(time.time() - t0, 1)}))
+    sys.stdout.flush()
+
+    t0 = time.time()
+    result = trace_captioning.evaluate(
+        model, ann_path, root, batch_size=batch,
+        out_path=os.path.join(root, "predictions.json"),
+    )
+    wall = time.time() - t0
+    timing = result["timing"]
+    n = len(result["predictions"])
+    # steady state: skip the first batch (contains the flagship compile)
+    pre = timing["phases"].get("preprocessing", {})
+    inf = timing["phases"].get("inference", {})
+    print(json.dumps({
+        "captions": n,
+        "wall_s": round(wall, 1),
+        "captions_per_sec_wall": round(n / wall, 1),
+        "images_per_sec_inference": round(
+            timing["images_per_sec_inference"], 1
+        ),
+        "images_per_sec_total": round(timing["images_per_sec_total"], 1),
+        "stall_mean_batch_ms": round(pre.get("mean_batch_s", 0) * 1e3, 1),
+        "inference_mean_batch_ms": round(inf.get("mean_batch_s", 0) * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,52 @@ def test_fused_qkv_matches_split_path(num_real_k):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("num_real_k,block_q", [(None, 128), (200, 64)])
+def test_fused_qkv_proj_matches_unfused(num_real_k, block_q):
+    """Epilogue-folded kernel == fused_qkv_attention -> out-proj ->
+    layerscale -> residual, on real (padded-key) geometry."""
+    rng = np.random.default_rng(5)
+    b, n, h, hd = 2, 256, 4, 64
+    d = h * hd
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.5, 1.5, (d,)), jnp.float32)
+    merged = attention.fused_qkv_attention(
+        qkv, num_heads=h, scale=hd**-0.5, num_real_k=num_real_k,
+        block_q=128, interpret=True,
+    )
+    want = x + (merged @ w + bias) * ls
+    got = attention.fused_qkv_attention_proj(
+        qkv, x, w, bias, ls, num_heads=h, scale=hd**-0.5,
+        num_real_k=num_real_k, block_q=block_q, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_vit_fusedqkv_proj_impl_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=128, depth=2,
+              num_heads=2, num_registers=4, pos_grid=4)
+    cfg_x = vit.ViTConfig(**kw)
+    cfg_f = vit.ViTConfig(**kw, attn_impl="fusedqkv_proj")
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(params, x, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        b = vit.vit_forward(params, x, cfg_f)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken", "qkv_last"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-4, atol=5e-5,
+            err_msg=key,
+        )
+
+
 def test_fused_qkv_rejects_ragged_n():
     qkv = jnp.zeros((1, 130, 3 * 2 * 64))
     with pytest.raises(ValueError, match="N%128"):
