@@ -87,19 +87,20 @@ def evaluate(
         img = Image.open(path)
         return img.convert("RGB") if img.mode != "RGB" else img
 
-    def default_loader(infos):
-        imgs, sizes = [], []
-        for info in infos:
-            img = open_rgb(info)
-            sizes.append(img.size)
-            imgs.append(
-                transforms.preprocess_pil(
-                    img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
-                )
-            )
-        return np.stack(imgs), sizes
+    def _load_one(info):
+        img = open_rgb(info)
+        return (
+            transforms.preprocess_pil(
+                img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
+            ),
+            img.size,
+        )
 
-    loader = loader or default_loader
+    loader = loader or harness.parallel_image_loader(
+        _load_one,
+        collate=lambda items: (np.stack([i[0] for i in items]),
+                               [i[1] for i in items]),
+    )
     pil_loader = pil_loader or (lambda infos: [open_rgb(i) for i in infos])
 
     for bi, batch_ids in harness.batched(image_ids, batch_size):

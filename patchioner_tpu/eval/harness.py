@@ -192,21 +192,24 @@ def prefetch(items: Sequence, fn: Callable, depth: int = 2):
             yield futs[i].result()
 
 
-def parallel_image_loader(preprocess_one: Callable, workers: int = None):
+def parallel_image_loader(preprocess_one: Callable, workers: int = None,
+                          collate: Callable = None):
     """Batch loader decoding images on a thread pool (PIL JPEG decode and
     resize release the GIL). Single-threaded PIL costs ~10-20 ms/image at
     518px — ~2 s per 128-batch against ~0.34 s of device compute; threads
-    bring host work under the device time so prefetch can hide it."""
+    bring host work under the device time so prefetch can hide it.
+    `collate` combines the per-item results (default: np.stack)."""
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
+    import numpy as _np
+
     workers = workers or min(16, _os.cpu_count() or 8)
+    collate = collate or _np.stack
     ex = ThreadPoolExecutor(max_workers=workers)
 
-    def load(paths):
-        import numpy as _np
-
-        return _np.stack(list(ex.map(preprocess_one, paths)))
+    def load(items):
+        return collate(list(ex.map(preprocess_one, items)))
 
     return load
 

@@ -48,30 +48,32 @@ def evaluate(
     if isinstance(image_roots, str):
         image_roots = [image_roots]
 
-    def default_loader(infos):
+    if loader is None:
         from PIL import Image
 
-        imgs = []
-        for info in infos:
-            path = None
-            for root in image_roots:
-                cand = os.path.join(root, info["file_name"])
-                if os.path.exists(cand):
-                    path = cand
-                    break
-            img = Image.open(path or os.path.join(image_roots[0], info["file_name"]))
-            imgs.append(
-                transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)
+        def _load_one(info):
+            path = next(
+                (c for root in image_roots
+                 if os.path.exists(c := os.path.join(root, info["file_name"]))),
+                os.path.join(image_roots[0], info["file_name"]),
             )
-        return np.stack(imgs)
+            return transforms.preprocess_pil(
+                Image.open(path), model.resize_dim, model.crop_dim
+            )
 
-    loader = loader or default_loader
+        loader = harness.parallel_image_loader(_load_one)
+
     timer = harness.PhaseTimer()
     records = []
-    for bi, batch_ids in harness.batched(image_ids, batch_size):
+    batches = list(harness.batched(image_ids, batch_size))
+    loaded = harness.prefetch(
+        batches, lambda b: loader(coco.load_imgs(list(b[1]))), depth=2
+    )
+    for bi, batch_ids in batches:
         infos = coco.load_imgs(list(batch_ids))
         with timer.phase("preprocessing"):
-            imgs = loader(infos)
+            # with prefetch this measures pipeline stall, not decode work
+            imgs = next(loaded)
         with timer.phase("inference"):
             outs = model.forward(
                 imgs,

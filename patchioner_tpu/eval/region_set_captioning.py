@@ -70,24 +70,34 @@ def evaluate(
     timer = harness.PhaseTimer()
     preds = []
 
-    def default_loader(paths):
+    if loader is None:
         from PIL import Image
 
-        imgs, sizes = [], []
-        for p in paths:
+        def _load_one(p):
             img = Image.open(p).convert("RGB")
-            sizes.append(img.size)
-            imgs.append(
+            return (
                 transforms.preprocess_pil(
-                    img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
-                )
+                    img, model.resize_dim, model.crop_dim,
+                    crop=keep_img_ratio,
+                ),
+                img.size,
             )
-        return np.stack(imgs), sizes
 
-    loader = loader or default_loader
-    for bi, batch_idx in harness.batched(list(range(n)), batch_size):
+        loader = harness.parallel_image_loader(
+            _load_one,
+            collate=lambda items: (np.stack([i[0] for i in items]),
+                                   [i[1] for i in items]),
+        )
+
+    batches = list(harness.batched(list(range(n)), batch_size))
+    loaded = harness.prefetch(
+        batches,
+        lambda b: loader([samples["img_paths"][i] for i in b[1]]),
+        depth=2,
+    )
+    for bi, batch_idx in batches:
         with timer.phase("preprocessing"):
-            imgs, sizes = loader([samples["img_paths"][i] for i in batch_idx])
+            imgs, sizes = next(loaded)
             box_sets = [samples["bboxes"][i] for i in batch_idx]
             n_max = max(map(len, box_sets))
             adjusted = []

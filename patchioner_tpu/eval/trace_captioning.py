@@ -77,8 +77,10 @@ def evaluate(
     if loader is None:
         from PIL import Image
 
+        # uint8 to the device (4x less link traffic), normalize on device
+        # (Patchioner.encode_images handles uint8 batches)
         loader = harness.parallel_image_loader(
-            lambda p: transforms.preprocess_pil(
+            lambda p: transforms.preprocess_pil_uint8(
                 Image.open(p), model.resize_dim, model.crop_dim
             )
         )
@@ -86,10 +88,17 @@ def evaluate(
 
     def load_batch(batch):
         _, batch_idx = batch
-        return (
-            loader([samples["img_paths"][i] for i in batch_idx]),
-            [samples["traces"][i] for i in batch_idx],
-        )
+        imgs = loader([samples["img_paths"][i] for i in batch_idx])
+        try:
+            import jax
+
+            # start the host->device transfer IN THE PREFETCH WORKER so it
+            # overlaps the previous batch's device compute (device_put is
+            # async); harmless on CPU backends
+            imgs = jax.device_put(imgs)
+        except Exception:
+            pass
+        return imgs, [samples["traces"][i] for i in batch_idx]
 
     batches = list(harness.batched(idxs, batch_size))
     loaded = harness.prefetch(batches, load_batch, depth=2)

@@ -54,6 +54,16 @@ def _as_nhwc(imgs) -> jnp.ndarray:
     return x
 
 
+@jax.jit
+def _normalize_uint8(x: jnp.ndarray, mean: jnp.ndarray,
+                     std: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> normalized float32, ON DEVICE. Lets input pipelines
+    ship uint8 over the host->device link (4x fewer bytes than float32 —
+    the link, not the decode, bounds eval input throughput) and fold the
+    /255-mean/std into one fused device kernel."""
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
 class _FallbackWordTokenizer:
     """Whitespace tokenizer used ONLY when the GPT-2 BPE vocab files are
     unavailable (zero-egress) and allow_missing_weights=True — keeps the
@@ -319,6 +329,17 @@ class Patchioner:
         self.config = config or {}
         self.viecap = viecap  # VieCap or MeaCap instance (delegated decoding)
         self.clipcap = clipcap  # ClipCap instance
+        # Normalization stats for the uint8 device-side input path
+        # (encode_images); default = the reference's ImageNet transform
+        # (src/model.py:556-567), overridable per config.
+        from patchioner_tpu.utils import transforms as _T
+
+        self._image_mean = jnp.asarray(
+            self.config.get("image_mean", _T.IMAGENET_MEAN), jnp.float32
+        )
+        self._image_std = jnp.asarray(
+            self.config.get("image_std", _T.IMAGENET_STD), jnp.float32
+        )
         # Attention-extraction parameters. For CLIP backbones the reference
         # hard-codes the same 16-head/0.125 split and 1 global token
         # (src/model.py:336-337,557).
@@ -900,6 +921,13 @@ class Patchioner:
         `self_attn_maps` (B, H, P) softmaxed per head (src/model.py:863-877).
         """
         pixels = _as_nhwc(imgs)
+        if pixels.dtype == jnp.uint8:
+            # uint8 input contract: resized/cropped but UN-normalized
+            # (transforms.preprocess_pil_uint8); normalize on device with
+            # the model's stats (config keys image_mean/image_std, default
+            # the reference's ImageNet normalization, src/model.py:556-567)
+            pixels = _normalize_uint8(pixels, self._image_mean,
+                                      self._image_std)
         if self.backbone_type == "RegionCLIP":
             from patchioner_tpu.models import resnet_clip as rn_mod
 

@@ -22,6 +22,7 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 __all__ = [
     "preprocess_pil",
+    "preprocess_pil_uint8",
     "preprocess_batch",
     "preprocess_jax",
     "IMAGENET_MEAN",
@@ -69,6 +70,32 @@ def preprocess_pil(
         img = img.resize((resize_dim, resize_dim), Image.BICUBIC)
     x = np.asarray(img, np.float32) / 255.0
     return (x - mean) / std
+
+
+def preprocess_pil_uint8(
+    img,
+    resize_dim: int = 518,
+    crop_dim: int = 518,
+    *,
+    crop: bool = True,
+) -> np.ndarray:
+    """PIL image -> (H, W, 3) uint8 resized/cropped array, NOT normalized.
+
+    The input-bandwidth half of the split pipeline: host does the PIL
+    resize/crop, the model normalizes ON DEVICE when it receives a uint8
+    batch (Patchioner.encode_images). uint8 ships 4x fewer bytes over the
+    host->device link than the float32 path — the link (PCIe on a real TPU
+    VM; the dev tunnel here) is the eval pipeline's bandwidth bottleneck,
+    not the decode."""
+    from PIL import Image
+
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    if crop:
+        img = _center_crop(_resize_shorter(img, resize_dim), crop_dim)
+    else:
+        img = img.resize((resize_dim, resize_dim), Image.BICUBIC)
+    return np.asarray(img, np.uint8)
 
 
 def preprocess_batch(imgs: Iterable, **kw) -> np.ndarray:

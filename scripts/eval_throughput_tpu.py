@@ -87,28 +87,74 @@ def main():
     print(json.dumps({"model_built_s": round(time.time() - t0, 1)}))
     sys.stdout.flush()
 
+    # warmup: one batch to absorb the flagship forward compile so the
+    # measured runs are steady-state (jit cache is per-process)
+    t0 = time.time()
+    trace_captioning.evaluate(model, ann_path, root, batch_size=batch,
+                              limit=batch)
+    print(json.dumps({"warmup_compile_s": round(time.time() - t0, 1)}))
+    sys.stdout.flush()
+
+    def report(tag, result, wall):
+        timing = result["timing"]
+        n = len(result["predictions"])
+        pre = timing["phases"].get("preprocessing", {})
+        inf = timing["phases"].get("inference", {})
+        print(json.dumps({
+            "mode": tag,
+            "captions": n,
+            "wall_s": round(wall, 1),
+            "captions_per_sec_wall": round(n / wall, 1),
+            "images_per_sec_inference": round(
+                timing["images_per_sec_inference"], 1
+            ),
+            "images_per_sec_total": round(timing["images_per_sec_total"], 1),
+            "stall_mean_batch_ms": round(
+                pre.get("mean_batch_s", 0) * 1e3, 1
+            ),
+            "inference_mean_batch_ms": round(
+                inf.get("mean_batch_s", 0) * 1e3, 1
+            ),
+        }))
+        sys.stdout.flush()
+
+    # mode 1 — streaming: the full pipeline including the host->device
+    # link. On this dev environment the link is a ~55 MB/s network tunnel
+    # to a remote chip (measured by a device_put probe); on a real TPU VM
+    # it is PCIe (>=16 GB/s, ~2 ms per uint8 batch) — the uint8+overlap
+    # path exists for that regime and minimizes link bytes here.
     t0 = time.time()
     result = trace_captioning.evaluate(
         model, ann_path, root, batch_size=batch,
         out_path=os.path.join(root, "predictions.json"),
     )
-    wall = time.time() - t0
-    timing = result["timing"]
-    n = len(result["predictions"])
-    # steady state: skip the first batch (contains the flagship compile)
-    pre = timing["phases"].get("preprocessing", {})
-    inf = timing["phases"].get("inference", {})
-    print(json.dumps({
-        "captions": n,
-        "wall_s": round(wall, 1),
-        "captions_per_sec_wall": round(n / wall, 1),
-        "images_per_sec_inference": round(
-            timing["images_per_sec_inference"], 1
-        ),
-        "images_per_sec_total": round(timing["images_per_sec_total"], 1),
-        "stall_mean_batch_ms": round(pre.get("mean_batch_s", 0) * 1e3, 1),
-        "inference_mean_batch_ms": round(inf.get("mean_batch_s", 0) * 1e3, 1),
-    }))
+    report("streaming", result, time.time() - t0)
+
+    # mode 2 — device-resident pixels: the SAME harness (trace padding,
+    # forward, greedy decode, BPE detok, predictions assembly) with the
+    # pixel batches pre-staged on device, isolating harness overhead from
+    # link bandwidth. This is the regime the bench measures and the number
+    # comparable to it.
+    import jax as _jax
+
+    from PIL import Image
+
+    from patchioner_tpu.utils import transforms
+
+    pool_paths = sorted(
+        os.path.join(root, f) for f in os.listdir(root)
+        if f.endswith(".jpg")
+    )[:batch]
+    staged = _jax.device_put(np.stack([
+        transforms.preprocess_pil_uint8(Image.open(p), dim, dim)
+        for p in pool_paths
+    ]))
+    t0 = time.time()
+    result2 = trace_captioning.evaluate(
+        model, ann_path, root, batch_size=batch,
+        loader=lambda paths: staged,
+    )
+    report("device_resident", result2, time.time() - t0)
 
 
 if __name__ == "__main__":

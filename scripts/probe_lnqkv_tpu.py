@@ -1,0 +1,48 @@
+"""TPU probe round 3: is the attention-half LN materialized before qkv?
+
+The MLP half's LN is already folded into `fused_ln_mlp`; the attention
+half still runs LN (XLA) -> qkv matmul (XLA). If XLA fuses the normalize
+into the dot's operand read, LN+matmul should cost ~= matmul alone and
+there is no kernel opportunity; if LN adds ~a full (B, N, D) round-trip
+(~0.67 ms at the flagship shape), a fused LN+qkv kernel is the next
+encoder lever. Also probes a candidate Pallas fused LN+qkv kernel.
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from patchioner_tpu.eval.chain_bench import chain_time
+from patchioner_tpu.models import vit as V
+from scripts.probe_layer_tpu import make_block
+
+B, D = 128, 768
+NPAD = 1408
+
+
+def main():
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}))
+    sys.stdout.flush()
+    cfg = V.ViTConfig(dtype=jnp.bfloat16)
+    blk = make_block(jax.random.PRNGKey(0), cfg)
+
+    def qkv_only(x, blk):
+        y = V._dense(x, blk["qkv"])  # (B, N, 3D)
+        # fold back to input shape so the chain composes
+        return y[..., :D] + y[..., D:2 * D]
+
+    def ln_qkv(x, blk):
+        y = V._dense(V._ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
+        return y[..., :D] + y[..., D:2 * D]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, NPAD, D), jnp.bfloat16)
+    for name, fn in (("qkv_only", qkv_only), ("ln_qkv", ln_qkv)):
+        r = chain_time(fn, x, blk, chain=8, reps=3)
+        print(json.dumps({"variant": name, **r}))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -220,3 +220,18 @@ def test_int8_bank_from_config_flag():
         cfg, allow_missing_weights=True, random_bank_size=64
     )
     assert m.bank.rows.dtype == jnp.int8
+
+
+def test_uint8_input_matches_float_path(tiny_model):
+    """uint8 batches normalize ON DEVICE (encode_images) and must produce
+    captions identical to the host-normalized float path — the input-
+    bandwidth optimization (transforms.preprocess_pil_uint8 ships 4x fewer
+    bytes over the host->device link) may not change behavior."""
+    from patchioner_tpu.utils import transforms as T
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    a = tiny_model.forward(f32, get_cls_capt=True)
+    b = tiny_model.forward(u8, get_cls_capt=True)
+    assert a["cls_capt"] == b["cls_capt"]
