@@ -100,6 +100,18 @@ def evaluate(
             pass
         return imgs, [samples["traces"][i] for i in batch_idx]
 
+    # Fused fast path: the whole trace-caption math as ONE jitted dispatch
+    # (Patchioner.caption_traces_fused) instead of forward's ~6 — identical
+    # tokens, one device roundtrip per batch. Pad every batch's traces to
+    # the dataset max so the program compiles once.
+    use_fused = (
+        caption_from == "trace"
+        and not use_gaussian_weighting
+        and hasattr(model, "supports_fused_trace_path")
+        and model.supports_fused_trace_path()
+    )
+    max_pts = max((len(samples["traces"][i]) for i in idxs), default=1) or 1
+
     batches = list(harness.batched(idxs, batch_size))
     loaded = harness.prefetch(batches, load_batch, depth=2)
     for bi, batch_idx in batches:
@@ -108,17 +120,29 @@ def evaluate(
             # device), not total host decode work
             imgs, traces = next(loaded)
         with timer.phase("inference"):
-            outs = model.forward(
-                imgs,
-                get_cls_capt=caption_from == "cls",
-                traces=traces if caption_from == "trace" else None,
-                use_attention_tracing=use_attention_weighting,
-                gaussian_avg=use_gaussian_weighting,
-                gaussian_img_variance=gaussian_variance,
-            )
-            preds.extend(
-                outs["cls_capt"] if caption_from == "cls" else outs["trace_capts"]
-            )
+            if use_fused:
+                from patchioner_tpu.models.patchioner import (
+                    _traces_to_arrays,
+                )
+
+                pts, valid = _traces_to_arrays(traces, max_points=max_pts)
+                preds.extend(model.caption_traces_fused(
+                    imgs, pts, valid,
+                    use_attention_tracing=use_attention_weighting,
+                ))
+            else:
+                outs = model.forward(
+                    imgs,
+                    get_cls_capt=caption_from == "cls",
+                    traces=traces if caption_from == "trace" else None,
+                    use_attention_tracing=use_attention_weighting,
+                    gaussian_avg=use_gaussian_weighting,
+                    gaussian_img_variance=gaussian_variance,
+                )
+                preds.extend(
+                    outs["cls_capt"] if caption_from == "cls"
+                    else outs["trace_capts"]
+                )
         if measure_flops and bi == 0:
             flops = harness.xla_flops(
                 lambda x: model.encode_images(x)["x_norm_clstoken"], imgs

@@ -1184,6 +1184,107 @@ class Patchioner:
 
     # -------------------------------------------------------------- forward
 
+    # ---------------------------------------- fused trace-caption fast path
+
+    def supports_fused_trace_path(self) -> bool:
+        """True when trace captioning can run as ONE jitted program —
+        the DINO-backbone DeCap mainline (no ViECap/ClipCap delegation,
+        no argmax-text; embed-inversion is included in the program)."""
+        return (
+            self.backbone_type == "DINO"
+            and self.viecap is None
+            and self.clipcap is None
+            and not self.calculate_argmax_text
+            and self.bank is not None
+            and self.decoder is not None
+        )
+
+    def _fused_trace_step(self, use_attention: bool):
+        """Build (and cache) the single-dispatch trace-caption program:
+        normalize(uint8) -> encoder -> attention extraction -> trace pool
+        -> memory projection -> [inversion] -> greedy decode, one jit.
+
+        `forward(traces=...)` runs the same math as ~6 separate jitted
+        dispatches; per-dispatch latency is irrelevant locally but each
+        costs an RPC on remote-device transports, and the final sync lands
+        earlier. Semantics are identical (tests pin token equality)."""
+        key = ("fused_trace", bool(use_attention))
+        cached = getattr(self, "_fused_trace_cache", None)
+        if cached is None:
+            cached = self._fused_trace_cache = {}
+        if key in cached:
+            return cached[key]
+
+        vit_cfg, gcfg = self.vit_cfg, self.gpt2_cfg
+        use_pallas = self._use_pallas
+        normalize = self.normalize
+        entry_length = self.entry_length
+        embed_inv = self.embed_inversion
+        ex_heads = self.extract_heads
+        ex_ng = self.num_global_tokens
+        ex_scale = self.extract_scale
+        is_q = isinstance(self.bank, memproj.QuantizedBank)
+        num_real = self.bank.num_real
+
+        def step(state, pixels, pts, valid):
+            if pixels.dtype == jnp.uint8:
+                pixels = (pixels.astype(jnp.float32) / 255.0
+                          - state["mean"]) / state["std"]
+            outs = vit_mod.vit_forward(state["vit"], pixels, vit_cfg)
+            g = vit_cfg.grid_size
+            grid = rp.traces_to_grid(pts, valid, g)
+            attn = None
+            if use_attention:
+                attn, _ = vit_mod.process_self_attention(
+                    outs["qkv_last"], num_heads=ex_heads,
+                    num_global_tokens=ex_ng, scale=ex_scale,
+                )
+            feats = rp.trace_pool(outs["x_norm_patchtokens"], grid, attn)
+            if is_q:
+                bank = memproj.QuantizedBank(
+                    state["bank_rows"], state["bank_scale"],
+                    state["bank_inv"], num_real,
+                )
+            else:
+                bank = memproj.PreparedBank(
+                    state["bank_rows"], state["bank_inv"], num_real
+                )
+            prefix = memproj.memory_project(
+                feats, bank, normalize=normalize, use_pallas=use_pallas
+            )
+            if embed_inv:
+                prefix = t2d.revert_transformation(prefix, state["inversion"])
+            tokens, _ = decap_mod.greedy_decode(
+                state["decoder"], prefix, gcfg, entry_length
+            )
+            return tokens
+
+        cached[key] = jax.jit(step)
+        return cached[key]
+
+    def caption_traces_fused(self, imgs, pts, valid, *,
+                             use_attention_tracing: bool = False):
+        """Single-dispatch trace captioning (see `_fused_trace_step`);
+        `pts` (B, P, 2) in [0, 1] + `valid` (B, P) pre-padded arrays.
+        Caller must check `supports_fused_trace_path()`."""
+        state = {
+            "vit": self.vit_params,
+            "decoder": self.decoder,
+            "bank_rows": self.bank.rows,
+            "bank_inv": self.bank.inv_norm,
+            "mean": self._image_mean,
+            "std": self._image_std,
+        }
+        if isinstance(self.bank, memproj.QuantizedBank):
+            state["bank_scale"] = self.bank.scale
+        if self.embed_inversion:
+            state["inversion"] = self.inversion
+        step = self._fused_trace_step(use_attention_tracing)
+        tokens = np.asarray(
+            step(state, _as_nhwc(imgs), jnp.asarray(pts), jnp.asarray(valid))
+        )
+        return [self.tokenizer.decode_caption(row) for row in tokens]
+
     def forward(
         self,
         imgs,

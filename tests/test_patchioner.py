@@ -235,3 +235,23 @@ def test_uint8_input_matches_float_path(tiny_model):
     a = tiny_model.forward(f32, get_cls_capt=True)
     b = tiny_model.forward(u8, get_cls_capt=True)
     assert a["cls_capt"] == b["cls_capt"]
+
+
+def test_fused_trace_path_matches_forward(tiny_model, imgs):
+    """caption_traces_fused (single-dispatch program) must produce captions
+    identical to forward(traces=...) in both trace-pool variants."""
+    from patchioner_tpu.models.patchioner import _traces_to_arrays
+
+    traces = [[{"x": 0.2, "y": 0.3}, {"x": 0.5, "y": 0.6}],
+              [{"x": 0.7, "y": 0.2}]]
+    pts, valid = _traces_to_arrays(traces)
+    assert tiny_model.supports_fused_trace_path()
+    for attn in (False, True):
+        want = tiny_model.forward(
+            imgs, get_cls_capt=False, traces=traces,
+            use_attention_tracing=attn,
+        )["trace_capts"]
+        got = tiny_model.caption_traces_fused(
+            imgs, pts, valid, use_attention_tracing=attn
+        )
+        assert got == want, f"use_attention_tracing={attn}"
