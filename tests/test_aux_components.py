@@ -226,3 +226,45 @@ def test_chain_bench_times_op():
     w = jnp.ones((8, 8)) * 0.5
     res = chain_time(lambda x, w: x @ w, jnp.ones((4, 8)), w, chain=4, reps=2)
     assert res["per_op_ms"] > 0 and len(res["times_ms"]) == 2
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from patchioner_tpu.eval import harness
+
+    calls = []
+
+    def fn(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(harness.prefetch([1, 2, 3, 4, 5], fn, depth=2))
+    assert out == [10, 20, 30, 40, 50]
+    assert sorted(calls) == [1, 2, 3, 4, 5]
+    # depth=0 degrades to plain map
+    assert list(harness.prefetch([1, 2], fn, depth=0)) == [10, 20]
+
+    def boom(x):
+        if x == 2:
+            raise ValueError("bad item")
+        return x
+
+    gen = harness.prefetch([1, 2, 3], boom, depth=2)
+    assert next(gen) == 1
+    with pytest.raises(ValueError, match="bad item"):
+        next(gen)
+
+
+def test_parallel_image_loader_collate():
+    import numpy as np
+
+    from patchioner_tpu.eval import harness
+
+    load = harness.parallel_image_loader(
+        lambda i: (np.full((2, 2), i), i * 2),
+        workers=3,
+        collate=lambda items: (np.stack([a for a, _ in items]),
+                               [b for _, b in items]),
+    )
+    arr, meta = load([1, 2, 3])
+    assert arr.shape == (3, 2, 2) and meta == [2, 4, 6]
+    assert (arr[1] == 2).all()
