@@ -164,7 +164,8 @@ def batched(items: Sequence, batch_size: int):
         yield i // batch_size, items[i : i + batch_size]
 
 
-def prefetch(items: Sequence, fn: Callable, depth: int = 2):
+def prefetch(items: Sequence, fn: Callable, depth: int = 2,
+             workers: int = 1):
     """Yield `fn(item)` for each item, computing up to `depth` items ahead
     in a background thread.
 
@@ -181,7 +182,9 @@ def prefetch(items: Sequence, fn: Callable, depth: int = 2):
         for it in items:
             yield fn(it)
         return
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    # results are yielded strictly in order (futs[i]); workers>1 only adds
+    # overlap between consecutive items' host work/uploads
+    with ThreadPoolExecutor(max_workers=max(1, min(workers, depth))) as ex:
         futs = []
         items = list(items)
         for it in items[:depth]:

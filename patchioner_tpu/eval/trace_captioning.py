@@ -86,20 +86,6 @@ def evaluate(
         )
     idxs = list(range(n))
 
-    def load_batch(batch):
-        _, batch_idx = batch
-        imgs = loader([samples["img_paths"][i] for i in batch_idx])
-        try:
-            import jax
-
-            # start the host->device transfer IN THE PREFETCH WORKER so it
-            # overlaps the previous batch's device compute (device_put is
-            # async); harmless on CPU backends
-            imgs = jax.device_put(imgs)
-        except Exception:
-            pass
-        return imgs, [samples["traces"][i] for i in batch_idx]
-
     # Fused fast path: the whole trace-caption math as ONE jitted dispatch
     # (Patchioner.caption_traces_fused) instead of forward's ~6 — identical
     # tokens, one device roundtrip per batch. Pad every batch's traces to
@@ -112,20 +98,58 @@ def evaluate(
     )
     max_pts = max((len(samples["traces"][i]) for i in idxs), default=1) or 1
 
-    batches = list(harness.batched(idxs, batch_size))
-    loaded = harness.prefetch(batches, load_batch, depth=2)
-    for bi, batch_idx in batches:
-        with timer.phase("preprocessing"):
-            # with prefetch, this measures pipeline STALL (host behind
-            # device), not total host decode work
-            imgs, traces = next(loaded)
-        with timer.phase("inference"):
+    def load_batch(batch):
+        _, batch_idx = batch
+        imgs = loader([samples["img_paths"][i] for i in batch_idx])
+        traces = [samples["traces"][i] for i in batch_idx]
+        extra = None
+        try:
+            import jax
+
+            # start host->device transfers IN THE PREFETCH WORKER so they
+            # overlap the previous batch's device compute (device_put is
+            # async) — each fresh transfer otherwise costs a dispatch
+            # roundtrip inside the timed inference phase. Harmless on CPU.
+            put_imgs = not isinstance(imgs, jax.Array)
+            if put_imgs:
+                imgs = jax.device_put(imgs)
             if use_fused:
                 from patchioner_tpu.models.patchioner import (
                     _traces_to_arrays,
                 )
 
                 pts, valid = _traces_to_arrays(traces, max_points=max_pts)
+                extra = (jax.device_put(pts), jax.device_put(valid))
+            # FORCE fresh transfers to finish here in the worker — on
+            # remote-device transports the RPC otherwise fires lazily when
+            # the consuming program runs, landing inside the timed compute
+            # phase (block_until_ready is unreliable there; a one-element
+            # host read is not). Already-resident arrays are left alone.
+            if put_imgs:
+                np.asarray(imgs[0, 0, 0, 0])
+            if extra is not None:
+                np.asarray(extra[1][0, 0])
+        except Exception:
+            pass
+        return imgs, traces, extra
+
+    batches = list(harness.batched(idxs, batch_size))
+    # two workers: a batch's decode and the previous batch's upload overlap
+    loaded = harness.prefetch(batches, load_batch, depth=3, workers=2)
+    for bi, batch_idx in batches:
+        with timer.phase("preprocessing"):
+            # with prefetch, this measures pipeline STALL (host behind
+            # device), not total host decode work
+            imgs, traces, extra = next(loaded)
+        with timer.phase("inference"):
+            if use_fused:
+                if extra is None:  # device_put unavailable (exotic backend)
+                    from patchioner_tpu.models.patchioner import (
+                        _traces_to_arrays,
+                    )
+
+                    extra = _traces_to_arrays(traces, max_points=max_pts)
+                pts, valid = extra
                 preds.extend(model.caption_traces_fused(
                     imgs, pts, valid,
                     use_attention_tracing=use_attention_weighting,
