@@ -268,3 +268,22 @@ def test_parallel_image_loader_collate():
     arr, meta = load([1, 2, 3])
     assert arr.shape == (3, 2, 2) and meta == [2, 4, 6]
     assert (arr[1] == 2).all()
+
+
+def test_hlo_collective_summary_parses_ops_and_bytes():
+    import __graft_entry__ as ge
+
+    hlo = "\n".join([
+        "  %x = f32[8,16]{1,0} add(%a, %b)",
+        "  %ar = f32[128]{0} all-reduce(%x), replica_groups={}",
+        "  %t = (f32[2304]{0}, bf16[768,768]{1,0}) all-reduce-start(%y)",
+        "  %d = f32[4]{0} all-reduce-done(%t)",
+        "  %ag = u8[64,2]{1,0} all-gather(%z), dimensions={0}",
+    ])
+    out = ge._hlo_collective_summary(hlo)
+    ops = [(op, b) for op, b, _ in out]
+    assert ("all-reduce", 128 * 4) in ops
+    assert ("all-reduce", 2304 * 4 + 768 * 768 * 2) in ops  # tuple -start
+    assert ("all-gather", 64 * 2 * 1) in ops
+    # plain adds and -done bookkeeping don't count as collectives
+    assert len(out) == 3
