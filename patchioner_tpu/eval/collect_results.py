@@ -3,15 +3,42 @@
 Reference: evaluation/collect_results.py (ResultsCollector, 630 LoC of
 CSV scraping + table assembly) and evaluation/utils.py:28-100
 (get_model_infos: config name -> display metadata).
+
+Reference semantics reproduced: per-task score-column sets with the
+x100 scaling rules (collect_results.py:28-33 — narratives /
+image_captioning / dense_captioning scores x100, controllable unscaled),
+config-JSON-driven row assembly with graceful missing-result rows
+(:388-470), and the found/missing summary report (:542-600). The
+screen-session liveness column is meaningless off the reference's
+screen-based launcher and is omitted.
 """
 
 from __future__ import annotations
 
 import csv
+import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
-__all__ = ["get_model_infos", "ResultsCollector"]
+__all__ = ["get_model_infos", "ResultsCollector", "TASK_SCORE_COLUMNS"]
+
+# Task -> (main score columns, multiply_by_100) — reference
+# collect_results.py:28-33 and its task_score_columns table.
+_CAPTION_SCORES = ["METEOR", "CIDEr", "SPICE", "RefPAC-S", "Bleu_4",
+                   "ROUGE_L", "CLIP-S", "PAC-S"]
+TASK_SCORE_COLUMNS = {
+    "narratives": {"main_scores": _CAPTION_SCORES, "multiply_by_100": True},
+    "image_captioning": {
+        "main_scores": _CAPTION_SCORES, "multiply_by_100": True,
+    },
+    "controllable_captioning": {
+        "main_scores": _CAPTION_SCORES, "multiply_by_100": False,
+    },
+    "dense_captioning": {
+        "main_scores": _CAPTION_SCORES[:6] + ["map_score"],
+        "multiply_by_100": True,
+    },
+}
 
 # config-name fragments -> (method, grid, backbone) display metadata,
 # mirroring evaluation/utils.py:28-100's mapping for the main-table models.
@@ -95,6 +122,88 @@ class ResultsCollector:
                     row[k] = v
             out.append(row)
         return sorted(out, key=lambda r: r["model"])
+
+    # ------------------------------------------- config-driven assembly
+
+    def collect_from_config(self, config_path: str) -> Dict[str, List[dict]]:
+        """Experiment-grid JSON (configs/evaluation/*.json — the reference
+        schema) -> {task: rows}. One row per (experiment, task variant);
+        configurations whose results are absent from the task CSV still get
+        a row (`found=False`, empty scores — reference :388-470), and the
+        x100 scaling is applied per TASK_SCORE_COLUMNS."""
+        with open(config_path) as f:
+            grid = json.load(f)
+        out: Dict[str, List[dict]] = {}
+        for exp in grid.get("experiments", []):
+            model_name = exp.get("model_name") or exp.get("model")
+            for task_name, settings in exp.get("tasks", {}).items():
+                variants = settings if isinstance(settings, list) else [
+                    settings
+                ]
+                task_cfg = TASK_SCORE_COLUMNS.get(
+                    task_name, {"main_scores": _CAPTION_SCORES,
+                                "multiply_by_100": False},
+                )
+                rows = self.load_task(task_name)
+                for vi, _variant in enumerate(variants):
+                    match = self._match_row(rows, model_name, vi)
+                    row = {
+                        "model_name": model_name,
+                        "variant_index": vi,
+                        "found": match is not None,
+                    }
+                    method, grid_sz, backbone = get_model_infos(model_name)
+                    row.update({"model": method, "n_patches": grid_sz,
+                                "backbone": backbone})
+                    for col in task_cfg["main_scores"]:
+                        row[col] = self._scaled(
+                            (match or {}).get(col)
+                            if match else None,
+                            task_cfg["multiply_by_100"],
+                        )
+                        std = (match or {}).get(f"{col}_std") if match else None
+                        if std not in (None, ""):
+                            row[f"{col}_std"] = self._scaled(
+                                std, task_cfg["multiply_by_100"]
+                            )
+                    if match:
+                        for k, v in match.items():
+                            if k.endswith("_variant") and v:
+                                row[k] = v
+                    out.setdefault(task_name, []).append(row)
+        return out
+
+    @staticmethod
+    def _scaled(value, multiply_by_100: bool):
+        if value in (None, ""):
+            return ""
+        try:
+            v = float(value)
+        except (TypeError, ValueError):
+            return value
+        return round(v * 100, 4) if multiply_by_100 else v
+
+    @staticmethod
+    def _match_row(rows: List[dict], model_name: str,
+                   variant_index: int) -> Optional[dict]:
+        matches = [r for r in rows if r.get("model") == model_name
+                   or r.get("model_name") == model_name]
+        if not matches:
+            return None
+        return matches[min(variant_index, len(matches) - 1)]
+
+    def summary_report(self, results: Dict[str, List[dict]]) -> str:
+        """Found/missing counts per task (reference :542-600)."""
+        lines = ["RESULTS COLLECTION SUMMARY", "=" * 26]
+        for task, rows in results.items():
+            found = sum(1 for r in rows if r.get("found"))
+            lines.append(
+                f"{task}: {found}/{len(rows)} configurations with results"
+            )
+            missing = [r["model_name"] for r in rows if not r.get("found")]
+            if missing:
+                lines.append(f"  missing: {', '.join(missing)}")
+        return "\n".join(lines)
 
     def markdown(self, task: str, metrics=("CIDEr", "METEOR", "ROUGE_L",
                                            "Bleu_4")) -> str:

@@ -287,3 +287,38 @@ def test_hlo_collective_summary_parses_ops_and_bytes():
     assert ("all-gather", 64 * 2 * 1) in ops
     # plain adds and -done bookkeeping don't count as collectives
     assert len(out) == 3
+
+
+def test_collect_from_config_assembly(tmp_path):
+    """Config-driven collection: found rows get x100-scaled scores +
+    variant markers; absent configurations still produce rows."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    harness.append_results_csv(
+        str(tmp_path / "narratives.csv"),
+        {"model": "mlp.k", "task": "narratives", "CIDEr": "0.8123",
+         "METEOR": "0.2", "CIDEr_std": "0.01", "SPICE_variant": "lexicon"},
+        ["model", "task"],
+    )
+    grid = {
+        "experiments": [
+            {"model_name": "mlp.k", "tasks": {"narratives": {}}},
+            {"model_name": "ghost.k", "tasks": {"narratives": {}}},
+        ]
+    }
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rc = ResultsCollector(str(tmp_path))
+    results = rc.collect_from_config(str(cfg_path))
+    rows = results["narratives"]
+    assert len(rows) == 2
+    ok = next(r for r in rows if r["model_name"] == "mlp.k")
+    assert ok["found"] and ok["CIDEr"] == 81.23 and ok["CIDEr_std"] == 1.0
+    assert ok["SPICE_variant"] == "lexicon"
+    ghost = next(r for r in rows if r["model_name"] == "ghost.k")
+    assert not ghost["found"] and ghost["CIDEr"] == ""
+    report = rc.summary_report(results)
+    assert "1/2 configurations" in report and "ghost.k" in report
