@@ -239,18 +239,27 @@ def main():
 
     vs_baseline = None
     if os.environ.get("PATCHIONER_BENCH_SKIP_BASELINE", "0") != "1":
-        naive_iters = max(1, iters // 5)
-        encode_and_project, naive_decode_time = _naive_reference_port(model, batch)
-        prefix = _sync(encode_and_project(*args))
-        t0 = time.perf_counter()
-        for _ in range(naive_iters):
+        try:
+            naive_iters = max(1, iters // 5)
+            encode_and_project, naive_decode_time = _naive_reference_port(
+                model, batch
+            )
             prefix = _sync(encode_and_project(*args))
-        dt_encode = (time.perf_counter() - t0) / naive_iters
-        dt_decode = naive_decode_time(prefix, naive_iters)
-        naive_cps = batch / (dt_encode + dt_decode)
-        # apples-to-apples: the baseline loop is synced per call, so compare
-        # it against the synced latency, not the pipelined throughput
-        vs_baseline = round((batch / dt_lat) / naive_cps, 3)
+            t0 = time.perf_counter()
+            for _ in range(naive_iters):
+                prefix = _sync(encode_and_project(*args))
+            dt_encode = (time.perf_counter() - t0) / naive_iters
+            dt_decode = naive_decode_time(prefix, naive_iters)
+            naive_cps = batch / (dt_encode + dt_decode)
+            # apples-to-apples: the baseline loop is synced per call, so
+            # compare against the synced latency, not pipelined throughput
+            vs_baseline = round((batch / dt_lat) / naive_cps, 3)
+        except Exception as e:
+            # a flaky transport must not cost the round's headline number —
+            # report the measured throughput with vs_baseline unset
+            import sys
+
+            print(f"baseline measurement failed: {e!r}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -431,6 +431,7 @@ class Patchioner:
                 or config.get("softmax_f32") is not None
                 or config.get("gelu_approx") is not None
                 or config.get("mlp_fused") is not None
+                or config.get("qkv_fused") is not None
             ):
                 vit_cfg = dataclasses.replace(
                     vit_cfg,
@@ -438,6 +439,7 @@ class Patchioner:
                     softmax_f32=bool(config.get("softmax_f32", vit_cfg.softmax_f32)),
                     gelu_approx=bool(config.get("gelu_approx", vit_cfg.gelu_approx)),
                     mlp_fused=bool(config.get("mlp_fused", vit_cfg.mlp_fused)),
+                    qkv_fused=bool(config.get("qkv_fused", vit_cfg.qkv_fused)),
                 )
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):

@@ -60,6 +60,11 @@ class ViTConfig:
     # v5e combined with fusedqkv (PERF.md). Requires N%128==0 (i.e. the
     # fusedqkv padded-token path); TPU-only.
     mlp_fused: bool = False
+    # fold the attention half's LN into the qkv projection
+    # (ops/mlp.fused_ln_dense) — XLA materializes the LN output, ~0.73
+    # ms/layer of (B, N, D) traffic at the flagship shape (PERF.md round
+    # 3). Same N%128==0 requirement; TPU-only; identical numerics.
+    qkv_fused: bool = False
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -240,11 +245,13 @@ def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) ->
 
 
 def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
-               num_real_k=None):
-    b, n, d = x_norm.shape
+               num_real_k=None, qkv_pre=None):
+    # (B, N, 3D); `qkv_pre` comes from the fused LN+qkv kernel (qkv_fused)
+    qkv = qkv_pre if qkv_pre is not None else _dense(x_norm, blk["qkv"])
+    b, n, three_d = qkv.shape
+    d = three_d // 3
     nh = cfg.num_heads
     hd = d // nh
-    qkv = _dense(x_norm, blk["qkv"])  # (B, N, 3D)
     if cfg.attn_impl == "fusedqkv":
         # Transpose-free head-pair kernel on the fused qkv activation.
         # Measured 38.1 ms/layer vs 50.5 XLA at the flagship shape
@@ -313,7 +320,7 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
         if cfg.softmax_f32:
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-                x_norm.dtype
+                qkv.dtype
             )
         else:
             # keep the (B, H, N, N) intermediate in the compute dtype —
@@ -324,6 +331,26 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = _dense(out, blk["proj"])
     return (out, qkv) if return_qkv else (out, None)
+
+
+def _use_fused_qkv(x, blk, cfg: ViTConfig) -> bool:
+    return (cfg.qkv_fused and x.shape[1] % 128 == 0
+            and "w" in blk["qkv"])
+
+
+def _qkv_activation(x, blk, cfg: ViTConfig):
+    """qkv = LN(x) @ W_qkv + b, via the fused LN+dense kernel when enabled
+    (qkv_fused — avoids materializing the LN output, PERF.md round 3)."""
+    if _use_fused_qkv(x, blk, cfg):
+        from patchioner_tpu.ops.mlp import fused_ln_dense
+
+        n = x.shape[1]
+        bq = next(b for b in (704, 512, 352, 256, 128) if n % b == 0)
+        return fused_ln_dense(
+            x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+            blk["qkv"]["w"], blk["qkv"]["b"], eps=cfg.ln_eps, block_q=bq,
+        )
+    return _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
 
 
 def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
@@ -341,7 +368,7 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
             )
         d = x.shape[-1]
         nh = cfg.num_heads
-        qkv = _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
+        qkv = _qkv_activation(x, blk, cfg)
         ls1 = blk["ls1"] if cfg.layerscale else jnp.ones((d,), x.dtype)
         x = fused_qkv_attention_proj(
             qkv, x, blk["proj"]["w"], blk["proj"]["b"], ls1,
@@ -349,8 +376,12 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         )
         qkv = qkv if return_qkv else None
     else:
-        a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
-                            return_qkv, num_real_k)
+        if _use_fused_qkv(x, blk, cfg):
+            a, qkv = _attention(None, blk, cfg, return_qkv, num_real_k,
+                                qkv_pre=_qkv_activation(x, blk, cfg))
+        else:
+            a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
+                                return_qkv, num_real_k)
         if cfg.layerscale:
             a = a * blk["ls1"]
         x = x + a

@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_ln_mlp",
     "fused_ln_mlp_w8",
+    "fused_ln_dense",
     "quantize_mlp_weights",
     "ln_mlp_reference",
 ]
@@ -155,6 +156,81 @@ def fused_ln_mlp(
         ),
         interpret=interpret,
     )(x, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2), row(ls))
+
+
+# -------------------------------------------------- fused LN + dense
+
+
+def _ln_dense_kernel(
+    x_ref,   # (1, BQ, D)
+    g_ref,   # (1, D) ln scale
+    bg_ref,  # (1, D) ln bias
+    w_ref,   # (D, O)
+    b_ref,   # (1, O)
+    o_ref,   # (1, BQ, O)
+    *,
+    eps: float,
+):
+    x = x_ref[0]
+    y = _ln_rows(x_ref, g_ref, bg_ref, eps).astype(x.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        y, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b_ref[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_q", "interpret")
+)
+def fused_ln_dense(
+    x: jax.Array,         # (B, N, D)
+    ln_scale: jax.Array,  # (D,)
+    ln_bias: jax.Array,   # (D,)
+    w: jax.Array,         # (D, O)
+    bias: jax.Array,      # (O,)
+    *,
+    eps: float,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """LN folded into a dense projection's operand read — the attention
+    half's `qkv = LN(x) @ W_qkv + b` without materializing the normalized
+    activations in HBM. Measured on v5e at the flagship shape (round-3
+    probe): XLA materializes the LN output, costing ~0.73 ms/layer of
+    (B, N, D) write+read on top of the 7.8 ms qkv matmul; this kernel
+    reads x once and keeps W_qkv (3.5 MB at D=768 bf16) pinned across the
+    grid. Numerics identical to `_ln` + `_dense` (f32 LN statistics, bf16
+    matmul with f32 MXU accumulation)."""
+    b, n, d = x.shape
+    o = w.shape[1]
+    if n % block_q:
+        raise ValueError(f"fused_ln_dense needs N%{block_q}==0, got {n}")
+    grid = (b, n // block_q)
+    row = lambda v: v.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(_ln_dense_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, o), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, o), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, o), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * o,
+            bytes_accessed=(b * n * (d + o) + d * o) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, row(ln_scale), row(ln_bias), w, row(bias))
 
 
 # ------------------------------------------------- int8 W8A8 variant

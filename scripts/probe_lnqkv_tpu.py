@@ -37,9 +37,41 @@ def main():
         y = V._dense(V._ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
         return y[..., :D] + y[..., D:2 * D]
 
+    from patchioner_tpu.ops.mlp import fused_ln_dense
+
+    def ln_qkv_fused(x, blk, bq):
+        y = fused_ln_dense(
+            x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+            blk["qkv"]["w"], blk["qkv"]["b"], eps=cfg.ln_eps, block_q=bq,
+        )
+        return y[..., :D] + y[..., D:2 * D]
+
     x = jax.random.normal(jax.random.PRNGKey(1), (B, NPAD, D), jnp.bfloat16)
     for name, fn in (("qkv_only", qkv_only), ("ln_qkv", ln_qkv)):
         r = chain_time(fn, x, blk, chain=8, reps=3)
+        print(json.dumps({"variant": name, **r}))
+        sys.stdout.flush()
+    for bq in (704, 352, 176, 128):
+        try:
+            r = chain_time(lambda x, blk, bq=bq: ln_qkv_fused(x, blk, bq),
+                           x, blk, chain=8, reps=3)
+            print(json.dumps({"variant": f"ln_qkv_fused_bq{bq}", **r}))
+        except Exception as e:
+            print(json.dumps({"variant": f"ln_qkv_fused_bq{bq}",
+                              "error": repr(e)[:300]}))
+        sys.stdout.flush()
+
+    # full flagship layer: fused LN+qkv + fusedqkv attention + fused MLP
+    import dataclasses
+
+    cfg_full = dataclasses.replace(cfg, attn_impl="fusedqkv",
+                                   mlp_fused=True)
+    cfg_fullq = dataclasses.replace(cfg_full, qkv_fused=True)
+    for name, c in (("layer_r2", cfg_full), ("layer_qkvfused", cfg_fullq)):
+        r = chain_time(
+            lambda x, blk, c=c: V._block(x, blk, c, num_real_k=1374)[0],
+            x, blk, chain=6, reps=3,
+        )
         print(json.dumps({"variant": name, **r}))
         sys.stdout.flush()
 

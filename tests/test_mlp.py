@@ -107,3 +107,50 @@ def test_fused_ln_mlp_rejects_ragged_n():
         mlp.fused_ln_mlp(x, z, z, jnp.zeros((128, 512)), jnp.zeros((512,)),
                          jnp.zeros((512, 128)), z, z, eps=1e-6,
                          interpret=True)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_ln_dense_parity(dtype):
+    """LN+dense kernel == _ln -> _dense (the qkv projection fusion)."""
+    from patchioner_tpu.models.vit import _dense, _ln
+
+    rng = np.random.default_rng(6)
+    b, n, d, o = 2, 256, 128, 384
+    x = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    g = jnp.asarray(rng.uniform(0.5, 1.5, (d,)), jnp.float32)
+    bg = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, o)) * 0.05, dtype)
+    bias = jnp.asarray(rng.standard_normal((o,)) * 0.1, dtype)
+    want = _dense(_ln(x, {"scale": g, "bias": bg}, 1e-6),
+                  {"w": w, "b": bias})
+    got = mlp.fused_ln_dense(x, g, bg, w, bias, eps=1e-6, block_q=128,
+                             interpret=True)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_vit_qkv_fused_matches_unfused():
+    """qkv_fused must not change the model's outputs (identical math,
+    fused operand read)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=128, depth=2,
+              num_heads=2, num_registers=4, pos_grid=4,
+              attn_impl="fusedqkv")
+    cfg_a = vit.ViTConfig(**kw)
+    cfg_b = vit.ViTConfig(**kw, qkv_fused=True)
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_a)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    with pltpu.force_tpu_interpret_mode():
+        a = vit.vit_forward(params, x, cfg_a)
+        b = vit.vit_forward(params, x, cfg_b)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken", "qkv_last"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-5, atol=5e-6,
+            err_msg=key,
+        )
