@@ -1210,7 +1210,10 @@ class Patchioner:
         dispatches; per-dispatch latency is irrelevant locally but each
         costs an RPC on remote-device transports, and the final sync lands
         earlier. Semantics are identical (tests pin token equality)."""
-        key = ("fused_trace", bool(use_attention))
+        # key includes bank geometry/type so swapping the bank on a live
+        # model (demo hot-swap) can't serve a stale closed-over num_real
+        key = ("fused_trace", bool(use_attention), self.bank.num_real,
+               type(self.bank).__name__, self.embed_inversion)
         cached = getattr(self, "_fused_trace_cache", None)
         if cached is None:
             cached = self._fused_trace_cache = {}

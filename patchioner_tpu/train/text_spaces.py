@@ -107,7 +107,11 @@ def _load_state_dict(path: str) -> dict:
 def _geometry_from_sd(sd: dict) -> clip_mod.ClipTextConfig:
     """Infer the tower geometry from a (prefix-stripped) OpenAI-layout state
     dict — the same introspection the reference's loaders do
-    (src/regionclip/loader.py:200-210)."""
+    (src/regionclip/loader.py:200-210). Head count is not recoverable from
+    parameter shapes; width//64 encodes the CLIP-family invariant
+    head_dim == 64 (holds for every tower the reference loads: CLIP
+    ViT-B/L, open_clip, RegionCLIP RN50, DenseCLIP, dinotxt tet1280d20h24l
+    is 1280/64=20 heads)."""
     vocab, width = sd["token_embedding.weight"].shape
     context = sd["positional_embedding"].shape[0]
     proj = sd["text_projection"].shape[1]

@@ -75,7 +75,8 @@ def main():
         "support_memory_size": 591753 if on_tpu else 2048,
     }
     if on_tpu:
-        config.update({"attn_impl": "fusedqkv", "mlp_fused": True})
+        config.update({"attn_impl": "fusedqkv", "mlp_fused": True,
+                       "qkv_fused": True})
     import jax.numpy as jnp
 
     t0 = time.time()
