@@ -198,6 +198,9 @@ def bench_fn_pipelined(fn, args, iters: int):
 
 
 def main():
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # flagship compiles once per toolchain, not per run
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 128 if on_tpu else 2))
     bank_size = int(

@@ -54,6 +54,9 @@ def main():
 
     from patchioner_tpu.eval import trace_captioning
     from patchioner_tpu.models.patchioner import Patchioner
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
