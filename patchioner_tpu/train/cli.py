@@ -162,7 +162,13 @@ def main(argv=None):
             raise SystemExit("--im_proj requires --bank")
         from patchioner_tpu.io import memory_bank as mb
 
-        loaded = mb.load_bank(args.bank, "coco_captions")
+        # dinotxt banks store the full 2048-d embedding; training projects
+        # through the patch-aligned [:, 1024:] half, applied at LOAD like
+        # the reference (im2txtprojection.py:405-406)
+        loaded = mb.load_bank(
+            args.bank, "coco_captions",
+            dinotxt_slice=args.text_encoder == "dinotxt",
+        )
         bank_rows = jnp.asarray(loaded.embeddings)
 
     from patchioner_tpu.parallel import sharding
