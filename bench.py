@@ -75,7 +75,8 @@ def _naive_reference_port(model, batch: int):
     # Strip every builder-side kernel fusion off the baseline encoder —
     # params are impl-independent, so the same weights run both sides.
     vit_cfg = dataclasses.replace(
-        vit_cfg, attn_impl="xla", mlp_fused=False, gelu_approx=False
+        vit_cfg, attn_impl="xla", mlp_fused=False, qkv_fused=False,
+        gelu_approx=False
     )
     bank_rows = bank.rows[: bank.num_real]
 
