@@ -1,0 +1,245 @@
+"""Dynamic-batching caption server — the production-serving layer.
+
+The reference serves captions one request at a time through its gradio demo
+(demo/app.py:417-441: a single `forward` per interaction); there is no
+batching layer anywhere in its tree. On TPU that leaves most of the chip
+idle: the flagship caption step is compiled for a fixed batch and its cost
+is dominated by per-dispatch latency at batch 1, while per-sample cost at
+batch 128 is ~40x lower (PERF.md). This module adds the TPU-idiomatic
+serving shape around the same model:
+
+* requests (image + optional trace) enqueue from any thread and return
+  futures;
+* a worker thread coalesces the queue into micro-batches — up to
+  `max_batch` items or `max_delay_ms` of accumulation, whichever first;
+* batches are padded to a fixed LADDER OF BUCKET SIZES (powers of two up
+  to `max_batch`) so XLA compiles one program per bucket instead of one
+  per observed batch size — the static-shape discipline that keeps a
+  TPU serving deployment from recompiling under load;
+* trace requests ride the single-dispatch fused program
+  (`Patchioner.caption_traces_fused`) when the model supports it, with
+  trace points padded to a fixed `trace_points` length; whole-image (cls)
+  requests batch through `forward(get_cls_capt=True)`.
+
+Padding rows are sliced off before decode results are delivered, so a
+request's caption is independent of which bucket or co-batched neighbors
+it ran with (pinned by tests/test_serve.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["CaptionServer", "ServerStats"]
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    batched_items: int = 0  # real items only (padding rows excluded)
+    errors: int = 0
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.batched_items / self.batches if self.batches else 0.0
+
+
+class _Request:
+    __slots__ = ("pixels", "trace", "future", "t_enq")
+
+    def __init__(self, pixels, trace):
+        self.pixels = pixels
+        self.trace = trace
+        self.future: Future = Future()
+        self.t_enq = time.perf_counter()
+
+
+class CaptionServer:
+    """Batched caption serving over a built `Patchioner`.
+
+    Args:
+      model: a `Patchioner` (any backbone/decoder family).
+      max_batch: largest micro-batch (and the top bucket size).
+      max_delay_ms: how long the worker waits to fill a batch once it
+        holds at least one request; the latency/throughput knob.
+      trace_points: fixed trace padding length for the fused path (traces
+        longer than this are truncated, like any fixed-shape serving
+        contract; the flagship eval traces are <64 points).
+      preprocess: when True, PIL images are accepted and resized/cropped
+        to the model's geometry on the worker (uint8, normalized on
+        device); arrays are assumed preprocessed.
+    """
+
+    def __init__(self, model, *, max_batch: int = 8,
+                 max_delay_ms: float = 5.0, trace_points: int = 64,
+                 preprocess: bool = True):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.trace_points = int(trace_points)
+        self.preprocess = preprocess
+        self.buckets = []
+        b = 1
+        while b < self.max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(self.max_batch)
+        self.stats = ServerStats()
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="caption-server", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, image, trace: Optional[Sequence] = None) -> Future:
+        """Enqueue one request; resolves to the caption string.
+
+        `image`: PIL image (when `preprocess=True`) or a preprocessed
+        (H, W, 3) array. `trace`: optional sequence of (x, y) in [0, 1]
+        (or {'x','y'} dicts, the reference trace format) — present means a
+        trace caption, absent a whole-image caption.
+        """
+        if self._closed:
+            raise RuntimeError("CaptionServer is closed")
+        req = _Request(self._prep(image), self._norm_trace(trace))
+        self.stats.requests += 1
+        self._q.put(req)
+        return req.future
+
+    def caption(self, images: Sequence, traces: Optional[Sequence] = None,
+                timeout: Optional[float] = None) -> list:
+        """Synchronous convenience: submit all, wait for all."""
+        traces = traces if traces is not None else [None] * len(images)
+        futs = [self.submit(im, tr) for im, tr in zip(images, traces)]
+        return [f.result(timeout=timeout) for f in futs]
+
+    def close(self, timeout: Optional[float] = 10.0) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- worker
+
+    def _prep(self, image):
+        if self.preprocess and not isinstance(image, np.ndarray):
+            from patchioner_tpu.utils import transforms
+
+            return transforms.preprocess_pil_uint8(
+                image, self.model.resize_dim, self.model.crop_dim
+            )
+        return np.asarray(image)
+
+    def _norm_trace(self, trace):
+        if trace is None:
+            return None
+        pts = [
+            (float(p["x"]), float(p["y"])) if isinstance(p, dict)
+            else (float(p[0]), float(p[1]))
+            for p in trace
+        ]
+        return pts[: self.trace_points]
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def _drain(self) -> Optional[list]:
+        """Block for the first request, then accumulate until max_batch
+        or max_delay; None signals shutdown."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # keep the shutdown signal
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain()
+            if batch is None:
+                return
+            # trace and cls requests run different programs — split, keep
+            # arrival order within each group
+            for group, is_trace in (
+                ([r for r in batch if r.trace is not None], True),
+                ([r for r in batch if r.trace is None], False),
+            ):
+                if not group:
+                    continue
+                try:
+                    caps = self._run_group(group, is_trace)
+                    for r, c in zip(group, caps):
+                        r.future.set_result(c)
+                except Exception as e:  # noqa: BLE001 — delivered to callers
+                    self.stats.errors += 1
+                    for r in group:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _run_group(self, group: list, is_trace: bool) -> list:
+        n = len(group)
+        nb = self._bucket(n)
+        self.stats.batches += 1
+        self.stats.batched_items += n
+        imgs = np.stack([r.pixels for r in group])
+        if nb > n:  # pad with copies of row 0 — sliced off below
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[:1], nb - n, axis=0)]
+            )
+        if is_trace:
+            pts = np.zeros((nb, self.trace_points, 2), np.float32)
+            valid = np.zeros((nb, self.trace_points), np.float32)
+            for i, r in enumerate(group):
+                k = len(r.trace)
+                if k:
+                    pts[i, :k] = r.trace
+                    valid[i, :k] = 1.0
+            if (hasattr(self.model, "supports_fused_trace_path")
+                    and self.model.supports_fused_trace_path()):
+                caps = self.model.caption_traces_fused(imgs, pts, valid)
+            else:
+                traces = [r.trace for r in group]
+                traces += [group[0].trace] * (nb - n)
+                outs = self.model.forward(
+                    imgs, get_cls_capt=False, traces=traces
+                )
+                caps = outs["trace_capts"]
+        else:
+            outs = self.model.forward(imgs, get_cls_capt=True)
+            caps = outs["cls_capt"]
+        return list(caps[:n])

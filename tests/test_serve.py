@@ -1,0 +1,154 @@
+"""Dynamic-batching caption server (patchioner_tpu/serve.py): batching
+must be invisible to results — a request's caption equals the direct
+single-call caption regardless of bucket padding or co-batched neighbors —
+and the queue/futures machinery must survive concurrency and errors."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from patchioner_tpu.models import decap, gpt2, vit
+from patchioner_tpu.models.patchioner import Patchioner
+from patchioner_tpu.ops import memory_projection as memproj
+from patchioner_tpu.serve import CaptionServer
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    key = jax.random.PRNGKey(0)
+    vit_cfg = vit.ViTConfig(
+        img_size=56, patch_size=14, embed_dim=128, depth=2, num_heads=4,
+        num_registers=4, extract_heads=4, pos_grid=4,
+    )
+    gcfg = gpt2.GPT2Config(vocab_size=49408, n_layer=2, n_head=4, n_embd=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=vit.init_vit(k1, vit_cfg),
+        gpt2_cfg=gcfg,
+        decoder=decap.init_decap(k2, gcfg, prefix_size=128),
+        bank=memproj.prepare_bank(jax.random.normal(k3, (200, 128))),
+        bank_texts=[f"caption {i}" for i in range(200)],
+        normalize=True,
+    )
+
+
+def _img(seed):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((56, 56, 3)).astype(np.float32)
+
+
+def _trace(seed, k=5):
+    rng = np.random.default_rng(100 + seed)
+    return [tuple(p) for p in rng.uniform(0.05, 0.95, (k, 2))]
+
+
+def test_trace_results_match_direct_forward(tiny_model):
+    """Server captions == direct forward(traces=...) per request, even
+    though the server pads to buckets and mixes neighbors."""
+    imgs = [_img(i) for i in range(5)]
+    traces = [_trace(i) for i in range(5)]
+    direct = tiny_model.forward(
+        np.stack(imgs), get_cls_capt=False, traces=traces
+    )["trace_capts"]
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=30,
+                       preprocess=False) as srv:
+        got = srv.caption(imgs, traces, timeout=300)
+    assert got == list(direct)
+
+
+def test_cls_and_trace_requests_coexist(tiny_model):
+    imgs = [_img(10 + i) for i in range(4)]
+    traces = [None, _trace(11), None, _trace(13)]
+    direct_cls = tiny_model.forward(
+        np.stack([imgs[0], imgs[2]]), get_cls_capt=True
+    )["cls_capt"]
+    direct_tr = tiny_model.forward(
+        np.stack([imgs[1], imgs[3]]), get_cls_capt=False,
+        traces=[traces[1], traces[3]],
+    )["trace_capts"]
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=30,
+                       preprocess=False) as srv:
+        got = srv.caption(imgs, traces, timeout=300)
+    assert got[0] == direct_cls[0] and got[2] == direct_cls[1]
+    assert got[1] == direct_tr[0] and got[3] == direct_tr[1]
+
+
+def test_batch_composition_independence(tiny_model):
+    """The same request produces the same caption at batch 1 (bucket 1)
+    and co-batched with others (bucket 4) — padding rows don't leak."""
+    img, tr = _img(42), _trace(42)
+    with CaptionServer(tiny_model, max_batch=1, max_delay_ms=1,
+                       preprocess=False) as srv:
+        alone = srv.submit(img, tr).result(timeout=300)
+    with CaptionServer(tiny_model, max_batch=8, max_delay_ms=50,
+                       preprocess=False) as srv:
+        futs = [srv.submit(_img(50 + i), _trace(50 + i)) for i in range(2)]
+        futs.append(srv.submit(img, tr))
+        got = [f.result(timeout=300) for f in futs]
+        assert srv.stats.batches >= 1
+        assert srv.stats.mean_batch_size > 1.0
+    assert got[2] == alone
+
+
+def test_concurrent_submitters(tiny_model):
+    """Requests from many threads all resolve, each to its own result."""
+    results = {}
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=10,
+                       preprocess=False) as srv:
+
+        def worker(i):
+            results[i] = srv.submit(_img(i), _trace(i)).result(timeout=300)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert srv.stats.requests == 6
+    assert len(results) == 6
+    for i, cap in results.items():
+        direct = tiny_model.forward(
+            np.stack([_img(i)]), get_cls_capt=False, traces=[_trace(i)]
+        )["trace_capts"][0]
+        assert cap == direct
+
+
+def test_error_propagates_to_future_only(tiny_model):
+    """A bad request fails its own future; the server keeps serving."""
+    with CaptionServer(tiny_model, max_batch=1, max_delay_ms=1,
+                       preprocess=False) as srv:
+        bad = srv.submit(np.zeros((3, 3)), _trace(0))  # wrong image rank
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        ok = srv.submit(_img(1), _trace(1)).result(timeout=300)
+        assert isinstance(ok, str)
+        assert srv.stats.errors >= 1
+
+
+def test_submit_after_close_raises(tiny_model):
+    srv = CaptionServer(tiny_model, max_batch=2, preprocess=False)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(_img(0), _trace(0))
+
+
+def test_trace_dict_format_and_truncation(tiny_model):
+    """Reference {'x','y'} dict traces are accepted; overlong traces
+    truncate to the fixed serving contract length."""
+    img = _img(7)
+    pts = _trace(7, k=3)
+    as_dicts = [{"x": x, "y": y} for x, y in pts]
+    with CaptionServer(tiny_model, max_batch=1, max_delay_ms=1,
+                       trace_points=2, preprocess=False) as srv:
+        got_dict = srv.submit(img, as_dicts).result(timeout=300)
+        got_tup = srv.submit(img, pts).result(timeout=300)
+    assert got_dict == got_tup
+    direct = tiny_model.forward(
+        np.stack([img]), get_cls_capt=False, traces=[pts[:2]]
+    )["trace_capts"][0]
+    assert got_tup == direct
