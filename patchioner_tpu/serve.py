@@ -76,13 +76,23 @@ class CaptionServer:
       preprocess: when True, PIL images are accepted and resized/cropped
         to the model's geometry on the worker (uint8, normalized on
         device); arrays are assumed preprocessed.
+      workers: worker threads. One worker serializes host staging
+        (np.stack of the batch, ~10 ms at 128x518px) with device compute;
+        a second lets the next batch stage while the device runs
+        (measured: ~30 ms of host machinery per 128-batch, <=9% of the
+        flagship device step — workers=2 overlaps it). Device programs
+        serialize on the device regardless, so extra workers only overlap
+        HOST work; results stay per-request futures, so cross-batch
+        completion order doesn't matter.
     """
 
     def __init__(self, model, *, max_batch: int = 8,
                  max_delay_ms: float = 5.0, trace_points: int = 64,
-                 preprocess: bool = True):
+                 preprocess: bool = True, workers: int = 1):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if workers < 1:
+            raise ValueError("workers must be >= 1")
         self.model = model
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -97,10 +107,16 @@ class CaptionServer:
         self.stats = ServerStats()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
-        self._worker = threading.Thread(
-            target=self._run, name="caption-server", daemon=True
-        )
-        self._worker.start()
+        self._drain_lock = threading.Lock()  # one drainer at a time
+        self._stats_lock = threading.Lock()
+        self._workers = [
+            threading.Thread(
+                target=self._run, name=f"caption-server-{i}", daemon=True
+            )
+            for i in range(workers)
+        ]
+        for w in self._workers:
+            w.start()
 
     # ------------------------------------------------------------- client
 
@@ -115,7 +131,8 @@ class CaptionServer:
         if self._closed:
             raise RuntimeError("CaptionServer is closed")
         req = _Request(self._prep(image), self._norm_trace(trace))
-        self.stats.requests += 1
+        with self._stats_lock:
+            self.stats.requests += 1
         self._q.put(req)
         return req.future
 
@@ -130,8 +147,10 @@ class CaptionServer:
         if self._closed:
             return
         self._closed = True
-        self._q.put(None)
-        self._worker.join(timeout=timeout)
+        for _ in self._workers:
+            self._q.put(None)
+        for w in self._workers:
+            w.join(timeout=timeout)
 
     def __enter__(self):
         return self
@@ -168,25 +187,28 @@ class CaptionServer:
 
     def _drain(self) -> Optional[list]:
         """Block for the first request, then accumulate until max_batch
-        or max_delay; None signals shutdown."""
-        first = self._q.get()
-        if first is None:
-            return None
-        batch = [first]
-        deadline = time.perf_counter() + self.max_delay_s
-        while len(batch) < self.max_batch:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
-            try:
-                nxt = self._q.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if nxt is None:
-                self._q.put(None)  # keep the shutdown signal
-                break
-            batch.append(nxt)
-        return batch
+        or max_delay; None signals shutdown. The lock admits one draining
+        worker at a time so concurrent workers build FULL batches instead
+        of splitting the queue between partial ones."""
+        with self._drain_lock:
+            first = self._q.get()
+            if first is None:
+                return None
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # keep the shutdown signal
+                    break
+                batch.append(nxt)
+            return batch
 
     def _run(self) -> None:
         while True:
@@ -206,7 +228,8 @@ class CaptionServer:
                     for r, c in zip(group, caps):
                         r.future.set_result(c)
                 except Exception as e:  # noqa: BLE001 — delivered to callers
-                    self.stats.errors += 1
+                    with self._stats_lock:
+                        self.stats.errors += 1
                     for r in group:
                         if not r.future.done():
                             r.future.set_exception(e)
@@ -214,8 +237,9 @@ class CaptionServer:
     def _run_group(self, group: list, is_trace: bool) -> list:
         n = len(group)
         nb = self._bucket(n)
-        self.stats.batches += 1
-        self.stats.batched_items += n
+        with self._stats_lock:
+            self.stats.batches += 1
+            self.stats.batched_items += n
         imgs = np.stack([r.pixels for r in group])
         if nb > n:  # pad with copies of row 0 — sliced off below
             imgs = np.concatenate(

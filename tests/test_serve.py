@@ -152,3 +152,18 @@ def test_trace_dict_format_and_truncation(tiny_model):
         np.stack([img]), get_cls_capt=False, traces=[pts[:2]]
     )["trace_capts"][0]
     assert got_tup == direct
+
+
+def test_two_workers_results_still_correct(tiny_model):
+    """workers=2 overlaps host staging with compute; results must stay
+    identical to direct forward for every request."""
+    imgs = [_img(70 + i) for i in range(6)]
+    traces = [_trace(70 + i) for i in range(6)]
+    direct = tiny_model.forward(
+        np.stack(imgs), get_cls_capt=False, traces=traces
+    )["trace_capts"]
+    with CaptionServer(tiny_model, max_batch=2, max_delay_ms=20,
+                       preprocess=False, workers=2) as srv:
+        got = srv.caption(imgs, traces, timeout=300)
+        assert srv.stats.batches >= 3
+    assert got == list(direct)
