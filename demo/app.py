@@ -84,7 +84,14 @@ def _decode_image(b64: str, model):
     return transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)[None]
 
 
-def make_handler(model, config_dir=None, allow_missing_weights=False):
+def make_handler(model, config_dir=None, allow_missing_weights=False,
+                 batch_server=None):
+    """`batch_server`: an optional `patchioner_tpu.serve.CaptionServer`
+    wrapping the default model — /caption and /caption_trace requests for
+    it are then coalesced into micro-batches across concurrent HTTP
+    clients (run the HTTP side threaded, e.g. ThreadingHTTPServer, so
+    requests can actually arrive concurrently). Hot-swapped models and
+    /caption_bboxes keep the direct path."""
     models = {"default": model}
 
     def resolve(name):
@@ -131,6 +138,17 @@ def make_handler(model, config_dir=None, allow_missing_weights=False):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if (batch_server is not None
+                        and req.get("model") in (None, "default")
+                        and self.path in ("/caption", "/caption_trace")):
+                    from PIL import Image
+
+                    pil = Image.open(io.BytesIO(base64.b64decode(req["image"])))
+                    trace = (req["trace"] if self.path == "/caption_trace"
+                             else None)
+                    cap = batch_server.submit(pil, trace).result(timeout=600)
+                    self._reply(200, {"caption": cap})
+                    return
                 m = resolve(req.get("model"))
                 imgs = _decode_image(req["image"], m)
                 if self.path == "/caption":
@@ -164,6 +182,11 @@ def main(argv=None):
     p.add_argument("--config-dir", default=None,
                    help="enable per-request model hot-swap from this dir")
     p.add_argument("--ui", action="store_true", help="gradio UI if available")
+    p.add_argument("--batch-serve", action="store_true",
+                   help="coalesce concurrent /caption and /caption_trace "
+                        "requests into micro-batches (serve.CaptionServer)")
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-delay-ms", type=float, default=10.0)
     args = p.parse_args(argv)
     model = build_model(args.config, args.allow_missing_weights)
 
@@ -198,11 +221,24 @@ def main(argv=None):
             ).launch(server_port=args.port)
             return
 
-    server = HTTPServer(
+    batch_server = None
+    server_cls = HTTPServer
+    if args.batch_serve:
+        from http.server import ThreadingHTTPServer
+
+        from patchioner_tpu.serve import CaptionServer
+
+        batch_server = CaptionServer(
+            model, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+        )
+        server_cls = ThreadingHTTPServer  # concurrent requests can coalesce
+    server = server_cls(
         ("0.0.0.0", args.port),
-        make_handler(model, args.config_dir, args.allow_missing_weights),
+        make_handler(model, args.config_dir, args.allow_missing_weights,
+                     batch_server=batch_server),
     )
-    print(f"patchioner-tpu demo listening on :{args.port}")
+    print(f"patchioner-tpu demo listening on :{args.port}"
+          + (" (batch serving)" if batch_server else ""))
     server.serve_forever()
 
 

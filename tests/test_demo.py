@@ -158,3 +158,87 @@ def test_strokes_to_traces():
 
     pts, valid = _traces_to_arrays(traces)
     assert pts.shape[0] == 2 and float(valid.sum()) == len(diag) + len(horiz)
+
+
+@pytest.fixture(scope="module")
+def batched_server(server):
+    """Same tiny model behind --batch-serve semantics: ThreadingHTTPServer
+    + CaptionServer coalescing /caption and /caption_trace."""
+    from http.server import ThreadingHTTPServer
+
+    from demo.app import make_handler
+    from patchioner_tpu.serve import CaptionServer
+
+    # rebuild the same tiny model the base fixture uses
+    key = jax.random.PRNGKey(0)
+    vit_cfg = vit.ViTConfig(
+        img_size=56, patch_size=14, embed_dim=128, depth=2, num_heads=4,
+        num_registers=4, extract_heads=4, pos_grid=4,
+    )
+    gcfg = gpt2.GPT2Config(vocab_size=49408, n_layer=2, n_head=4, n_embd=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    model = Patchioner(
+        vit_cfg=vit_cfg,
+        vit_params=vit.init_vit(k1, vit_cfg),
+        gpt2_cfg=gcfg,
+        decoder=decap.init_decap(k2, gcfg, prefix_size=128),
+        bank=memproj.prepare_bank(jax.random.normal(k3, (64, 128))),
+        bank_texts=[f"caption {i}" for i in range(64)],
+        normalize=True,
+        config={"dino_model": "tiny-test"},
+    )
+    cs = CaptionServer(model, max_batch=4, max_delay_ms=20)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(model, batch_server=cs)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", cs, server
+    httpd.shutdown()
+    cs.close()
+
+
+def test_batched_demo_matches_direct(batched_server):
+    """--batch-serve answers == the direct (unbatched) demo answers, and
+    concurrent clients actually coalesce into one micro-batch."""
+    url, cs, direct_url = batched_server
+    img = _img_b64()
+    trace = [{"x": 0.1, "y": 0.1}, {"x": 0.5, "y": 0.5}]
+
+    code, direct_cls = _post(direct_url + "/caption", {"image": img})
+    assert code == 200
+    code, direct_tr = _post(
+        direct_url + "/caption_trace", {"image": img, "trace": trace}
+    )
+    assert code == 200
+
+    code, body = _post(url + "/caption", {"image": img})
+    assert code == 200 and body["caption"] == direct_cls["caption"]
+    code, body = _post(url + "/caption_trace", {"image": img, "trace": trace})
+    assert code == 200 and body["caption"] == direct_tr["caption"]
+
+    # concurrent trace requests through the threaded server coalesce
+    b0 = cs.stats.batches
+    results = []
+
+    def client():
+        results.append(
+            _post(url + "/caption_trace", {"image": img, "trace": trace})
+        )
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(c == 200 and b["caption"] == direct_tr["caption"]
+               for c, b in results)
+    made = cs.stats.batches - b0
+    assert made < 4, f"4 concurrent requests made {made} batches (no coalescing)"
+
+    # bboxes still served by the direct path under --batch-serve
+    code, body = _post(
+        url + "/caption_bboxes",
+        {"image": img, "bboxes": [[0.0, 0.0, 0.5, 0.5]]},
+    )
+    assert code == 200 and len(body["captions"]) == 1
