@@ -143,6 +143,31 @@ class CaptionServer:
         futs = [self.submit(im, tr) for im, tr in zip(images, traces)]
         return [f.result(timeout=timeout) for f in futs]
 
+    def warmup(self, *, trace: bool = True, cls: bool = False,
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the bucket ladder before taking traffic.
+
+        XLA compiles one program per (bucket, mode); at flagship scale a
+        compile costs minutes (amortized across processes by the
+        persistent cache, utils/compile_cache) — a serving deployment
+        pays them at startup, not on the first unlucky request. Runs one
+        dummy batch per requested bucket/mode through the normal path.
+        """
+        h, w = self.model.crop_dim, self.model.crop_dim
+        dummy = np.zeros((h, w, 3), np.uint8)
+        dummy_trace = self._norm_trace([(0.5, 0.5)])
+        for b in (buckets if buckets is not None else self.buckets):
+            # run the group path directly — a queue round-trip could split
+            # the dummies into a different (already-compiled) bucket
+            if trace:
+                self._run_group(
+                    [_Request(dummy, dummy_trace) for _ in range(b)], True
+                )
+            if cls:
+                self._run_group(
+                    [_Request(dummy, None) for _ in range(b)], False
+                )
+
     def close(self, timeout: Optional[float] = 10.0) -> None:
         if self._closed:
             return

@@ -242,3 +242,11 @@ def test_batched_demo_matches_direct(batched_server):
         {"image": img, "bboxes": [[0.0, 0.0, 0.5, 0.5]]},
     )
     assert code == 200 and len(body["captions"]) == 1
+
+
+def test_stats_endpoint(batched_server):
+    url, cs, _ = batched_server
+    code, body = _get(url + "/stats")
+    assert code == 200
+    assert body["requests"] == cs.stats.requests
+    assert set(body) == {"requests", "batches", "mean_batch_size", "errors"}

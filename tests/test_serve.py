@@ -167,3 +167,19 @@ def test_two_workers_results_still_correct(tiny_model):
         got = srv.caption(imgs, traces, timeout=300)
         assert srv.stats.batches >= 3
     assert got == list(direct)
+
+
+def test_warmup_compiles_each_bucket(tiny_model):
+    """warmup() runs one dummy batch per bucket/mode and leaves the server
+    fully operational; post-warmup results still match direct forward."""
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=5,
+                       preprocess=False) as srv:
+        assert srv.buckets == [1, 2, 4]
+        srv.warmup(trace=True, cls=True)
+        assert srv.stats.batches == 2 * len(srv.buckets)
+        img, tr = _img(90), _trace(90)
+        got = srv.submit(img, tr).result(timeout=300)
+    direct = tiny_model.forward(
+        np.stack([img]), get_cls_capt=False, traces=[tr]
+    )["trace_capts"][0]
+    assert got == direct
