@@ -432,6 +432,7 @@ class Patchioner:
                 or config.get("gelu_approx") is not None
                 or config.get("mlp_fused") is not None
                 or config.get("qkv_fused") is not None
+                or config.get("proj_fused") is not None
             ):
                 vit_cfg = dataclasses.replace(
                     vit_cfg,
@@ -440,6 +441,7 @@ class Patchioner:
                     gelu_approx=bool(config.get("gelu_approx", vit_cfg.gelu_approx)),
                     mlp_fused=bool(config.get("mlp_fused", vit_cfg.mlp_fused)),
                     qkv_fused=bool(config.get("qkv_fused", vit_cfg.qkv_fused)),
+                    proj_fused=bool(config.get("proj_fused", vit_cfg.proj_fused)),
                 )
             dino_weights = config.get("dino_weights", None)
             if dino_weights and os.path.exists(dino_weights):

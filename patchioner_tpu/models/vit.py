@@ -65,6 +65,15 @@ class ViTConfig:
     # ms/layer of (B, N, D) traffic at the flagship shape (PERF.md round
     # 3). Same N%128==0 requirement; TPU-only; identical numerics.
     qkv_fused: bool = False
+    # run the attention out-projection + layerscale + residual as one
+    # pinned-weight Pallas kernel (ops/mlp.fused_dense_residual) instead of
+    # XLA's fused dot+elementwise — only consulted by the 'fusedqkv' impl.
+    # Measured a statistical TIE with XLA at the flagship shape (5.37 vs
+    # 5.40 ms isolated, 29.05 vs 29.11 full layer — XLA already fuses the
+    # ls-mul+residual into the dot epilogue; PERF.md round 3), so this
+    # stays a tested opt-in, not a flagship default. Same N%128==0
+    # requirement; TPU-only; identical numerics.
+    proj_fused: bool = False
     # Attention-extraction quirks — the reference hard-codes 16 heads and a
     # 0.125 scale for *all* non-small models, regardless of the true head
     # count (src/model.py:336-337, src/dino_extraction.py:24-34). Caption
@@ -373,6 +382,37 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         x = fused_qkv_attention_proj(
             qkv, x, blk["proj"]["w"], blk["proj"]["b"], ls1,
             num_heads=nh, scale=(d // nh) ** -0.5, num_real_k=num_real_k,
+        )
+        qkv = qkv if return_qkv else None
+    elif (cfg.attn_impl == "fusedqkv" and cfg.proj_fused
+          and x.shape[1] % 128 == 0 and "w" in blk["proj"]):
+        # Out-projection + layerscale + residual as one pinned-weight
+        # kernel (ops/mlp.fused_dense_residual) on the merged attention
+        # output — proj weights stay in VMEM and the ls1-mul + add never
+        # run as separate XLA elementwise traffic.
+        from patchioner_tpu.ops.attention import fused_qkv_attention
+        from patchioner_tpu.ops.mlp import fused_dense_residual
+
+        if not cfg.softmax_f32:
+            raise ValueError(
+                "attn_impl='fusedqkv' always runs an f32 softmax in-kernel; "
+                "softmax_f32=False has no effect there — use attn_impl='xla' "
+                "for a compute-dtype softmax"
+            )
+        d = x.shape[-1]
+        nh = cfg.num_heads
+        n = x.shape[1]
+        qkv = _qkv_activation(x, blk, cfg)
+        bq = n if qkv.dtype == jnp.bfloat16 else min(n, 512)
+        merged = fused_qkv_attention(
+            qkv, num_heads=nh, scale=(d // nh) ** -0.5,
+            num_real_k=num_real_k, block_q=bq,
+        )
+        ls1 = blk["ls1"] if cfg.layerscale else jnp.ones((d,), x.dtype)
+        proj_bq = next(b for b in (704, 512, 352, 256, 128) if n % b == 0)
+        x = fused_dense_residual(
+            merged, x, blk["proj"]["w"], blk["proj"]["b"], ls1,
+            block_q=proj_bq,
         )
         qkv = qkv if return_qkv else None
     else:

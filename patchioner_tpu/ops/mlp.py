@@ -26,6 +26,7 @@ __all__ = [
     "fused_ln_mlp",
     "fused_ln_mlp_w8",
     "fused_ln_dense",
+    "fused_dense_residual",
     "quantize_mlp_weights",
     "ln_mlp_reference",
 ]
@@ -231,6 +232,83 @@ def fused_ln_dense(
         ),
         interpret=interpret,
     )(x, row(ln_scale), row(ln_bias), w, row(bias))
+
+
+# --------------------------------------- fused dense + layerscale + residual
+
+
+def _dense_res_kernel(
+    x_ref,   # (1, BQ, D) matmul operand (merged attention output)
+    r_ref,   # (1, BQ, O) residual stream
+    w_ref,   # (D, O)
+    b_ref,   # (1, O)
+    ls_ref,  # (1, O) layerscale (ones when disabled)
+    o_ref,   # (1, BQ, O)
+):
+    x = x_ref[0]
+    o = jax.lax.dot_general(
+        x, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b_ref[0]
+    o_ref[0] = r_ref[0] + o * ls_ref[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "interpret")
+)
+def fused_dense_residual(
+    x: jax.Array,         # (B, N, D)
+    residual: jax.Array,  # (B, N, O)
+    w: jax.Array,         # (D, O)
+    bias: jax.Array,      # (O,)
+    ls: jax.Array,        # (O,) layerscale, pass ones to disable
+    *,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """`residual + ls * (x @ w + b)` in one pinned-weight kernel — the
+    attention out-projection epilogue of a ViT block. The round-3 device
+    profile (PERF.md) put the 12 out-proj matmuls inside XLA fusions
+    running at XLA's ~62% matmul ceiling for this shape, while the
+    pinned-weight Pallas dense (`fused_ln_dense`) reaches ~92% of the
+    analytic ideal; this kernel applies the same treatment to the
+    out-projection and additionally folds the layerscale multiply and
+    residual add that XLA schedules as separate elementwise traffic.
+    Numerics identical to `_dense` + layerscale + add (bf16 operands,
+    f32 MXU accumulation). Reference semantics: timm/DINOv2
+    `x + ls1 * attn.proj(attn_out)` inside Block.forward (the reference
+    runs it via torch.hub, src/model.py:343)."""
+    b, n, d = x.shape
+    o = w.shape[1]
+    if n % block_q:
+        raise ValueError(f"fused_dense_residual needs N%{block_q}==0, got {n}")
+    grid = (b, n // block_q)
+    row = lambda v: v.reshape(1, -1)
+    return pl.pallas_call(
+        _dense_res_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, o), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, o), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, o), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, o), residual.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * o,
+            bytes_accessed=(b * n * (d + 2 * o) + d * o) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, residual, w, row(bias), row(ls))
 
 
 # ------------------------------------------------- int8 W8A8 variant

@@ -132,6 +132,62 @@ def test_fused_ln_dense_parity(dtype):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_dense_residual_parity(dtype):
+    """dense+layerscale+residual kernel == _dense -> *ls -> +res (the
+    attention out-projection epilogue fusion, `proj_fused`)."""
+    from patchioner_tpu.models.vit import _dense
+
+    rng = np.random.default_rng(7)
+    b, n, d, o = 2, 256, 384, 128
+    x = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    res = jnp.asarray(rng.standard_normal((b, n, o)), dtype)
+    w = jnp.asarray(rng.standard_normal((d, o)) * 0.05, dtype)
+    bias = jnp.asarray(rng.standard_normal((o,)) * 0.1, dtype)
+    ls = jnp.asarray(rng.uniform(0.5, 1.5, (o,)), dtype)
+    want = res + _dense(x, {"w": w, "b": bias}) * ls
+    got = mlp.fused_dense_residual(x, res, w, bias, ls, block_q=128,
+                                   interpret=True)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_fused_dense_residual_rejects_ragged_n():
+    x = jnp.zeros((1, 130, 128))
+    with pytest.raises(ValueError, match="N%"):
+        mlp.fused_dense_residual(
+            x, x, jnp.zeros((128, 128)), jnp.zeros((128,)),
+            jnp.ones((128,)), interpret=True,
+        )
+
+
+def test_vit_proj_fused_matches_unfused():
+    """proj_fused must not change the model's outputs (identical math,
+    fused epilogue)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=128, depth=2,
+              num_heads=2, num_registers=4, pos_grid=4,
+              attn_impl="fusedqkv", qkv_fused=True)
+    cfg_a = vit.ViTConfig(**kw)
+    cfg_b = vit.ViTConfig(**kw, proj_fused=True)
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_a)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    with pltpu.force_tpu_interpret_mode():
+        a = vit.vit_forward(params, x, cfg_a)
+        b = vit.vit_forward(params, x, cfg_b)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken", "qkv_last"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-5, atol=5e-6,
+            err_msg=key,
+        )
+
+
 def test_vit_qkv_fused_matches_unfused():
     """qkv_fused must not change the model's outputs (identical math,
     fused operand read)."""
