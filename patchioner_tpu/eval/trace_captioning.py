@@ -19,13 +19,39 @@ import numpy as np
 from patchioner_tpu.eval import harness, metrics
 from patchioner_tpu.utils import transforms
 
-__all__ = ["load_trace_dataset", "evaluate", "compute_scores"]
+__all__ = ["merge_annotation_parts", "load_trace_dataset", "evaluate",
+           "compute_scores"]
 
 
-def load_trace_dataset(annotations_path: str, image_roots) -> dict:
-    """-> {'gt_captions': [...], 'img_paths': [...], 'traces': [...]}"""
-    with open(annotations_path) as f:
-        test_set = json.load(f)
+def merge_annotation_parts(part_paths, out_path: Optional[str] = None) -> dict:
+    """Merge split annotation JSONs ({image_id: {...}} dicts) into one.
+
+    The reference ships the LN-COCO trace annotations as two parts (GitHub
+    file-size limit) and merges them with a throwaway script
+    (eval-trace-captioning/coco_data_merge_parts.py: {**part1, **part2} ->
+    trace_capt_coco_test.json). Later parts win on duplicate image ids,
+    matching dict-merge semantics. Writes `out_path` when given."""
+    merged: dict = {}
+    for p in part_paths:
+        with open(p) as f:
+            merged.update(json.load(f))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(merged, f)
+    return merged
+
+
+def load_trace_dataset(annotations_path, image_roots) -> dict:
+    """-> {'gt_captions': [...], 'img_paths': [...], 'traces': [...]}
+
+    `annotations_path` may be a list/tuple of part files (merged via
+    `merge_annotation_parts`)."""
+    if isinstance(annotations_path, (list, tuple)):
+        test_set = merge_annotation_parts(annotations_path)
+        annotations_path = annotations_path[0]
+    else:
+        with open(annotations_path) as f:
+            test_set = json.load(f)
     if isinstance(image_roots, str):
         image_roots = [image_roots]
     samples = {"gt_captions": [], "img_paths": [], "traces": []}

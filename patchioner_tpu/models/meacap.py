@@ -158,6 +158,56 @@ class MeaCap(viecap_mod.VieCap):
         self.memory_caption_num = memory_caption_num
         self.concept_extractor = concept_extractor or frequency_concept_extractor
 
+    @staticmethod
+    def build_memory(
+        captions: Sequence[str],
+        clip_encode_fn,
+        out_dir: str,
+        *,
+        project_fn=None,
+        wte_encode_fn=None,
+        batch_size: int = 128,
+    ):
+        """Build the memory artifacts `load_memory` reads
+        (reference: src/meacap/prepare_embeddings.py:60-133): batch-encode
+        the caption corpus with the CLIP text tower (`clip_encode_fn(texts)
+        -> (B, D)`), optionally project to DINO space (`project_fn`,
+        the reference's --use_t2d), and write
+        memory_captions.json + memory_clip_embeddings.pt (+
+        memory_wte_embeddings.pt when a SentenceBERT-style `wte_encode_fn`
+        is supplied — normalized, as the reference's
+        `normalize_embeddings=True`)."""
+        import os
+
+        import torch
+
+        captions = list(captions)
+        clip_chunks, wte_chunks = [], []
+        for lo in range(0, len(captions), batch_size):
+            texts = captions[lo : lo + batch_size]
+            emb = np.asarray(clip_encode_fn(texts), np.float32)
+            if project_fn is not None:
+                emb = np.asarray(project_fn(emb), np.float32)
+            clip_chunks.append(emb)
+            if wte_encode_fn is not None:
+                w = np.asarray(wte_encode_fn(texts), np.float32)
+                w = w / np.linalg.norm(w, axis=-1, keepdims=True)
+                wte_chunks.append(w)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "memory_captions.json"), "w") as f:
+            json.dump(captions, f)
+        clip_emb = np.concatenate(clip_chunks, axis=0)
+        torch.save(
+            torch.from_numpy(clip_emb),
+            os.path.join(out_dir, "memory_clip_embeddings.pt"),
+        )
+        if wte_chunks:
+            torch.save(
+                torch.from_numpy(np.concatenate(wte_chunks, axis=0)),
+                os.path.join(out_dir, "memory_wte_embeddings.pt"),
+            )
+        return clip_emb
+
     @classmethod
     def load_memory(cls, memory_base_path: str, memory_id: str):
         """Load the reference memory bank artifacts

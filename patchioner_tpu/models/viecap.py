@@ -230,6 +230,63 @@ def load_entities_text(name: str, path: str, all_entities: bool = True) -> List[
     raise ValueError(f"unknown entity vocabulary: {name}")
 
 
+# The seven CLIP prompt templates the reference ensembles over
+# (src/viecap/training/generating_prompt_ensemble.py:57-65).
+PROMPT_ENSEMBLE_TEMPLATES = (
+    "itap of a {}.",
+    "a bad photo of the {}.",
+    "a origami {}.",
+    "a photo of the large {}.",
+    "a {} in a video game.",
+    "art of the {}.",
+    "a photo of the small {}.",
+)
+
+
+def build_entity_embeddings(
+    entities: Sequence[str],
+    encode_fn,
+    *,
+    templates: Sequence[str] = PROMPT_ENSEMBLE_TEMPLATES,
+    project_fn=None,
+    out_path: str = None,
+    batch_entities: int = 256,
+):
+    """Build the prompt-ensemble entity-embedding vocabulary
+    (reference: src/viecap/training/generating_prompt_ensemble.py:12-52).
+
+    `encode_fn(texts: List[str]) -> (len(texts), D)` is the text tower
+    (e.g. a jitted CLIP `encode_text` over `text/clip_bpe` tokens);
+    `project_fn` optionally maps CLIP space -> DINO space (Talk2DINO, the
+    reference's `_t2d_` vocabulary variants). Per entity: encode every
+    template, (optionally project,) L2-normalize per text, mean over
+    templates, L2-normalize the mean — the reference's exact order.
+    Unlike the reference (one encode call per entity), entities are
+    batched so the text tower runs at MXU-friendly batch sizes.
+
+    Returns (N, D) float32; when `out_path` is set, pickles the array in
+    the layout `VieCap.from_config`'s vocabulary loader reads.
+    """
+    import pickle as _pickle
+
+    t = len(templates)
+    rows = []
+    for lo in range(0, len(entities), batch_entities):
+        chunk = entities[lo : lo + batch_entities]
+        texts = [tpl.format(e) for e in chunk for tpl in templates]
+        emb = jnp.asarray(encode_fn(texts), jnp.float32)
+        if project_fn is not None:
+            emb = jnp.asarray(project_fn(emb), jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        mean = emb.reshape(len(chunk), t, -1).mean(axis=1)
+        rows.append(mean / jnp.linalg.norm(mean, axis=-1, keepdims=True))
+    out = np.asarray(jnp.concatenate(rows, axis=0), np.float32)
+    if out_path:
+        with open(out_path, "wb") as f:
+            _pickle.dump(out, f)
+    return out
+
+
 def retrieve_entities(
     image_features: jax.Array,
     texts_embeddings: jax.Array,

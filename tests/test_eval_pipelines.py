@@ -333,3 +333,31 @@ def test_cached_image_features(tmp_path):
     pix["im9"] = rng.standard_normal((32, 32, 3)).astype("float32")
     ps.cached_image_features(scorer, list(pix), load, cache_path=cache)
     assert calls.count("im9") == 1 and len(calls) == 5
+
+
+def test_merge_annotation_parts(tmp_path):
+    """Split-annotation merge (reference coco_data_merge_parts.py:
+    {**part1, **part2}; later parts win on duplicate ids) + list input to
+    load_trace_dataset."""
+    p1 = tmp_path / "coco_data_part1.json"
+    p2 = tmp_path / "coco_data_part2.json"
+    t = [[{"x": 0.5, "y": 0.5}]]
+    p1.write_text(json.dumps({
+        "1": {"captions": ["a"], "traces": t},
+        "2": {"captions": ["old"], "traces": t},
+    }))
+    p2.write_text(json.dumps({
+        "2": {"captions": ["new"], "traces": t},
+        "3": {"captions": ["c"], "traces": t},
+    }))
+    out = tmp_path / "trace_capt_coco_test.json"
+    merged = trace_captioning.merge_annotation_parts(
+        [str(p1), str(p2)], out_path=str(out)
+    )
+    assert set(merged) == {"1", "2", "3"}
+    assert merged["2"]["captions"] == ["new"]
+    assert json.loads(out.read_text()) == merged
+    ds = trace_captioning.load_trace_dataset(
+        [str(p1), str(p2)], str(tmp_path)
+    )
+    assert sorted(ds["gt_captions"]) == ["a", "c", "new"]

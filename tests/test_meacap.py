@@ -82,3 +82,38 @@ def test_meacap_end_to_end():
     sents, ppl = model(feats, compute_scores=True)
     assert len(sents) == 2 and all(isinstance(s, str) for s in sents)
     assert all(p > 0 for p in ppl)
+
+
+def test_build_memory_roundtrip(tmp_path):
+    """build_memory writes the artifacts load_memory reads (reference
+    prepare_embeddings.py: memory_captions.json + memory_clip_embeddings.pt
+    + normalized memory_wte_embeddings.pt)."""
+    rng = np.random.default_rng(0)
+    caps = [f"caption number {i}" for i in range(7)]
+
+    def clip_fn(texts):
+        return rng.standard_normal((len(texts), 12)).astype(np.float32)
+
+    def wte_fn(texts):
+        return np.ones((len(texts), 4), np.float32) * 3.0
+
+    out_dir = tmp_path / "memory" / "test_mem"
+    emb = meacap.MeaCap.build_memory(
+        caps, clip_fn, str(out_dir), wte_encode_fn=wte_fn, batch_size=3
+    )
+    assert emb.shape == (7, 12)
+    caps2, emb2 = meacap.MeaCap.load_memory(str(tmp_path), "test_mem")
+    assert caps2 == caps
+    np.testing.assert_allclose(emb2, emb, atol=1e-6)
+    wte = torch.load(out_dir / "memory_wte_embeddings.pt").numpy()
+    np.testing.assert_allclose(np.linalg.norm(wte, axis=-1), 1.0, atol=1e-5)
+
+
+def test_build_memory_projected(tmp_path):
+    W = np.eye(12, 6, dtype=np.float32) * 2.0
+    emb = meacap.MeaCap.build_memory(
+        ["x", "y"], lambda t: np.ones((len(t), 12), np.float32),
+        str(tmp_path / "memory" / "m2"), project_fn=lambda e: e @ W,
+    )
+    assert emb.shape == (2, 6)
+    np.testing.assert_allclose(emb, 2.0)

@@ -349,3 +349,56 @@ def test_load_entities_vendored_vocab():
     path = os.path.join(viecap.VOCAB_DIR, "coco_categories.json")
     ents = viecap.load_entities_text("coco_entities", path)
     assert "person" in ents and len(ents) >= 80
+
+
+def test_build_entity_embeddings_reference_order(tmp_path):
+    """Builder matches a literal per-entity transcription of the reference
+    (generating_prompt_ensemble.py:40-48: encode -> normalize per text ->
+    mean over templates -> normalize) and round-trips through pickle."""
+    import pickle
+
+    rng = np.random.default_rng(0)
+    table = {}
+
+    def encode_fn(texts):
+        return np.stack([
+            table.setdefault(t, rng.standard_normal(16).astype(np.float32))
+            for t in texts
+        ])
+
+    ents = ["dog", "cat", "pizza slice", "traffic light", "zebra"]
+    out_path = tmp_path / "coco_embeddings_test_with_ensemble.pickle"
+    got = viecap.build_entity_embeddings(
+        ents, encode_fn, out_path=str(out_path), batch_entities=2
+    )
+    assert got.shape == (5, 16)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+    for i, e in enumerate(ents):
+        embs = np.stack([
+            table[t.format(e)] for t in viecap.PROMPT_ENSEMBLE_TEMPLATES
+        ])
+        embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+        mean = embs.mean(0)
+        want = mean / np.linalg.norm(mean)
+        np.testing.assert_allclose(got[i], want, atol=1e-5)
+    with open(out_path, "rb") as f:
+        loaded = np.asarray(pickle.load(f), np.float32)
+    np.testing.assert_array_equal(loaded, got)
+
+
+def test_build_entity_embeddings_projected():
+    """project_fn applies BEFORE per-text normalization (the reference
+    projects the raw CLIP embeddings, :43-45)."""
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((16, 8)).astype(np.float32)
+
+    def encode_fn(texts):
+        return np.stack([
+            np.full(16, 1.0 + (hash(t) % 7), np.float32) for t in texts
+        ])
+
+    got = viecap.build_entity_embeddings(
+        ["a", "b"], encode_fn, project_fn=lambda e: np.asarray(e) @ W
+    )
+    assert got.shape == (2, 8)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
