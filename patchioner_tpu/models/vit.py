@@ -416,6 +416,21 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         )
         qkv = qkv if return_qkv else None
     else:
+        if cfg.proj_fused:
+            # mirror the mlp_fused unusable-flag warning (ADVICE r2): an
+            # opt-in that silently benchmarks the unfused path is a trap
+            import warnings
+
+            reason = (
+                f"attn_impl={cfg.attn_impl!r} (needs 'fusedqkv')"
+                if cfg.attn_impl != "fusedqkv"
+                else f"N={x.shape[1]} % 128 != 0 or quantized proj weights"
+            )
+            warnings.warn(
+                f"proj_fused requested but unusable here ({reason}); "
+                "falling back to the XLA out-projection",
+                stacklevel=2,
+            )
         if _use_fused_qkv(x, blk, cfg):
             a, qkv = _attention(None, blk, cfg, return_qkv, num_real_k,
                                 qkv_pre=_qkv_activation(x, blk, cfg))

@@ -199,15 +199,32 @@ class QuantizedBank(NamedTuple):
 
 
 def quantize_bank(
-    bank: jax.Array, *, block_m: int = 1024
+    bank: jax.Array, *, block_m: int = 1024, chunk_rows: int = 262_144
 ) -> QuantizedBank:
-    """One-time int8 quantization (outside the hot path)."""
+    """One-time int8 quantization (outside the hot path).
+
+    Processed in `chunk_rows` row chunks so peak device memory is the
+    source bank + the int8 output + ONE chunk of f32 intermediates —
+    quantizing the whole bank at once materializes ~3 f32 bank-sized
+    temporaries, which OOMs at CC3M scale (3M x 768) next to a resident
+    bf16 bank on a 16 GB chip (measured, PERF.md round 3)."""
     m, d = bank.shape
-    bank = bank.astype(jnp.float32)
-    inv = 1.0 / jnp.linalg.norm(bank, axis=-1, keepdims=True)
-    scale = jnp.max(jnp.abs(bank), axis=-1, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    rows = jnp.clip(jnp.round(bank / scale), -127, 127).astype(jnp.int8)
+
+    @jax.jit
+    def _chunk(b):
+        bf = b.astype(jnp.float32)
+        inv = 1.0 / jnp.linalg.norm(bf, axis=-1, keepdims=True)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(bf), axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        rows = jnp.clip(jnp.round(bf / scale), -127, 127).astype(jnp.int8)
+        return rows, scale, inv
+
+    parts = [_chunk(bank[lo : lo + chunk_rows])
+             for lo in range(0, m, chunk_rows)]
+    rows = jnp.concatenate([p[0] for p in parts])
+    scale = jnp.concatenate([p[1] for p in parts])
+    inv = jnp.concatenate([p[2] for p in parts])
     mp = pl.cdiv(m, block_m) * block_m
     return QuantizedBank(
         jnp.pad(rows, ((0, mp - m), (0, 0))),

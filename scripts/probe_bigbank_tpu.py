@@ -51,20 +51,13 @@ def main():
         print(json.dumps({"variant": "memproj3M_bf16",
                           "error": repr(e)[:400]}))
     sys.stdout.flush()
-    del pb, bank_rows
+    del pb
 
-    # int8 leg: quantize_bank(real rows) OOMs here — the f32 quantization
-    # intermediates don't fit next to the resident bf16 bank on 16 GB.
-    # Kernel timing is data-independent, so synthesize the int8 bank
-    # directly on device at the padded geometry quantize_bank would emit.
-    from jax.experimental import pallas as pl
-
-    mp_rows = pl.cdiv(M, memproj.DEFAULT_BLOCK_M) * memproj.DEFAULT_BLOCK_M
-    rows8 = jax.jit(
-        lambda k: jax.random.randint(k, (mp_rows, D), -127, 128, jnp.int8)
-    )(jax.random.PRNGKey(2))
-    scale = jnp.full((mp_rows, 1), 1.0 / 127.0, jnp.float32)
-    inv = jnp.full((mp_rows, 1), 1.0, jnp.float32)
+    # int8 leg: quantize_bank is chunked (CC3M-scale fix this probe
+    # motivated — one-shot quantization's whole-bank f32 intermediates
+    # OOM next to the resident bf16 bank on 16 GB).
+    qb = memproj.quantize_bank(bank_rows)
+    del bank_rows
 
     def proj_int8(q, rows, scale, inv):
         return memproj.memory_project(
@@ -72,7 +65,7 @@ def main():
         )
 
     try:
-        r = chain_time(proj_int8, x, rows8, scale, inv,
+        r = chain_time(proj_int8, x, qb.rows, qb.scale, qb.inv_norm,
                        chain=4, reps=3, cast=jnp.float32)
         print(json.dumps({"variant": "memproj3M_int8", **r}))
     except Exception as e:

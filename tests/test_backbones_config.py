@@ -67,3 +67,32 @@ def test_proxyclip_from_config_builds():
     m = Patchioner.from_config(cfg, allow_missing_weights=True)
     assert m.backbone_type == "ProxyCLIP"
     assert m.patch_size == 14  # geometry from the VFM
+
+
+def test_perf_keys_reach_vit_config():
+    """The PERF.md config extensions (attn_impl / mlp_fused / qkv_fused /
+    proj_fused / gelu_approx / softmax_f32) must land on the built
+    ViTConfig — an ignored perf key would silently benchmark the wrong
+    kernels."""
+    cfg = dict(prefix_size=32, support_memory_size=16,
+               dino_model="dinov2_vitb14_reg", crop_dim=28,
+               projection_type="coco", normalize=False,
+               attn_impl="fusedqkv", mlp_fused=True, qkv_fused=True,
+               proj_fused=True, gelu_approx=True)
+    m = Patchioner.from_config(cfg, allow_missing_weights=True)
+    v = m.vit_cfg
+    assert v.attn_impl == "fusedqkv"
+    assert v.mlp_fused and v.qkv_fused and v.proj_fused and v.gelu_approx
+
+
+def test_tpu_serving_preset_keys():
+    import os
+
+    import patchioner_tpu
+
+    root = os.path.dirname(os.path.dirname(
+        os.path.abspath(patchioner_tpu.__file__)))
+    with open(os.path.join(root, "configs", "mlp.k.tpu-serving.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["attn_impl"] == "fusedqkv"
+    assert cfg["mlp_fused"] and cfg["qkv_fused"]

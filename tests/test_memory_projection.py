@@ -142,3 +142,17 @@ def test_int8_quantized_bank_projection():
     # and against the unquantized projection within quantization noise
     want_f32 = oracle(f, bank, normalize=True)
     np.testing.assert_allclose(np.asarray(got), want_f32, rtol=0.1, atol=0.05)
+
+
+def test_quantize_bank_chunked_matches_oneshot():
+    """Chunked quantization (CC3M-scale memory fix) is bitwise identical to
+    quantizing the whole bank at once."""
+    rng = np.random.default_rng(11)
+    bank = jnp.asarray(rng.standard_normal((300, 64)), jnp.float32)
+    a = mp.quantize_bank(bank, block_m=128, chunk_rows=bank.shape[0])
+    b = mp.quantize_bank(bank, block_m=128, chunk_rows=77)
+    np.testing.assert_array_equal(np.asarray(a.rows), np.asarray(b.rows))
+    np.testing.assert_array_equal(np.asarray(a.scale), np.asarray(b.scale))
+    np.testing.assert_array_equal(np.asarray(a.inv_norm),
+                                  np.asarray(b.inv_norm))
+    assert a.num_real == b.num_real == 300
