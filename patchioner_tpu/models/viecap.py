@@ -267,8 +267,6 @@ def build_entity_embeddings(
     Returns (N, D) float32; when `out_path` is set, pickles the array in
     the layout `VieCap.from_config`'s vocabulary loader reads.
     """
-    import pickle as _pickle
-
     t = len(templates)
     rows = []
     for lo in range(0, len(entities), batch_entities):
@@ -283,7 +281,7 @@ def build_entity_embeddings(
     out = np.asarray(jnp.concatenate(rows, axis=0), np.float32)
     if out_path:
         with open(out_path, "wb") as f:
-            _pickle.dump(out, f)
+            pickle.dump(out, f)
     return out
 
 

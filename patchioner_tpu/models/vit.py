@@ -253,6 +253,35 @@ def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) ->
     )
 
 
+def _fused_qkv_merged(qkv, cfg: ViTConfig, num_real_k):
+    """Merged-head attention output via the transpose-free head-pair Pallas
+    kernel on the fused (B, N, 3D) qkv activation. Measured 38.1 ms/layer
+    vs 50.5 XLA at the flagship shape (B=128, N padded 1374->1408, bf16,
+    v5e) — PERF.md. Requires N%128==0 (vit_forward pads) with real keys
+    masked via num_real_k. Shared by the 'fusedqkv' attn impl and the
+    proj_fused block path so the softmax contract and block_q policy have
+    one home."""
+    if not cfg.softmax_f32:
+        raise ValueError(
+            "attn_impl='fusedqkv' always runs an f32 softmax in-kernel; "
+            "softmax_f32=False has no effect there — use attn_impl='xla' "
+            "for a compute-dtype softmax"
+        )
+    from patchioner_tpu.ops.attention import fused_qkv_attention
+
+    n = qkv.shape[1]
+    d = qkv.shape[2] // 3
+    hd = d // cfg.num_heads
+    # whole-N q-blocks are the bf16 winner; at f32 the two per-program
+    # (block_q, N) f32 logits overflow the 16 MB scoped-VMEM limit
+    # (23.8 MB at N=1408), so cap the block for wider dtypes.
+    bq = n if qkv.dtype == jnp.bfloat16 else min(n, 512)
+    return fused_qkv_attention(
+        qkv, num_heads=cfg.num_heads, scale=hd**-0.5,
+        num_real_k=num_real_k, block_q=bq,
+    )
+
+
 def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
                num_real_k=None, qkv_pre=None):
     # (B, N, 3D); `qkv_pre` comes from the fused LN+qkv kernel (qkv_fused)
@@ -262,27 +291,7 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
     nh = cfg.num_heads
     hd = d // nh
     if cfg.attn_impl == "fusedqkv":
-        # Transpose-free head-pair kernel on the fused qkv activation.
-        # Measured 38.1 ms/layer vs 50.5 XLA at the flagship shape
-        # (B=128, N padded 1374->1408, bf16, v5e) — see PERF.md. Requires
-        # the encoder to run at N%128==0 (vit_forward pads) with real keys
-        # masked via num_real_k.
-        if not cfg.softmax_f32:
-            raise ValueError(
-                "attn_impl='fusedqkv' always runs an f32 softmax in-kernel; "
-                "softmax_f32=False has no effect there — use attn_impl='xla' "
-                "for a compute-dtype softmax"
-            )
-        from patchioner_tpu.ops.attention import fused_qkv_attention
-
-        # whole-N q-blocks are the bf16 winner; at f32 the two per-program
-        # (block_q, N) f32 logits overflow the 16 MB scoped-VMEM limit
-        # (23.8 MB at N=1408), so cap the block for wider dtypes.
-        bq = n if qkv.dtype == jnp.bfloat16 else min(n, 512)
-        merged = fused_qkv_attention(
-            qkv, num_heads=nh, scale=hd**-0.5, num_real_k=num_real_k,
-            block_q=bq,
-        )
+        merged = _fused_qkv_merged(qkv, cfg, num_real_k)
         out = _dense(merged, blk["proj"])
         return (out, qkv) if return_qkv else (out, None)
     q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd), 3, axis=2)
@@ -390,24 +399,12 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         # kernel (ops/mlp.fused_dense_residual) on the merged attention
         # output — proj weights stay in VMEM and the ls1-mul + add never
         # run as separate XLA elementwise traffic.
-        from patchioner_tpu.ops.attention import fused_qkv_attention
         from patchioner_tpu.ops.mlp import fused_dense_residual
 
-        if not cfg.softmax_f32:
-            raise ValueError(
-                "attn_impl='fusedqkv' always runs an f32 softmax in-kernel; "
-                "softmax_f32=False has no effect there — use attn_impl='xla' "
-                "for a compute-dtype softmax"
-            )
         d = x.shape[-1]
-        nh = cfg.num_heads
         n = x.shape[1]
         qkv = _qkv_activation(x, blk, cfg)
-        bq = n if qkv.dtype == jnp.bfloat16 else min(n, 512)
-        merged = fused_qkv_attention(
-            qkv, num_heads=nh, scale=(d // nh) ** -0.5,
-            num_real_k=num_real_k, block_q=bq,
-        )
+        merged = _fused_qkv_merged(qkv, cfg, num_real_k)
         ls1 = blk["ls1"] if cfg.layerscale else jnp.ones((d,), x.dtype)
         proj_bq = next(b for b in (704, 512, 352, 256, 128) if n % b == 0)
         x = fused_dense_residual(

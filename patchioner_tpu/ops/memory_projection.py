@@ -177,13 +177,22 @@ def prepare_bank(
     Non-lane-aligned feature dims (d % 128 != 0) are allowed — the dispatcher
     routes those through the XLA path instead of the Pallas kernel."""
     m, d = bank.shape
-    inv = 1.0 / jnp.linalg.norm(bank.astype(jnp.float32), axis=-1, keepdims=True)
+    # jit so the f32 upcast fuses into the norm reduction — eager astype
+    # materializes a full f32 copy of the bank (9.2 GB at CC3M scale)
+    inv = _inv_norms(bank)
     mp = pl.cdiv(m, block_m) * block_m
     if dtype is not None:
         bank = bank.astype(dtype)
     rows = jnp.pad(bank, ((0, mp - m), (0, 0)))
     inv = jnp.pad(inv, ((0, mp - m), (0, 0)))
     return PreparedBank(rows, inv, m)
+
+
+@jax.jit
+def _inv_norms(bank):
+    return 1.0 / jnp.linalg.norm(
+        bank.astype(jnp.float32), axis=-1, keepdims=True
+    )
 
 
 class QuantizedBank(NamedTuple):
@@ -204,27 +213,19 @@ def quantize_bank(
     """One-time int8 quantization (outside the hot path).
 
     Processed in `chunk_rows` row chunks so peak device memory is the
-    source bank + the int8 output + ONE chunk of f32 intermediates —
-    quantizing the whole bank at once materializes ~3 f32 bank-sized
-    temporaries, which OOMs at CC3M scale (3M x 768) next to a resident
-    bf16 bank on a 16 GB chip (measured, PERF.md round 3)."""
+    source bank + ~2 int8-bank-sized copies (the chunks plus their
+    concatenation) + ONE chunk of f32 intermediates — quantizing the
+    whole bank at once materializes f32 bank-sized temporaries, which
+    OOMs at CC3M scale (3M x 768) next to a resident bf16 bank on a
+    16 GB chip (measured, PERF.md round 3)."""
     m, d = bank.shape
 
-    @jax.jit
-    def _chunk(b):
-        bf = b.astype(jnp.float32)
-        inv = 1.0 / jnp.linalg.norm(bf, axis=-1, keepdims=True)
-        scale = jnp.maximum(
-            jnp.max(jnp.abs(bf), axis=-1, keepdims=True) / 127.0, 1e-12
-        )
-        rows = jnp.clip(jnp.round(bf / scale), -127, 127).astype(jnp.int8)
-        return rows, scale, inv
-
-    parts = [_chunk(bank[lo : lo + chunk_rows])
+    parts = [_quantize_chunk(bank[lo : lo + chunk_rows])
              for lo in range(0, m, chunk_rows)]
     rows = jnp.concatenate([p[0] for p in parts])
     scale = jnp.concatenate([p[1] for p in parts])
     inv = jnp.concatenate([p[2] for p in parts])
+    del parts
     mp = pl.cdiv(m, block_m) * block_m
     return QuantizedBank(
         jnp.pad(rows, ((0, mp - m), (0, 0))),
@@ -232,6 +233,17 @@ def quantize_bank(
         jnp.pad(inv, ((0, mp - m), (0, 0))),
         m,
     )
+
+
+@jax.jit
+def _quantize_chunk(b):
+    bf = b.astype(jnp.float32)
+    inv = 1.0 / jnp.linalg.norm(bf, axis=-1, keepdims=True)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(bf), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    rows = jnp.clip(jnp.round(bf / scale), -127, 127).astype(jnp.int8)
+    return rows, scale, inv
 
 
 def _mem_proj_kernel_q(
