@@ -75,15 +75,23 @@ def evaluate(
             # with prefetch this measures pipeline stall, not decode work
             imgs = next(loaded)
         with timer.phase("inference"):
-            outs = model.forward(
-                imgs,
-                get_cls_capt=caption_from == "cls",
-                get_avg_self_attn_capt=caption_from == "avg_self_attn",
-                get_avg_patch_capt=caption_from == "patches",
-                gaussian_avg=use_gaussian_weighting,
-                gaussian_img_variance=gaussian_variance,
-            )
-        capts = outs[_OUT_KEYS[caption_from]]
+            if (caption_from in ("cls", "avg_self_attn")
+                    and hasattr(model, "supports_fused_trace_path")
+                    and model.supports_fused_trace_path()):
+                # fused fast path — same captions as forward, one dispatch
+                capts = model.caption_images_fused(
+                    imgs, caption_from=caption_from
+                )
+            else:
+                outs = model.forward(
+                    imgs,
+                    get_cls_capt=caption_from == "cls",
+                    get_avg_self_attn_capt=caption_from == "avg_self_attn",
+                    get_avg_patch_capt=caption_from == "patches",
+                    gaussian_avg=use_gaussian_weighting,
+                    gaussian_img_variance=gaussian_variance,
+                )
+                capts = outs[_OUT_KEYS[caption_from]]
         for info, capt in zip(infos, capts):
             refs = [a["caption"] for a in coco.img_to_anns[info["id"]]]
             records.append(

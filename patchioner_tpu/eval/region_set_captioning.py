@@ -95,11 +95,20 @@ def evaluate(
         lambda b: loader([samples["img_paths"][i] for i in b[1]]),
         depth=2,
     )
+    # fused path: pad every batch's box sets to the RUN max so the
+    # single-dispatch program compiles once (per-batch max would recompile
+    # on every distinct set size)
+    run_max_boxes = (
+        max((len(samples["bboxes"][i]) for i in range(n)), default=1) or 1
+        if (hasattr(model, "supports_fused_trace_path")
+            and model.supports_fused_trace_path())
+        else None
+    )
     for bi, batch_idx in batches:
         with timer.phase("preprocessing"):
             imgs, sizes = next(loaded)
             box_sets = [samples["bboxes"][i] for i in batch_idx]
-            n_max = max(map(len, box_sets))
+            n_max = run_max_boxes or max(map(len, box_sets))
             adjusted = []
             for boxes, (w, h) in zip(box_sets, sizes):
                 if keep_img_ratio:
@@ -122,19 +131,34 @@ def evaluate(
             # caption_from != 'patches' is the reference's cls baseline: the
             # whole-image caption stands in for the region-set caption
             # (eval_region_set_captioning.py:323,345).
-            outs = model.forward(
-                imgs,
-                get_cls_capt=caption_from == "cls",
-                bboxes=np.asarray(adjusted, np.float32),
-                gaussian_avg=use_gaussian_weighting,
-                gaussian_bbox_variance=gaussian_variance,
-                get_controllable_capts=True,
-                use_attn_map_for_bboxes=use_attn_map_for_bboxes,
-            )
-            preds.extend(
-                outs["set_controllable_capts"] if caption_from == "patches"
-                else outs["cls_capt"]
-            )
+            fused_ok = (hasattr(model, "supports_fused_trace_path")
+                        and model.supports_fused_trace_path())
+            if caption_from == "patches" and fused_ok:
+                # fused fast path — same captions as forward, one dispatch
+                preds.extend(model.caption_region_sets_fused(
+                    imgs, np.asarray(adjusted, np.float32),
+                    gaussian_avg=use_gaussian_weighting,
+                    gaussian_bbox_variance=gaussian_variance,
+                    use_attn_map_for_bboxes=use_attn_map_for_bboxes,
+                ))
+            elif caption_from != "patches" and fused_ok:
+                preds.extend(model.caption_images_fused(
+                    imgs, caption_from="cls"
+                ))
+            else:
+                outs = model.forward(
+                    imgs,
+                    get_cls_capt=caption_from == "cls",
+                    bboxes=np.asarray(adjusted, np.float32),
+                    gaussian_avg=use_gaussian_weighting,
+                    gaussian_bbox_variance=gaussian_variance,
+                    get_controllable_capts=True,
+                    use_attn_map_for_bboxes=use_attn_map_for_bboxes,
+                )
+                preds.extend(
+                    outs["set_controllable_capts"]
+                    if caption_from == "patches" else outs["cls_capt"]
+                )
 
     records = [
         {

@@ -1203,19 +1203,19 @@ class Patchioner:
             and self.decoder is not None
         )
 
-    def _fused_trace_step(self, use_attention: bool):
-        """Build (and cache) the single-dispatch trace-caption program:
-        normalize(uint8) -> encoder -> attention extraction -> trace pool
-        -> memory projection -> [inversion] -> greedy decode, one jit.
+    def _make_fused_step(self, key, pool):
+        """Build (and cache) a single-dispatch caption program:
+        normalize(uint8) -> encoder -> `pool` -> memory projection ->
+        [inversion] -> greedy decode, one jit.
 
-        `forward(traces=...)` runs the same math as ~6 separate jitted
-        dispatches; per-dispatch latency is irrelevant locally but each
-        costs an RPC on remote-device transports, and the final sync lands
-        earlier. Semantics are identical (tests pin token equality)."""
-        # key includes bank geometry/type so swapping the bank on a live
-        # model (demo hot-swap) can't serve a stale closed-over num_real
-        key = ("fused_trace", bool(use_attention), self.bank.num_real,
-               type(self.bank).__name__, self.embed_inversion)
+        `forward(...)` runs the same math as ~6 separate jitted dispatches;
+        per-dispatch latency is irrelevant locally but each costs an RPC on
+        remote-device transports, and the final sync lands earlier.
+        Semantics are identical (tests pin token equality per variant).
+
+        `pool(outs, extract_attn, *args) -> (B', D)` reduces the encoder
+        outputs to per-caption features; `extract_attn()` lazily computes
+        the CLS->patch attention row (reference quirks included)."""
         cached = getattr(self, "_fused_trace_cache", None)
         if cached is None:
             cached = self._fused_trace_cache = {}
@@ -1233,20 +1233,20 @@ class Patchioner:
         is_q = isinstance(self.bank, memproj.QuantizedBank)
         num_real = self.bank.num_real
 
-        def step(state, pixels, pts, valid):
+        def step(state, pixels, *args):
             if pixels.dtype == jnp.uint8:
                 pixels = (pixels.astype(jnp.float32) / 255.0
                           - state["mean"]) / state["std"]
             outs = vit_mod.vit_forward(state["vit"], pixels, vit_cfg)
-            g = vit_cfg.grid_size
-            grid = rp.traces_to_grid(pts, valid, g)
-            attn = None
-            if use_attention:
-                attn, _ = vit_mod.process_self_attention(
+
+            def extract_attn():
+                a, _ = vit_mod.process_self_attention(
                     outs["qkv_last"], num_heads=ex_heads,
                     num_global_tokens=ex_ng, scale=ex_scale,
                 )
-            feats = rp.trace_pool(outs["x_norm_patchtokens"], grid, attn)
+                return a
+
+            feats = pool(outs, extract_attn, *args)
             if is_q:
                 bank = memproj.QuantizedBank(
                     state["bank_rows"], state["bank_scale"],
@@ -1269,11 +1269,7 @@ class Patchioner:
         cached[key] = jax.jit(step)
         return cached[key]
 
-    def caption_traces_fused(self, imgs, pts, valid, *,
-                             use_attention_tracing: bool = False):
-        """Single-dispatch trace captioning (see `_fused_trace_step`);
-        `pts` (B, P, 2) in [0, 1] + `valid` (B, P) pre-padded arrays.
-        Caller must check `supports_fused_trace_path()`."""
+    def _fused_state(self):
         state = {
             "vit": self.vit_params,
             "decoder": self.decoder,
@@ -1286,10 +1282,147 @@ class Patchioner:
             state["bank_scale"] = self.bank.scale
         if self.embed_inversion:
             state["inversion"] = self.inversion
+        return state
+
+    def _fused_trace_step(self, use_attention: bool):
+        # key includes bank geometry/type so swapping the bank on a live
+        # model (demo hot-swap) can't serve a stale closed-over num_real
+        key = ("fused_trace", bool(use_attention), self.bank.num_real,
+               type(self.bank).__name__, self.embed_inversion)
+        g = self.vit_cfg.grid_size
+
+        def pool(outs, extract_attn, pts, valid):
+            grid = rp.traces_to_grid(pts, valid, g)
+            attn = extract_attn() if use_attention else None
+            return rp.trace_pool(outs["x_norm_patchtokens"], grid, attn)
+
+        return self._make_fused_step(key, pool)
+
+    def caption_traces_fused(self, imgs, pts, valid, *,
+                             use_attention_tracing: bool = False):
+        """Single-dispatch trace captioning (see `_make_fused_step`);
+        `pts` (B, P, 2) in [0, 1] + `valid` (B, P) pre-padded arrays.
+        Caller must check `supports_fused_trace_path()`."""
         step = self._fused_trace_step(use_attention_tracing)
         tokens = np.asarray(
-            step(state, _as_nhwc(imgs), jnp.asarray(pts), jnp.asarray(valid))
+            step(self._fused_state(), _as_nhwc(imgs),
+                 jnp.asarray(pts), jnp.asarray(valid))
         )
+        return [self.tokenizer.decode_caption(row) for row in tokens]
+
+    def _fused_bbox_step(self, gaussian_avg: bool,
+                         gaussian_bbox_variance: float, use_attn_map: bool):
+        """`forward(bboxes=...)`'s dense-captioning math (src/model.py:
+        980-1047 semantics) as one program — per-box weighted patch means
+        feed one (B*NB)-row projection+decode."""
+        key = ("fused_bbox", bool(gaussian_avg),
+               float(gaussian_bbox_variance), bool(use_attn_map),
+               self.bank.num_real, type(self.bank).__name__,
+               self.embed_inversion)
+        patch_size = self.patch_size
+
+        def pool(outs, extract_attn, bboxes):
+            feats = rp.extract_bbox_features(
+                outs["x_norm_patchtokens"], bboxes,
+                patch_size=patch_size,
+                gaussian_avg=gaussian_avg,
+                gaussian_bbox_variance=gaussian_bbox_variance,
+                attention_map=extract_attn() if use_attn_map else None,
+            )
+            return feats.reshape(-1, feats.shape[-1])
+
+        return self._make_fused_step(key, pool)
+
+    def caption_bboxes_fused(self, imgs, bboxes, *,
+                             gaussian_avg: bool = False,
+                             gaussian_bbox_variance: float = 0.5,
+                             use_attn_map_for_bboxes: bool = False):
+        """Single-dispatch bbox captioning: `bboxes` (B, NB, 4) pixel xyxy
+        in the transformed image (pre-padded with dummy boxes to a fixed
+        NB). Returns B lists of NB captions — identical strings to
+        `forward(bboxes=...)["bbox_capts"]` (tests pin equality). Caller
+        must check `supports_fused_trace_path()`."""
+        bboxes = jnp.asarray(bboxes, jnp.float32)
+        n_boxes = int(bboxes.shape[1])
+        step = self._fused_bbox_step(
+            bool(gaussian_avg), float(gaussian_bbox_variance),
+            bool(use_attn_map_for_bboxes),
+        )
+        tokens = np.asarray(step(self._fused_state(), _as_nhwc(imgs), bboxes))
+        capts = [self.tokenizer.decode_caption(row) for row in tokens]
+        return [capts[i * n_boxes : (i + 1) * n_boxes]
+                for i in range(len(capts) // n_boxes)]
+
+    def _fused_global_step(self, mode: str):
+        """Whole-image captioning (`forward(get_cls_capt=True)` /
+        `get_avg_self_attn_capt=True` semantics, src/model.py:863-877,927)
+        as one program."""
+        key = ("fused_global", mode, self.bank.num_real,
+               type(self.bank).__name__, self.embed_inversion)
+
+        def pool(outs, extract_attn):
+            if mode == "cls":
+                return outs["x_norm_clstoken"]
+            # softmax CLS->patch attention row weights the patch tokens
+            # (reference :869: mean over patches of attn-weighted tokens)
+            attn = extract_attn()
+            return jnp.mean(
+                attn[..., None] * outs["x_norm_patchtokens"], axis=1
+            )
+
+        return self._make_fused_step(key, pool)
+
+    def caption_images_fused(self, imgs, *, caption_from: str = "cls"):
+        """Single-dispatch whole-image captioning (`caption_from` 'cls' or
+        'avg_self_attn') — identical strings to the matching `forward`
+        output (tests pin equality). Caller must check
+        `supports_fused_trace_path()`."""
+        if caption_from not in ("cls", "avg_self_attn"):
+            raise ValueError(f"caption_from={caption_from!r}")
+        step = self._fused_global_step(caption_from)
+        tokens = np.asarray(step(self._fused_state(), _as_nhwc(imgs)))
+        return [self.tokenizer.decode_caption(row) for row in tokens]
+
+    def _fused_controllable_step(self, gaussian_avg: bool,
+                                 gaussian_bbox_variance: float,
+                                 use_attn_map: bool):
+        """Region-set captioning (`forward(get_controllable_capts=True)`
+        semantics, src/model.py:1042-1047: one merged weight map over all
+        boxes -> ONE caption per image) as one program."""
+        key = ("fused_controllable", bool(gaussian_avg),
+               float(gaussian_bbox_variance), bool(use_attn_map),
+               self.bank.num_real, type(self.bank).__name__,
+               self.embed_inversion)
+        patch_size = self.patch_size
+
+        def pool(outs, extract_attn, bboxes):
+            return rp.extract_bbox_features_single(
+                outs["x_norm_patchtokens"], bboxes,
+                patch_size=patch_size,
+                gaussian_avg=gaussian_avg,
+                gaussian_bbox_variance=gaussian_bbox_variance,
+                attention_map=extract_attn() if use_attn_map else None,
+            )
+
+        return self._make_fused_step(key, pool)
+
+    def caption_region_sets_fused(self, imgs, bboxes, *,
+                                  gaussian_avg: bool = False,
+                                  gaussian_bbox_variance: float = 0.5,
+                                  use_attn_map_for_bboxes: bool = False):
+        """Single-dispatch region-set (controllable) captioning: one merged
+        caption per image for its box set — identical strings to
+        `forward(get_controllable_capts=True)["set_controllable_capts"]`
+        (tests pin equality). Caller must check
+        `supports_fused_trace_path()`."""
+        step = self._fused_controllable_step(
+            bool(gaussian_avg), float(gaussian_bbox_variance),
+            bool(use_attn_map_for_bboxes),
+        )
+        tokens = np.asarray(step(
+            self._fused_state(), _as_nhwc(imgs),
+            jnp.asarray(bboxes, jnp.float32),
+        ))
         return [self.tokenizer.decode_caption(row) for row in tokens]
 
     def forward(

@@ -361,3 +361,21 @@ def test_merge_annotation_parts(tmp_path):
         [str(p1), str(p2)], str(tmp_path)
     )
     assert sorted(ds["gt_captions"]) == ["a", "c", "new"]
+
+
+def test_dense_fused_path_matches_forward_path(tiny_model, tmp_path):
+    """The dense eval's fused single-dispatch branch (compute_scores=False)
+    must emit the same captions as the forward(bboxes=...) branch
+    (compute_scores=True), including run-max dummy-box padding."""
+    p = make_coco_json(tmp_path, with_xyxy_boxes=True)
+    assert tiny_model.supports_fused_trace_path()
+    kw = dict(batch_size=2, loader=fake_loader_with_sizes)
+    fused = dense_captioning.evaluate(
+        tiny_model, p, str(tmp_path), compute_scores=False, **kw
+    )["predictions"]["annotations"]
+    ref = dense_captioning.evaluate(
+        tiny_model, p, str(tmp_path), compute_scores=True, **kw
+    )["predictions"]["annotations"]
+    assert [(a["image_id"], a["caption"]) for a in fused] == [
+        (a["image_id"], a["caption"]) for a in ref
+    ]

@@ -255,3 +255,58 @@ def test_fused_trace_path_matches_forward(tiny_model, imgs):
             imgs, pts, valid, use_attention_tracing=attn
         )
         assert got == want, f"use_attention_tracing={attn}"
+
+
+def test_fused_bbox_path_matches_forward(tiny_model, imgs):
+    """caption_bboxes_fused (single-dispatch program) must produce captions
+    identical to forward(bboxes=...) across the weighting variants,
+    including dummy-box padding."""
+    bboxes = np.asarray(
+        [[[0, 0, 28, 28], [14, 14, 56, 56], [0, 0, 1, 1]],
+         [[7, 7, 42, 42], [0, 0, 1, 1], [0, 0, 1, 1]]], np.float32
+    )
+    for kw in (
+        dict(),
+        dict(gaussian_avg=True, gaussian_bbox_variance=0.7),
+        dict(use_attn_map_for_bboxes=True),
+    ):
+        want = tiny_model.forward(
+            imgs, get_cls_capt=False, bboxes=bboxes,
+            gaussian_avg=kw.get("gaussian_avg", False),
+            gaussian_bbox_variance=kw.get("gaussian_bbox_variance", 0.5),
+            use_attn_map_for_bboxes=kw.get("use_attn_map_for_bboxes", False),
+        )["bbox_capts"]
+        got = tiny_model.caption_bboxes_fused(imgs, bboxes, **kw)
+        assert got == want, kw
+
+
+def test_fused_global_path_matches_forward(tiny_model, imgs):
+    """caption_images_fused must match forward's cls / avg_self_attn
+    whole-image captions."""
+    want = tiny_model.forward(
+        imgs, get_cls_capt=True, get_avg_self_attn_capt=True
+    )
+    assert tiny_model.caption_images_fused(imgs) == want["cls_capt"]
+    assert tiny_model.caption_images_fused(
+        imgs, caption_from="avg_self_attn"
+    ) == want["avg_self_attn_capt"]
+    with pytest.raises(ValueError, match="caption_from"):
+        tiny_model.caption_images_fused(imgs, caption_from="patches")
+
+
+def test_fused_region_set_path_matches_forward(tiny_model, imgs):
+    """caption_region_sets_fused must match forward's controllable
+    (merged-box-set) captions, dummy boxes included."""
+    bboxes = np.asarray(
+        [[[0, 0, 28, 28], [14, 14, 56, 56]],
+         [[7, 7, 42, 42], [-1, -1, -1, -1]]], np.float32
+    )
+    for kw in (dict(), dict(gaussian_avg=True, gaussian_bbox_variance=0.7)):
+        want = tiny_model.forward(
+            imgs, get_cls_capt=False, bboxes=bboxes,
+            get_controllable_capts=True,
+            gaussian_avg=kw.get("gaussian_avg", False),
+            gaussian_bbox_variance=kw.get("gaussian_bbox_variance", 0.5),
+        )["set_controllable_capts"]
+        got = tiny_model.caption_region_sets_fused(imgs, bboxes, **kw)
+        assert got == want, kw
