@@ -145,12 +145,27 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                serve_paths = ("/caption", "/caption_trace",
+                               "/caption_bboxes")
                 if (batch_server is not None
                         and req.get("model") in (None, "default")
-                        and self.path in ("/caption", "/caption_trace")):
+                        and self.path in serve_paths
+                        # boxes beyond the server's fixed-shape contract
+                        # fall back to the direct path below
+                        and len(req.get("bboxes") or [])
+                        <= batch_server.max_boxes):
                     from PIL import Image
 
                     pil = Image.open(io.BytesIO(base64.b64decode(req["image"])))
+                    if self.path == "/caption_bboxes":
+                        # API boxes are pixel xyxy in the model's square
+                        # frame; the server contract is normalized [0,1]
+                        d = float(batch_server.model.crop_dim)
+                        norm = [[c / d for c in b] for b in req["bboxes"]]
+                        caps = batch_server.submit(
+                            pil, bboxes=norm).result(timeout=600)
+                        self._reply(200, {"captions": caps})
+                        return
                     trace = (req["trace"] if self.path == "/caption_trace"
                              else None)
                     cap = batch_server.submit(pil, trace).result(timeout=600)

@@ -16,10 +16,12 @@ serving shape around the same model:
   to `max_batch`) so XLA compiles one program per bucket instead of one
   per observed batch size — the static-shape discipline that keeps a
   TPU serving deployment from recompiling under load;
-* trace requests ride the single-dispatch fused program
-  (`Patchioner.caption_traces_fused`) when the model supports it, with
-  trace points padded to a fixed `trace_points` length; whole-image (cls)
-  requests batch through `forward(get_cls_capt=True)`.
+* every request mode rides its single-dispatch fused program when the
+  model supports it (`Patchioner.caption_{traces,bboxes,images}_fused`):
+  trace points pad to a fixed `trace_points` length, box lists to a fixed
+  `max_boxes` count (normalized [0,1] xyxy; a request resolves to the
+  list of its per-box captions), and whole-image (cls) requests run the
+  fused global program.
 
 Padding rows are sliced off before decode results are delivered, so a
 request's caption is independent of which bucket or co-batched neighbors
@@ -53,11 +55,12 @@ class ServerStats:
 
 
 class _Request:
-    __slots__ = ("pixels", "trace", "future", "t_enq")
+    __slots__ = ("pixels", "trace", "bboxes", "future", "t_enq")
 
-    def __init__(self, pixels, trace):
+    def __init__(self, pixels, trace, bboxes=None):
         self.pixels = pixels
         self.trace = trace
+        self.bboxes = bboxes
         self.future: Future = Future()
         self.t_enq = time.perf_counter()
 
@@ -88,7 +91,8 @@ class CaptionServer:
 
     def __init__(self, model, *, max_batch: int = 8,
                  max_delay_ms: float = 5.0, trace_points: int = 64,
-                 preprocess: bool = True, workers: int = 1):
+                 max_boxes: int = 16, preprocess: bool = True,
+                 workers: int = 1):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if workers < 1:
@@ -97,6 +101,7 @@ class CaptionServer:
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.trace_points = int(trace_points)
+        self.max_boxes = int(max_boxes)
         self.preprocess = preprocess
         self.buckets = []
         b = 1
@@ -120,17 +125,25 @@ class CaptionServer:
 
     # ------------------------------------------------------------- client
 
-    def submit(self, image, trace: Optional[Sequence] = None) -> Future:
-        """Enqueue one request; resolves to the caption string.
+    def submit(self, image, trace: Optional[Sequence] = None,
+               bboxes: Optional[Sequence] = None) -> Future:
+        """Enqueue one request; resolves to the caption string (or, for a
+        `bboxes` request, a LIST of per-box caption strings).
 
         `image`: PIL image (when `preprocess=True`) or a preprocessed
         (H, W, 3) array. `trace`: optional sequence of (x, y) in [0, 1]
         (or {'x','y'} dicts, the reference trace format) — present means a
-        trace caption, absent a whole-image caption.
+        trace caption. `bboxes`: optional sequence of up to `max_boxes`
+        xyxy boxes with NORMALIZED [0, 1] coordinates of the preprocessed
+        square image (scaled to pixels internally) — present means dense
+        per-box captions. Absent both, a whole-image caption.
         """
         if self._closed:
             raise RuntimeError("CaptionServer is closed")
-        req = _Request(self._prep(image), self._norm_trace(trace))
+        if trace is not None and bboxes is not None:
+            raise ValueError("a request is trace OR bboxes, not both")
+        req = _Request(self._prep(image), self._norm_trace(trace),
+                       self._norm_bboxes(bboxes))
         with self._stats_lock:
             self.stats.requests += 1
         self._q.put(req)
@@ -144,6 +157,7 @@ class CaptionServer:
         return [f.result(timeout=timeout) for f in futs]
 
     def warmup(self, *, trace: bool = True, cls: bool = False,
+               bbox: bool = False,
                buckets: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the bucket ladder before taking traffic.
 
@@ -156,16 +170,23 @@ class CaptionServer:
         h, w = self.model.crop_dim, self.model.crop_dim
         dummy = np.zeros((h, w, 3), np.uint8)
         dummy_trace = self._norm_trace([(0.5, 0.5)])
+        dummy_boxes = self._norm_bboxes([(0.1, 0.1, 0.9, 0.9)])
         for b in (buckets if buckets is not None else self.buckets):
             # run the group path directly — a queue round-trip could split
             # the dummies into a different (already-compiled) bucket
             if trace:
                 self._run_group(
-                    [_Request(dummy, dummy_trace) for _ in range(b)], True
+                    [_Request(dummy, dummy_trace) for _ in range(b)],
+                    "trace",
                 )
             if cls:
                 self._run_group(
-                    [_Request(dummy, None) for _ in range(b)], False
+                    [_Request(dummy, None) for _ in range(b)], "cls"
+                )
+            if bbox:
+                self._run_group(
+                    [_Request(dummy, None, dummy_boxes) for _ in range(b)],
+                    "bbox",
                 )
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
@@ -204,6 +225,23 @@ class CaptionServer:
         ]
         return pts[: self.trace_points]
 
+    def _norm_bboxes(self, bboxes):
+        if bboxes is None:
+            return None
+        if len(bboxes) > self.max_boxes:
+            raise ValueError(
+                f"{len(bboxes)} boxes > max_boxes={self.max_boxes} (the "
+                "fixed-shape serving contract; raise max_boxes at "
+                "construction)"
+            )
+        # normalized [0,1] xyxy -> pixel xyxy of the crop_dim square
+        d = float(self.model.crop_dim)
+        return [
+            (float(b[0]) * d, float(b[1]) * d,
+             float(b[2]) * d, float(b[3]) * d)
+            for b in bboxes
+        ]
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -240,16 +278,18 @@ class CaptionServer:
             batch = self._drain()
             if batch is None:
                 return
-            # trace and cls requests run different programs — split, keep
-            # arrival order within each group
-            for group, is_trace in (
-                ([r for r in batch if r.trace is not None], True),
-                ([r for r in batch if r.trace is None], False),
+            # trace / bbox / cls requests run different programs — split,
+            # keep arrival order within each group
+            for group, mode in (
+                ([r for r in batch if r.trace is not None], "trace"),
+                ([r for r in batch if r.bboxes is not None], "bbox"),
+                ([r for r in batch
+                  if r.trace is None and r.bboxes is None], "cls"),
             ):
                 if not group:
                     continue
                 try:
-                    caps = self._run_group(group, is_trace)
+                    caps = self._run_group(group, mode)
                     for r, c in zip(group, caps):
                         r.future.set_result(c)
                 except Exception as e:  # noqa: BLE001 — delivered to callers
@@ -259,7 +299,11 @@ class CaptionServer:
                         if not r.future.done():
                             r.future.set_exception(e)
 
-    def _run_group(self, group: list, is_trace: bool) -> list:
+    def _fused_ok(self) -> bool:
+        return (hasattr(self.model, "supports_fused_trace_path")
+                and self.model.supports_fused_trace_path())
+
+    def _run_group(self, group: list, mode: str) -> list:
         n = len(group)
         nb = self._bucket(n)
         with self._stats_lock:
@@ -270,7 +314,7 @@ class CaptionServer:
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[:1], nb - n, axis=0)]
             )
-        if is_trace:
+        if mode == "trace":
             pts = np.zeros((nb, self.trace_points, 2), np.float32)
             valid = np.zeros((nb, self.trace_points), np.float32)
             for i, r in enumerate(group):
@@ -278,8 +322,7 @@ class CaptionServer:
                 if k:
                     pts[i, :k] = r.trace
                     valid[i, :k] = 1.0
-            if (hasattr(self.model, "supports_fused_trace_path")
-                    and self.model.supports_fused_trace_path()):
+            if self._fused_ok():
                 caps = self.model.caption_traces_fused(imgs, pts, valid)
             else:
                 traces = [r.trace for r in group]
@@ -288,7 +331,29 @@ class CaptionServer:
                     imgs, get_cls_capt=False, traces=traces
                 )
                 caps = outs["trace_capts"]
+            return list(caps[:n])
+        if mode == "bbox":
+            # fixed (nb, max_boxes, 4) shape; dummy [0,0,1,1] padding rows
+            # (the dense-captioning convention, eval_densecap.py:330-333)
+            # are sliced off per request below
+            boxes = np.tile(
+                np.asarray([0.0, 0.0, 1.0, 1.0], np.float32),
+                (nb, self.max_boxes, 1),
+            )
+            for i, r in enumerate(group):
+                if r.bboxes:
+                    boxes[i, : len(r.bboxes)] = r.bboxes
+            if self._fused_ok():
+                rows = self.model.caption_bboxes_fused(imgs, boxes)
+            else:
+                rows = self.model.forward(
+                    imgs, get_cls_capt=False, bboxes=boxes
+                )["bbox_capts"]
+            return [
+                list(rows[i][: len(r.bboxes)]) for i, r in enumerate(group)
+            ]
+        if self._fused_ok():
+            caps = self.model.caption_images_fused(imgs)
         else:
-            outs = self.model.forward(imgs, get_cls_capt=True)
-            caps = outs["cls_capt"]
+            caps = self.model.forward(imgs, get_cls_capt=True)["cls_capt"]
         return list(caps[:n])

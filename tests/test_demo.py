@@ -236,12 +236,17 @@ def test_batched_demo_matches_direct(batched_server):
     made = cs.stats.batches - b0
     assert made < 4, f"4 concurrent requests made {made} batches (no coalescing)"
 
-    # bboxes still served by the direct path under --batch-serve
-    code, body = _post(
-        url + "/caption_bboxes",
-        {"image": img, "bboxes": [[0.0, 0.0, 0.5, 0.5]]},
+    # bboxes route through the server too (fused bbox program); answers
+    # must equal the direct path's pixel-xyxy API
+    boxes = [[0.0, 0.0, 28.0, 28.0], [14.0, 14.0, 56.0, 56.0]]
+    code, direct_bb = _post(
+        direct_url + "/caption_bboxes", {"image": img, "bboxes": boxes}
     )
-    assert code == 200 and len(body["captions"]) == 1
+    assert code == 200
+    code, body = _post(
+        url + "/caption_bboxes", {"image": img, "bboxes": boxes}
+    )
+    assert code == 200 and body["captions"] == direct_bb["captions"]
 
 
 def test_stats_endpoint(batched_server):

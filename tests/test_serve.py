@@ -183,3 +183,67 @@ def test_warmup_compiles_each_bucket(tiny_model):
         np.stack([img]), get_cls_capt=False, traces=[tr]
     )["trace_capts"][0]
     assert got == direct
+
+
+def _boxes(seed, k=2):
+    rng = np.random.default_rng(300 + seed)
+    out = []
+    for _ in range(k):
+        x1, y1 = rng.uniform(0.0, 0.5, 2)
+        out.append((x1, y1, x1 + rng.uniform(0.2, 0.5),
+                    y1 + rng.uniform(0.2, 0.5)))
+    return out
+
+
+def test_bbox_requests_match_direct_fused(tiny_model):
+    """A bbox request resolves to its per-box caption list, equal to the
+    direct caption_bboxes_fused call at the same padded geometry,
+    regardless of co-batched neighbors or box-count differences."""
+    imgs = [_img(i) for i in range(3)]
+    boxes = [_boxes(0, 2), _boxes(1, 3), _boxes(2, 1)]
+    with CaptionServer(tiny_model, max_batch=4, preprocess=False,
+                       max_boxes=4) as srv:
+        futs = [srv.submit(im, bboxes=b) for im, b in zip(imgs, boxes)]
+        got = [f.result(timeout=120) for f in futs]
+    d = float(tiny_model.crop_dim)
+    for i in range(3):
+        pad = np.tile(np.asarray([0, 0, 1, 1], np.float32), (1, 4, 1))
+        pad[0, : len(boxes[i])] = np.asarray(boxes[i]) * d
+        want = tiny_model.caption_bboxes_fused(
+            np.stack([imgs[i]]), pad
+        )[0][: len(boxes[i])]
+        assert got[i] == want, i
+        assert len(got[i]) == len(boxes[i])
+
+
+def test_all_three_modes_coexist(tiny_model):
+    """trace + bbox + cls requests in one submission wave all resolve
+    correctly."""
+    im = _img(7)
+    with CaptionServer(tiny_model, max_batch=8, preprocess=False,
+                       max_boxes=2, max_delay_ms=50) as srv:
+        f_cls = srv.submit(im)
+        f_tr = srv.submit(im, trace=_trace(7))
+        f_bb = srv.submit(im, bboxes=_boxes(7, 2))
+        cls_c, tr_c, bb_c = (f.result(timeout=120) for f in
+                             (f_cls, f_tr, f_bb))
+    assert isinstance(cls_c, str) and isinstance(tr_c, str)
+    assert isinstance(bb_c, list) and len(bb_c) == 2
+    assert cls_c == tiny_model.caption_images_fused(np.stack([im]))[0]
+
+
+def test_bbox_request_contract_errors(tiny_model):
+    with CaptionServer(tiny_model, max_batch=2, preprocess=False,
+                       max_boxes=2) as srv:
+        with pytest.raises(ValueError, match="max_boxes"):
+            srv.submit(_img(0), bboxes=_boxes(0, 3))
+        with pytest.raises(ValueError, match="not both"):
+            srv.submit(_img(0), trace=_trace(0), bboxes=_boxes(0, 1))
+
+
+def test_warmup_bbox_bucket(tiny_model):
+    with CaptionServer(tiny_model, max_batch=2, preprocess=False,
+                       max_boxes=2) as srv:
+        srv.warmup(trace=False, bbox=True, buckets=[2])
+        f = srv.submit(_img(3), bboxes=_boxes(3, 1))
+        assert isinstance(f.result(timeout=120), list)
