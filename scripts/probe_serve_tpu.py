@@ -94,6 +94,27 @@ def main():
             sys.stdout.flush()
         print(json.dumps({"caption_example": caps[0][:60],
                           "errors": srv.stats.errors}))
+        sys.stdout.flush()
+
+        # bbox request mode: one smaller burst through the fused dense
+        # program (per-box caption lists; warmup compiles the bucket)
+        bb_batch = min(batch, 32)
+        t0 = time.time()
+        srv.warmup(trace=False, bbox=True, buckets=[bb_batch])
+        print(json.dumps({"bbox_warmup_s": round(time.time() - t0, 1)}))
+        sys.stdout.flush()
+        boxes = [(0.1, 0.1, 0.6, 0.6), (0.3, 0.3, 0.9, 0.9)]
+        t0 = time.time()
+        futs = [srv.submit(img, bboxes=boxes) for _ in range(bb_batch)]
+        rows = [f.result(timeout=1800) for f in futs]
+        dt = time.time() - t0
+        assert all(len(r) == len(boxes) for r in rows)
+        print(json.dumps({
+            "bbox_burst_wall_s": round(dt, 2),
+            "box_captions_per_s": round(bb_batch * len(boxes) / dt, 1),
+            "bbox_caption_example": rows[0][0][:50],
+            "errors": srv.stats.errors,
+        }))
 
 
 if __name__ == "__main__":

@@ -379,3 +379,32 @@ def test_dense_fused_path_matches_forward_path(tiny_model, tmp_path):
     assert [(a["image_id"], a["caption"]) for a in fused] == [
         (a["image_id"], a["caption"]) for a in ref
     ]
+
+
+def test_region_set_and_image_fused_match_forward_branch(
+        tiny_model, tmp_path, monkeypatch):
+    """The region-set and image evals' fused single-dispatch branches must
+    emit the same predictions as their forward(...) branches (gate forced
+    off via supports_fused_trace_path)."""
+    ann = {"7": {"two dogs": [[10, 10, 60, 60], [100, 80, 200, 160]],
+                 "a tree": [[5, 5, 25, 25]]}}
+    p = tmp_path / "regions.json"
+    p.write_text(json.dumps(ann))
+    kw = dict(batch_size=2, loader=fake_loader_with_sizes)
+    fused = region_set_captioning.evaluate(tiny_model, str(p),
+                                           str(tmp_path), **kw)
+    cj = make_coco_json(tmp_path)
+    fused_img = image_captioning.evaluate(
+        tiny_model, cj, str(tmp_path), batch_size=2, loader=fake_loader_plain
+    )
+    monkeypatch.setattr(type(tiny_model), "supports_fused_trace_path",
+                        lambda self: False)
+    ref = region_set_captioning.evaluate(tiny_model, str(p),
+                                         str(tmp_path), **kw)
+    ref_img = image_captioning.evaluate(
+        tiny_model, cj, str(tmp_path), batch_size=2, loader=fake_loader_plain
+    )
+    assert ([r["pred"] for r in fused["predictions"]]
+            == [r["pred"] for r in ref["predictions"]])
+    assert ([r["pred"] for r in fused_img["predictions"]]
+            == [r["pred"] for r in ref_img["predictions"]])
