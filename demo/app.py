@@ -209,6 +209,9 @@ def main(argv=None):
                         "requests into micro-batches (serve.CaptionServer)")
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument("--mesh-dp", type=int, default=0,
+                   help="with --batch-serve: serve data-parallel over this "
+                        "many devices (a dp mesh; 0 = single device)")
     args = p.parse_args(argv)
     model = build_model(args.config, args.allow_missing_weights)
 
@@ -250,8 +253,19 @@ def main(argv=None):
 
         from patchioner_tpu.serve import CaptionServer
 
+        mesh = None
+        if args.mesh_dp:
+            import jax
+
+            from patchioner_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(
+                dp=args.mesh_dp, mp=1,
+                devices=jax.devices()[: args.mesh_dp],
+            )
         batch_server = CaptionServer(
-            model, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+            model, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+            mesh=mesh,
         )
         server_cls = ThreadingHTTPServer  # concurrent requests can coalesce
     server = server_cls(

@@ -1284,6 +1284,86 @@ class Patchioner:
             state["inversion"] = self.inversion
         return state
 
+    # ------------------------------------------------- multi-chip serving
+
+    # class attrs so older pickles / subclasses get the single-device
+    # default without an __init__ change
+    _serve_mesh = None
+    _placed_state_cache = None
+
+    def place_on_mesh(self, mesh, dp_axis: str = "dp"):
+        """Route the fused caption programs data-parallel over a device
+        mesh (the v5e-8 deployment shape: PERF.md's scaling analysis —
+        the caption step has NO cross-batch communication, so dp scaling
+        is embarrassingly parallel and GSPMD splits the batch).
+
+        Model state (params + bank, ~1.3 GB at flagship scale) is
+        replicated onto the mesh ONCE and cached; every subsequent
+        `caption_*_fused` call dp-shards its batch arrays over `dp_axis`
+        and gathers only the (B, T) token ids. Batches that don't divide
+        the dp size are padded with copies of row 0 and sliced after
+        decode (same trick as CaptionServer bucket padding — results are
+        padding-independent, pinned by tests/test_serve_mesh.py).
+
+        Call with `mesh=None` to revert to single-device dispatch. The
+        reference has no inference parallelism at all (SURVEY §2.6: DDP
+        exists only for decoder training; eval is strictly single-GPU),
+        so this is TPU-native upside, not a port.
+        """
+        if mesh is not None and dp_axis not in mesh.axis_names:
+            raise ValueError(
+                f"dp_axis={dp_axis!r} not in mesh axes {mesh.axis_names}"
+            )
+        self._serve_mesh = (mesh, dp_axis) if mesh is not None else None
+        self._placed_state_cache = None
+
+    def _placed_fused_state(self):
+        """Replicate the fused-step state over the serving mesh, once per
+        (bank, decoder) identity — demo hot-swap installs a new bank
+        object, which invalidates the cache."""
+        mesh, _ = self._serve_mesh
+        key = (id(self.bank), id(self.decoder), id(self.vit_params))
+        cached = self._placed_state_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        state = jax.device_put(
+            self._fused_state(),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+        self._placed_state_cache = (key, state)
+        return state
+
+    def _dispatch_fused(self, step, imgs, *args, rows_per_image: int = 1):
+        """Run one fused caption program and return host token ids.
+
+        Single-device: `step(state, imgs, *args)` directly. With a serving
+        mesh (`place_on_mesh`): pad the batch up to a multiple of the dp
+        size, device_put inputs with a batch-sharded NamedSharding (GSPMD
+        partitions the whole program from the input shardings — the same
+        placement `__graft_entry__.dryrun_multichip` validates at flagship
+        geometry), and slice the padding rows back off.
+        """
+        if self._serve_mesh is None:
+            return np.asarray(step(self._fused_state(), imgs, *args))
+        mesh, axis = self._serve_mesh
+        ndp = mesh.shape[axis]
+        b = int(imgs.shape[0])
+        pad = (-b) % ndp
+        if pad:
+            def _pad(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+                )
+            imgs = _pad(imgs)
+            args = tuple(_pad(a) for a in args)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(axis)
+        )
+        imgs = jax.device_put(imgs, sh)
+        args = tuple(jax.device_put(a, sh) for a in args)
+        tokens = np.asarray(step(self._placed_fused_state(), imgs, *args))
+        return tokens[: b * rows_per_image]
+
     def _fused_trace_step(self, use_attention: bool):
         # key includes bank geometry/type so swapping the bank on a live
         # model (demo hot-swap) can't serve a stale closed-over num_real
@@ -1304,9 +1384,8 @@ class Patchioner:
         `pts` (B, P, 2) in [0, 1] + `valid` (B, P) pre-padded arrays.
         Caller must check `supports_fused_trace_path()`."""
         step = self._fused_trace_step(use_attention_tracing)
-        tokens = np.asarray(
-            step(self._fused_state(), _as_nhwc(imgs),
-                 jnp.asarray(pts), jnp.asarray(valid))
+        tokens = self._dispatch_fused(
+            step, _as_nhwc(imgs), jnp.asarray(pts), jnp.asarray(valid)
         )
         return [self.tokenizer.decode_caption(row) for row in tokens]
 
@@ -1348,7 +1427,9 @@ class Patchioner:
             bool(gaussian_avg), float(gaussian_bbox_variance),
             bool(use_attn_map_for_bboxes),
         )
-        tokens = np.asarray(step(self._fused_state(), _as_nhwc(imgs), bboxes))
+        tokens = self._dispatch_fused(
+            step, _as_nhwc(imgs), bboxes, rows_per_image=n_boxes
+        )
         capts = [self.tokenizer.decode_caption(row) for row in tokens]
         return [capts[i * n_boxes : (i + 1) * n_boxes]
                 for i in range(len(capts) // n_boxes)]
@@ -1380,7 +1461,7 @@ class Patchioner:
         if caption_from not in ("cls", "avg_self_attn"):
             raise ValueError(f"caption_from={caption_from!r}")
         step = self._fused_global_step(caption_from)
-        tokens = np.asarray(step(self._fused_state(), _as_nhwc(imgs)))
+        tokens = self._dispatch_fused(step, _as_nhwc(imgs))
         return [self.tokenizer.decode_caption(row) for row in tokens]
 
     def _fused_controllable_step(self, gaussian_avg: bool,
@@ -1419,10 +1500,9 @@ class Patchioner:
             bool(gaussian_avg), float(gaussian_bbox_variance),
             bool(use_attn_map_for_bboxes),
         )
-        tokens = np.asarray(step(
-            self._fused_state(), _as_nhwc(imgs),
-            jnp.asarray(bboxes, jnp.float32),
-        ))
+        tokens = self._dispatch_fused(
+            step, _as_nhwc(imgs), jnp.asarray(bboxes, jnp.float32)
+        )
         return [self.tokenizer.decode_caption(row) for row in tokens]
 
     def forward(

@@ -87,12 +87,20 @@ class CaptionServer:
         serialize on the device regardless, so extra workers only overlap
         HOST work; results stay per-request futures, so cross-batch
         completion order doesn't matter.
+      mesh: optional `jax.sharding.Mesh` — serve data-parallel over it
+        (the v5e-pod deployment shape). The model state replicates onto
+        the mesh once (`Patchioner.place_on_mesh`) and every micro-batch
+        dp-shards over `dp_axis`; the bucket ladder snaps to multiples of
+        the dp size so no program ever pads twice. The caption step has
+        no cross-batch communication (PERF.md scaling analysis), so
+        throughput scales ~linearly with the dp size.
+      dp_axis: mesh axis name carrying the batch (default "dp").
     """
 
     def __init__(self, model, *, max_batch: int = 8,
                  max_delay_ms: float = 5.0, trace_points: int = 64,
                  max_boxes: int = 16, preprocess: bool = True,
-                 workers: int = 1):
+                 workers: int = 1, mesh=None, dp_axis: str = "dp"):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if workers < 1:
@@ -103,8 +111,21 @@ class CaptionServer:
         self.trace_points = int(trace_points)
         self.max_boxes = int(max_boxes)
         self.preprocess = preprocess
+        step = 1
+        if mesh is not None:
+            if not hasattr(model, "place_on_mesh"):
+                raise TypeError(
+                    f"{type(model).__name__} does not support mesh serving"
+                )
+            model.place_on_mesh(mesh, dp_axis)
+            step = int(mesh.shape[dp_axis])
+            if self.max_batch % step:
+                raise ValueError(
+                    f"max_batch={max_batch} must be a multiple of the dp "
+                    f"size {step} (mesh axis {dp_axis!r})"
+                )
         self.buckets = []
-        b = 1
+        b = step
         while b < self.max_batch:
             self.buckets.append(b)
             b *= 2
