@@ -167,3 +167,41 @@ def test_server_mesh_max_batch_contract(tiny_model, mesh):
     with pytest.raises(ValueError, match="multiple of the dp size"):
         CaptionServer(tiny_model, max_batch=6, mesh=mesh)
     tiny_model.place_on_mesh(None)
+
+
+def test_eval_harness_composes_with_mesh(tiny_model, mesh, tmp_path):
+    """The trace eval pipeline routes through caption_traces_fused, so a
+    mesh-placed model runs the whole REAL harness dp-sharded with byte-
+    identical predictions — multi-chip eval needs zero harness changes."""
+    import json
+
+    from patchioner_tpu.eval import trace_captioning
+
+    ann = {
+        str(i): {
+            "captions": [f"ref {i}"],
+            "traces": [[{"x": 0.2 + 0.1 * (i % 3), "y": 0.3}]],
+        }
+        for i in range(5)
+    }
+    p = tmp_path / "trace_capt_coco_test.json"
+    p.write_text(json.dumps(ann))
+
+    def loader(infos):
+        rng = np.random.default_rng(7)
+        return rng.standard_normal(
+            (len(infos), 56, 56, 3)
+        ).astype(np.float32)
+
+    kw = dict(batch_size=4, loader=loader)
+    want = trace_captioning.evaluate(
+        tiny_model, str(p), str(tmp_path), **kw
+    )["predictions"]
+    try:
+        tiny_model.place_on_mesh(mesh)
+        got = trace_captioning.evaluate(
+            tiny_model, str(p), str(tmp_path), **kw
+        )["predictions"]
+    finally:
+        tiny_model.place_on_mesh(None)
+    assert got == want
