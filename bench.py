@@ -76,7 +76,7 @@ def _naive_reference_port(model, batch: int):
     # params are impl-independent, so the same weights run both sides.
     vit_cfg = dataclasses.replace(
         vit_cfg, attn_impl="xla", mlp_fused=False, qkv_fused=False,
-        gelu_approx=False
+        proj_fused=False, gelu_approx=False
     )
     bank_rows = bank.rows[: bank.num_real]
 

@@ -158,10 +158,15 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
 
                     pil = Image.open(io.BytesIO(base64.b64decode(req["image"])))
                     if self.path == "/caption_bboxes":
-                        # API boxes are pixel xyxy in the model's square
-                        # frame; the server contract is normalized [0,1]
+                        # API boxes are pixel [x1, y1, w, h] in the
+                        # model's square frame (forward's convention);
+                        # the server contract is normalized [0,1] xyxy
                         d = float(batch_server.model.crop_dim)
-                        norm = [[c / d for c in b] for b in req["bboxes"]]
+                        norm = [
+                            [b[0] / d, b[1] / d,
+                             (b[0] + b[2]) / d, (b[1] + b[3]) / d]
+                            for b in req["bboxes"]
+                        ]
                         caps = batch_server.submit(
                             pil, bboxes=norm).result(timeout=600)
                         self._reply(200, {"captions": caps})

@@ -66,14 +66,17 @@ def evaluate(
     timer = harness.PhaseTimer()
     records = []
     batches = list(harness.batched(image_ids, batch_size))
-    loaded = harness.prefetch(
-        batches, lambda b: loader(coco.load_imgs(list(b[1]))), depth=2
-    )
+    def _load_batch(b):
+        # one source of truth for the batch's metadata: the prefetch fn
+        # returns (infos, imgs) so the loop body doesn't re-look-up infos
+        infos = coco.load_imgs(list(b[1]))
+        return infos, loader(infos)
+
+    loaded = harness.prefetch(batches, _load_batch, depth=2)
     for bi, batch_ids in batches:
-        infos = coco.load_imgs(list(batch_ids))
         with timer.phase("preprocessing"):
             # with prefetch this measures pipeline stall, not decode work
-            imgs = next(loaded)
+            infos, imgs = next(loaded)
         with timer.phase("inference"):
             if (caption_from in ("cls", "avg_self_attn")
                     and hasattr(model, "supports_fused_trace_path")

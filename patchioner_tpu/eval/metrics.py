@@ -274,8 +274,12 @@ def meteor(
 
       * exact / stem (Porter) / synonym: word-level. `synonyms` is a
         word -> frozenset-of-group-ids callable (see
-        `load_wordnet_synonyms`); words match when groups intersect. A word
-        pair matching several modules scores its highest-weight module.
+        `load_wordnet_synonyms`); words match when groups intersect. A
+        word pair matching several modules scores the FIRST module in
+        METEOR's stage order (exact > stem > synonym) — the Java scorer
+        applies matchers sequentially, each matching only what earlier
+        stages left, so a pair that both stems equal and shares a synset
+        scores stem_weight (0.6), not synonym_weight (0.8).
       * paraphrase: span-level over contiguous spans up to
         `max_paraphrase_len` words. `paraphrases` maps a phrase string to a
         frozenset of group ids; spans match when groups intersect.

@@ -1319,18 +1319,28 @@ class Patchioner:
 
     def _placed_fused_state(self):
         """Replicate the fused-step state over the serving mesh, once per
-        (bank, decoder) identity — demo hot-swap installs a new bank
-        object, which invalidates the cache."""
+        (bank, decoder, vit params) identity — demo hot-swap installs a
+        new bank object, which invalidates the cache. The cache holds
+        STRONG references to the keyed objects and compares with `is`:
+        an id()-based key could collide when a swapped-out object is
+        garbage-collected and CPython reuses its address, silently
+        serving the stale placed state."""
         mesh, _ = self._serve_mesh
-        key = (id(self.bank), id(self.decoder), id(self.vit_params))
         cached = self._placed_state_cache
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        if (
+            cached is not None
+            and cached[0] is self.bank
+            and cached[1] is self.decoder
+            and cached[2] is self.vit_params
+        ):
+            return cached[3]
         state = jax.device_put(
             self._fused_state(),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
         )
-        self._placed_state_cache = (key, state)
+        self._placed_state_cache = (
+            self.bank, self.decoder, self.vit_params, state
+        )
         return state
 
     def _dispatch_fused(self, step, imgs, *args, rows_per_image: int = 1):
@@ -1416,9 +1426,13 @@ class Patchioner:
                              gaussian_avg: bool = False,
                              gaussian_bbox_variance: float = 0.5,
                              use_attn_map_for_bboxes: bool = False):
-        """Single-dispatch bbox captioning: `bboxes` (B, NB, 4) pixel xyxy
-        in the transformed image (pre-padded with dummy boxes to a fixed
-        NB). Returns B lists of NB captions — identical strings to
+        """Single-dispatch bbox captioning: `bboxes` (B, NB, 4) pixel
+        ``[x1, y1, w, h]`` in the transformed image — the same convention
+        `forward(bboxes=...)` and the pooling op consume
+        (ops/region_pooling.extract_bbox_features; the reference dense
+        eval converts its stored xyxy to this before the model call,
+        eval_densecap.py:303-310) — pre-padded with dummy boxes to a
+        fixed NB. Returns B lists of NB captions — identical strings to
         `forward(bboxes=...)["bbox_capts"]` (tests pin equality). Caller
         must check `supports_fused_trace_path()`."""
         bboxes = jnp.asarray(bboxes, jnp.float32)

@@ -368,7 +368,22 @@ def _qkv_activation(x, blk, cfg: ViTConfig):
             x, blk["norm1"]["scale"], blk["norm1"]["bias"],
             blk["qkv"]["w"], blk["qkv"]["b"], eps=cfg.ln_eps, block_q=bq,
         )
+    _warn_qkv_fused_unusable(x, blk, cfg)
     return _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
+
+
+def _warn_qkv_fused_unusable(x, blk, cfg: ViTConfig):
+    """Mirror the mlp_fused/proj_fused unusable-flag warnings (ADVICE r2):
+    an opt-in that silently benchmarks the unfused path is a trap."""
+    if cfg.qkv_fused and not _use_fused_qkv(x, blk, cfg):
+        import warnings
+
+        warnings.warn(
+            f"qkv_fused requested but unusable here (N={x.shape[1]} % 128 "
+            "!= 0 — needs the fusedqkv padded-token path — or quantized "
+            "qkv weights); falling back to the unfused LN+qkv XLA path",
+            stacklevel=2,
+        )
 
 
 def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
@@ -432,6 +447,7 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
             a, qkv = _attention(None, blk, cfg, return_qkv, num_real_k,
                                 qkv_pre=_qkv_activation(x, blk, cfg))
         else:
+            _warn_qkv_fused_unusable(x, blk, cfg)
             a, qkv = _attention(_ln(x, blk["norm1"], cfg.ln_eps), blk, cfg,
                                 return_qkv, num_real_k)
         if cfg.layerscale:

@@ -186,7 +186,9 @@ class CaptionServer:
         compile costs minutes (amortized across processes by the
         persistent cache, utils/compile_cache) — a serving deployment
         pays them at startup, not on the first unlucky request. Runs one
-        dummy batch per requested bucket/mode through the normal path.
+        dummy batch per requested bucket/mode through the normal path;
+        warmup batches are excluded from `stats` so the /stats telemetry
+        reflects real traffic only.
         """
         h, w = self.model.crop_dim, self.model.crop_dim
         dummy = np.zeros((h, w, 3), np.uint8)
@@ -198,16 +200,17 @@ class CaptionServer:
             if trace:
                 self._run_group(
                     [_Request(dummy, dummy_trace) for _ in range(b)],
-                    "trace",
+                    "trace", record_stats=False,
                 )
             if cls:
                 self._run_group(
-                    [_Request(dummy, None) for _ in range(b)], "cls"
+                    [_Request(dummy, None) for _ in range(b)], "cls",
+                    record_stats=False,
                 )
             if bbox:
                 self._run_group(
                     [_Request(dummy, None, dummy_boxes) for _ in range(b)],
-                    "bbox",
+                    "bbox", record_stats=False,
                 )
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
@@ -255,13 +258,18 @@ class CaptionServer:
                 "fixed-shape serving contract; raise max_boxes at "
                 "construction)"
             )
-        # normalized [0,1] xyxy -> pixel xyxy of the crop_dim square
+        # normalized [0,1] xyxy -> the model's pixel [x1, y1, w, h]
+        # convention (ops/region_pooling.extract_bbox_features; the
+        # reference converts stored xyxy the same way before its model
+        # call, eval_densecap.py:303-310)
         d = float(self.model.crop_dim)
-        return [
-            (float(b[0]) * d, float(b[1]) * d,
-             float(b[2]) * d, float(b[3]) * d)
-            for b in bboxes
-        ]
+        out = []
+        for b in bboxes:
+            x1, y1, x2, y2 = (float(v) for v in b)
+            if x2 < x1 or y2 < y1:
+                raise ValueError(f"inverted bbox {b!r} (xyxy expected)")
+            out.append((x1 * d, y1 * d, (x2 - x1) * d, (y2 - y1) * d))
+        return out
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -324,12 +332,14 @@ class CaptionServer:
         return (hasattr(self.model, "supports_fused_trace_path")
                 and self.model.supports_fused_trace_path())
 
-    def _run_group(self, group: list, mode: str) -> list:
+    def _run_group(self, group: list, mode: str,
+                   record_stats: bool = True) -> list:
         n = len(group)
         nb = self._bucket(n)
-        with self._stats_lock:
-            self.stats.batches += 1
-            self.stats.batched_items += n
+        if record_stats:
+            with self._stats_lock:
+                self.stats.batches += 1
+                self.stats.batched_items += n
         imgs = np.stack([r.pixels for r in group])
         if nb > n:  # pad with copies of row 0 — sliced off below
             imgs = np.concatenate(

@@ -176,9 +176,12 @@ def test_warmup_compiles_each_bucket(tiny_model):
                        preprocess=False) as srv:
         assert srv.buckets == [1, 2, 4]
         srv.warmup(trace=True, cls=True)
-        assert srv.stats.batches == 2 * len(srv.buckets)
+        # warmup dummies are excluded from stats — /stats telemetry
+        # reflects real traffic only
+        assert srv.stats.batches == 0 and srv.stats.batched_items == 0
         img, tr = _img(90), _trace(90)
         got = srv.submit(img, tr).result(timeout=300)
+        assert srv.stats.batches >= 1
     direct = tiny_model.forward(
         np.stack([img]), get_cls_capt=False, traces=[tr]
     )["trace_capts"][0]
@@ -198,7 +201,10 @@ def _boxes(seed, k=2):
 def test_bbox_requests_match_direct_fused(tiny_model):
     """A bbox request resolves to its per-box caption list, equal to the
     direct caption_bboxes_fused call at the same padded geometry,
-    regardless of co-batched neighbors or box-count differences."""
+    regardless of co-batched neighbors or box-count differences. The
+    server contract is normalized [0,1] xyxy; the model convention is
+    pixel [x1, y1, w, h] — the expected values apply that conversion
+    explicitly, so a server-side convention slip fails this test."""
     imgs = [_img(i) for i in range(3)]
     boxes = [_boxes(0, 2), _boxes(1, 3), _boxes(2, 1)]
     with CaptionServer(tiny_model, max_batch=4, preprocess=False,
@@ -208,7 +214,11 @@ def test_bbox_requests_match_direct_fused(tiny_model):
     d = float(tiny_model.crop_dim)
     for i in range(3):
         pad = np.tile(np.asarray([0, 0, 1, 1], np.float32), (1, 4, 1))
-        pad[0, : len(boxes[i])] = np.asarray(boxes[i]) * d
+        bx = np.asarray(boxes[i], np.float32)
+        pad[0, : len(boxes[i])] = np.stack(
+            [bx[:, 0] * d, bx[:, 1] * d,
+             (bx[:, 2] - bx[:, 0]) * d, (bx[:, 3] - bx[:, 1]) * d], axis=-1
+        )
         want = tiny_model.caption_bboxes_fused(
             np.stack([imgs[i]]), pad
         )[0][: len(boxes[i])]
