@@ -1233,16 +1233,24 @@ class Patchioner:
         is_q = isinstance(self.bank, memproj.QuantizedBank)
         num_real = self.bank.num_real
 
+        # real token count for masked (padded-qkv) attention extraction —
+        # skips the (B, N, 3D) unpad copy on the fusedqkv path (PERF.md).
+        # Computed from the ENCODER geometry (ex_ng is the extraction-time
+        # global-token count, which may differ for exotic configs)
+        n_real = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
+
         def step(state, pixels, *args):
             if pixels.dtype == jnp.uint8:
                 pixels = (pixels.astype(jnp.float32) / 255.0
                           - state["mean"]) / state["std"]
-            outs = vit_mod.vit_forward(state["vit"], pixels, vit_cfg)
+            outs = vit_mod.vit_forward(state["vit"], pixels, vit_cfg,
+                                       keep_qkv_padded=True)
 
             def extract_attn():
                 a, _ = vit_mod.process_self_attention(
                     outs["qkv_last"], num_heads=ex_heads,
                     num_global_tokens=ex_ng, scale=ex_scale,
+                    num_real_k=n_real,
                 )
                 return a
 

@@ -495,9 +495,12 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
     return x + m, qkv
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "return_block_input"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "return_block_input", "keep_qkv_padded")
+)
 def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
-                return_block_input: bool = False) -> dict:
+                return_block_input: bool = False,
+                keep_qkv_padded: bool = False) -> dict:
     """Run the encoder.
 
     Args:
@@ -506,6 +509,13 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
       cfg: static ViTConfig.
       return_block_input: also return the input to the last block (the
         reference's `get_layer_n_output` hook, used by double-DINO bbox mode).
+      keep_qkv_padded: on the fusedqkv lane-padded path, return `qkv_last`
+        still carrying its padded token axis instead of paying the unpad
+        copy; pass `num_real_k=cfg.num_global_tokens + grid²` to
+        `process_self_attention` to mask the pads (identical results —
+        the hot caption paths do this, PERF.md profile: the unpad slice
+        costs ~3 ms/batch at flagship scale). No-op when nothing is
+        padded.
 
     Returns dict:
       x_norm_clstoken (B, D), x_norm_regtokens (B, R, D),
@@ -565,7 +575,8 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
 
     if pad_n:
         x = x[:, :num_real]
-        qkv_last = qkv_last[:, :num_real]
+        if not keep_qkv_padded:
+            qkv_last = qkv_last[:, :num_real]
         last_input = last_input[:, :num_real]
 
     x_norm = _ln(x, params["norm"], cfg.ln_eps)
@@ -629,13 +640,17 @@ def last_block_rerun(
 # --------------------------------------------------- attention extraction
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "num_global_tokens", "scale"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "num_global_tokens", "scale", "num_real_k"),
+)
 def process_self_attention(
     qkv: jax.Array,
     *,
     num_heads: int,
     num_global_tokens: int,
     scale: float = 0.125,
+    num_real_k: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """CLS→patch attention from last-block fused qkv activations.
 
@@ -643,6 +658,13 @@ def process_self_attention(
     reshape with the *configured* head count (16 for ViT-B — not the true 12),
     q·kᵀ with hard-coded scale, take the CLS row, mean over heads *then*
     softmax. Returns (self_attn (B, P), self_attn_maps (B, H, P) pre-softmax).
+
+    `num_real_k`: when `qkv` carries the fusedqkv path's lane-padded token
+    axis (vit_forward(keep_qkv_padded=True)), padded keys are masked to
+    -inf before the softmax and the outputs sliced to the real token
+    count — identical results to slicing qkv first (exp(-inf) contributes
+    exactly 0 to the softmax sum) without paying the (B, N, 3D) HBM copy
+    of the unpad slice (~2 ms/batch at flagship scale, PERF.md profile).
     """
     b, n, three_d = qkv.shape
     d = three_d // 3
@@ -653,8 +675,17 @@ def process_self_attention(
     # Only the CLS query row is ever used — skip the full NxN product.
     q_cls = q[:, 0]  # (B, H, hd)
     attn_cls = jnp.einsum("bhd,bnhd->bhn", q_cls, k)  # (B, H, N)
+    padded = num_real_k is not None and num_real_k < n
+    if padded:
+        attn_cls = jnp.where(
+            (jnp.arange(n) < num_real_k)[None, None, :], attn_cls, -jnp.inf
+        )
     maps = attn_cls[:, :, num_global_tokens:]  # (B, H, P)
     self_attn = jax.nn.softmax(jnp.mean(maps, axis=1), axis=-1)
+    if padded:
+        p_real = num_real_k - num_global_tokens
+        self_attn = self_attn[:, :p_real]
+        maps = maps[:, :, :p_real]
     return self_attn, maps
 
 

@@ -212,3 +212,53 @@ def test_w8a8_quantized_forward():
         jnp.linalg.norm(a["x_norm_patchtokens"], axis=-1)
         * jnp.linalg.norm(cc, axis=-1))
     assert float(jnp.min(cos)) > 0.99
+
+
+def test_padded_qkv_attention_extraction_exact():
+    """keep_qkv_padded + num_real_k masking must be bitwise-equal to the
+    unpad-slice path: exp(-inf) pads contribute exactly 0 to the softmax,
+    so skipping the (B, N, 3D) unpad copy (the flagship hot path,
+    PERF.md) cannot change extraction results."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # num_heads=2 -> hd=64, the fusedqkv kernel's head geometry
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                        num_heads=2, num_registers=4, extract_heads=4,
+                        pos_grid=4, attn_impl="fusedqkv")
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    n_real = cfg.num_global_tokens + cfg.grid_size**2
+    with pltpu.force_tpu_interpret_mode():
+        sliced = vit.vit_forward(params, x, cfg)
+        padded = vit.vit_forward(params, x, cfg, keep_qkv_padded=True)
+    assert padded["qkv_last"].shape[1] % 128 == 0  # still lane-padded
+    assert padded["qkv_last"].shape[1] > sliced["qkv_last"].shape[1]
+    a_s, m_s = vit.process_self_attention(
+        sliced["qkv_last"], num_heads=cfg.extract_heads,
+        num_global_tokens=cfg.num_global_tokens, scale=cfg.extract_scale,
+    )
+    a_p, m_p = vit.process_self_attention(
+        padded["qkv_last"], num_heads=cfg.extract_heads,
+        num_global_tokens=cfg.num_global_tokens, scale=cfg.extract_scale,
+        num_real_k=n_real,
+    )
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_p))
+    np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_p))
+    # the non-qkv outputs are unaffected by the flag
+    np.testing.assert_array_equal(
+        np.asarray(sliced["x_norm_patchtokens"]),
+        np.asarray(padded["x_norm_patchtokens"]),
+    )
+    # no-op when nothing is padded (xla attn path) — same shapes, and
+    # num_real_k == n is harmless
+    cfg_x = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128,
+                          depth=2, num_heads=2, num_registers=4,
+                          extract_heads=4, pos_grid=4)
+    o = vit.vit_forward(params, x, cfg_x, keep_qkv_padded=True)
+    assert o["qkv_last"].shape[1] == n_real
+    a_n, _ = vit.process_self_attention(
+        o["qkv_last"], num_heads=cfg.extract_heads,
+        num_global_tokens=cfg.num_global_tokens, scale=cfg.extract_scale,
+        num_real_k=n_real,
+    )
+    assert a_n.shape == a_s.shape
