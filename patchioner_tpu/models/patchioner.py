@@ -1299,6 +1299,28 @@ class Patchioner:
     _serve_mesh = None
     _placed_state_cache = None
 
+    # Assigning a new bank/decoder/vit_params (hot-swap) drops the placed
+    # mesh state immediately: caching by id() risks address-reuse
+    # collisions after GC, and caching strong refs would pin the old
+    # ~GB-scale bank (host + replicated device copies) until the next
+    # dispatch. The setter is the one place a swap can happen.
+    def _component_property(name):  # noqa: N805 — class-body helper
+        key = "_" + name
+
+        def fget(self):
+            return getattr(self, key)
+
+        def fset(self, value):
+            setattr(self, key, value)
+            self._placed_state_cache = None
+
+        return property(fget, fset)
+
+    bank = _component_property("bank")
+    decoder = _component_property("decoder")
+    vit_params = _component_property("vit_params")
+    del _component_property
+
     def place_on_mesh(self, mesh, dp_axis: str = "dp"):
         """Route the fused caption programs data-parallel over a device
         mesh (the v5e-8 deployment shape: PERF.md's scaling analysis —
@@ -1326,29 +1348,19 @@ class Patchioner:
         self._placed_state_cache = None
 
     def _placed_fused_state(self):
-        """Replicate the fused-step state over the serving mesh, once per
-        (bank, decoder, vit params) identity — demo hot-swap installs a
-        new bank object, which invalidates the cache. The cache holds
-        STRONG references to the keyed objects and compares with `is`:
-        an id()-based key could collide when a swapped-out object is
-        garbage-collected and CPython reuses its address, silently
-        serving the stale placed state."""
-        mesh, _ = self._serve_mesh
+        """Replicate the fused-step state over the serving mesh once;
+        the bank/decoder/vit_params property setters (and place_on_mesh)
+        drop the cache, so a hot-swap can neither serve stale state nor
+        pin the swapped-out arrays."""
         cached = self._placed_state_cache
-        if (
-            cached is not None
-            and cached[0] is self.bank
-            and cached[1] is self.decoder
-            and cached[2] is self.vit_params
-        ):
-            return cached[3]
+        if cached is not None:
+            return cached
+        mesh, _ = self._serve_mesh
         state = jax.device_put(
             self._fused_state(),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
         )
-        self._placed_state_cache = (
-            self.bank, self.decoder, self.vit_params, state
-        )
+        self._placed_state_cache = state
         return state
 
     def _dispatch_fused(self, step, imgs, *args, rows_per_image: int = 1):

@@ -372,17 +372,26 @@ def _qkv_activation(x, blk, cfg: ViTConfig):
     return _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])
 
 
-def _warn_qkv_fused_unusable(x, blk, cfg: ViTConfig):
-    """Mirror the mlp_fused/proj_fused unusable-flag warnings (ADVICE r2):
-    an opt-in that silently benchmarks the unfused path is a trap."""
-    if cfg.qkv_fused and not _use_fused_qkv(x, blk, cfg):
-        import warnings
+def _warn_fusion_unusable(flag: str, reason: str, fallback: str):
+    """Shared unusable-opt-in warning (ADVICE r2): a kernel-fusion flag
+    that silently benchmarks the unfused path is a trap — every fusion
+    knob (qkv_fused / proj_fused / mlp_fused) says so through here."""
+    import warnings
 
-        warnings.warn(
-            f"qkv_fused requested but unusable here (N={x.shape[1]} % 128 "
-            "!= 0 — needs the fusedqkv padded-token path — or quantized "
-            "qkv weights); falling back to the unfused LN+qkv XLA path",
-            stacklevel=2,
+    warnings.warn(
+        f"{flag} requested but unusable here ({reason}); "
+        f"falling back to {fallback}",
+        stacklevel=3,
+    )
+
+
+def _warn_qkv_fused_unusable(x, blk, cfg: ViTConfig):
+    if cfg.qkv_fused and not _use_fused_qkv(x, blk, cfg):
+        _warn_fusion_unusable(
+            "qkv_fused",
+            f"N={x.shape[1]} % 128 != 0 — needs the fusedqkv padded-token "
+            "path — or quantized qkv weights",
+            "the unfused LN+qkv XLA path",
         )
 
 
@@ -429,19 +438,12 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         qkv = qkv if return_qkv else None
     else:
         if cfg.proj_fused:
-            # mirror the mlp_fused unusable-flag warning (ADVICE r2): an
-            # opt-in that silently benchmarks the unfused path is a trap
-            import warnings
-
-            reason = (
+            _warn_fusion_unusable(
+                "proj_fused",
                 f"attn_impl={cfg.attn_impl!r} (needs 'fusedqkv')"
                 if cfg.attn_impl != "fusedqkv"
-                else f"N={x.shape[1]} % 128 != 0 or quantized proj weights"
-            )
-            warnings.warn(
-                f"proj_fused requested but unusable here ({reason}); "
-                "falling back to the XLA out-projection",
-                stacklevel=2,
+                else f"N={x.shape[1]} % 128 != 0 or quantized proj weights",
+                "the XLA out-projection",
             )
         if _use_fused_qkv(x, blk, cfg):
             a, qkv = _attention(None, blk, cfg, return_qkv, num_real_k,
@@ -455,16 +457,10 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         x = x + a
     n = x.shape[1]
     if cfg.mlp_fused and not (n % 128 == 0 and "w" in blk["fc1"]):
-        # Opting in without the kernel's preconditions (lane-aligned N —
-        # i.e. the fusedqkv padded-token path — and plain bf16/f32 fc1
-        # weights) would silently benchmark the unfused MLP; say so once
-        # per trace instead (ADVICE r2).
-        import warnings
-
-        warnings.warn(
-            f"mlp_fused requested but unusable here (N={n} % 128 != 0 or "
-            "quantized fc1); falling back to the unfused XLA MLP",
-            stacklevel=2,
+        _warn_fusion_unusable(
+            "mlp_fused",
+            f"N={n} % 128 != 0 or quantized fc1",
+            "the unfused XLA MLP",
         )
     if cfg.mlp_fused and n % 128 == 0 and "w" in blk["fc1"]:
         from patchioner_tpu.ops.mlp import fused_ln_mlp
@@ -512,7 +508,7 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
       keep_qkv_padded: on the fusedqkv lane-padded path, return `qkv_last`
         still carrying its padded token axis instead of paying the unpad
         copy; pass `num_real_k=cfg.num_global_tokens + grid²` to
-        `process_self_attention` to mask the pads (identical results —
+        `process_self_attention` to drop the pads (identical results —
         the hot caption paths do this, PERF.md profile: the unpad slice
         costs ~3 ms/batch at flagship scale). No-op when nothing is
         padded.
@@ -660,11 +656,11 @@ def process_self_attention(
     softmax. Returns (self_attn (B, P), self_attn_maps (B, H, P) pre-softmax).
 
     `num_real_k`: when `qkv` carries the fusedqkv path's lane-padded token
-    axis (vit_forward(keep_qkv_padded=True)), padded keys are masked to
-    -inf before the softmax and the outputs sliced to the real token
-    count — identical results to slicing qkv first (exp(-inf) contributes
-    exactly 0 to the softmax sum) without paying the (B, N, 3D) HBM copy
-    of the unpad slice (~2 ms/batch at flagship scale, PERF.md profile).
+    axis (vit_forward(keep_qkv_padded=True)), the padded key columns are
+    dropped from the tiny (B, H, N) logits right after the q·kᵀ product —
+    bitwise-identical to slicing qkv first, without paying the (B, N, 3D)
+    HBM copy of the unpad slice (~2 ms/batch at flagship scale, PERF.md
+    profile).
     """
     b, n, three_d = qkv.shape
     d = three_d // 3
@@ -675,17 +671,10 @@ def process_self_attention(
     # Only the CLS query row is ever used — skip the full NxN product.
     q_cls = q[:, 0]  # (B, H, hd)
     attn_cls = jnp.einsum("bhd,bnhd->bhn", q_cls, k)  # (B, H, N)
-    padded = num_real_k is not None and num_real_k < n
-    if padded:
-        attn_cls = jnp.where(
-            (jnp.arange(n) < num_real_k)[None, None, :], attn_cls, -jnp.inf
-        )
+    if num_real_k is not None and num_real_k < n:
+        attn_cls = attn_cls[:, :, :num_real_k]
     maps = attn_cls[:, :, num_global_tokens:]  # (B, H, P)
     self_attn = jax.nn.softmax(jnp.mean(maps, axis=1), axis=-1)
-    if padded:
-        p_real = num_real_k - num_global_tokens
-        self_attn = self_attn[:, :p_real]
-        maps = maps[:, :, :p_real]
     return self_attn, maps
 
 

@@ -118,6 +118,17 @@ class CaptionServer:
                     f"{type(model).__name__} does not support mesh serving"
                 )
             model.place_on_mesh(mesh, dp_axis)
+            if (hasattr(model, "supports_fused_trace_path")
+                    and not model.supports_fused_trace_path()):
+                import warnings
+
+                warnings.warn(
+                    "mesh serving shards the fused caption programs; this "
+                    "model doesn't support them (non-DINO backbone or "
+                    "ViECap/ClipCap delegation), so requests will run "
+                    "single-device through forward()",
+                    stacklevel=2,
+                )
             step = int(mesh.shape[dp_axis])
             if self.max_batch % step:
                 raise ValueError(

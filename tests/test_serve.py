@@ -175,8 +175,17 @@ def test_warmup_compiles_each_bucket(tiny_model):
     with CaptionServer(tiny_model, max_batch=4, max_delay_ms=5,
                        preprocess=False) as srv:
         assert srv.buckets == [1, 2, 4]
+        ran = []
+        inner = srv._run_group
+        srv._run_group = lambda g, m, **kw: (
+            ran.append((len(g), m)), inner(g, m, **kw))[1]
         srv.warmup(trace=True, cls=True)
-        # warmup dummies are excluded from stats — /stats telemetry
+        srv._run_group = inner
+        # one dummy batch per (bucket, mode) actually ran...
+        assert sorted(ran) == sorted(
+            [(b, m) for b in (1, 2, 4) for m in ("trace", "cls")]
+        )
+        # ...but warmup dummies are excluded from stats — /stats telemetry
         # reflects real traffic only
         assert srv.stats.batches == 0 and srv.stats.batched_items == 0
         img, tr = _img(90), _trace(90)

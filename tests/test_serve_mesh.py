@@ -144,6 +144,25 @@ def test_place_on_mesh_validation_and_revert(tiny_model, mesh):
     assert tiny_model._placed_state_cache is None
 
 
+def test_hot_swap_invalidates_placed_state(tiny_model, mesh):
+    """Reassigning bank/decoder/vit_params drops the replicated mesh
+    state immediately — no stale serving and no pinned old arrays."""
+    try:
+        tiny_model.place_on_mesh(mesh)
+        tiny_model._placed_fused_state()
+        assert tiny_model._placed_state_cache is not None
+        tiny_model.bank = tiny_model.bank  # hot-swap is an assignment
+        assert tiny_model._placed_state_cache is None
+        tiny_model._placed_fused_state()
+        tiny_model.decoder = tiny_model.decoder
+        assert tiny_model._placed_state_cache is None
+        tiny_model._placed_fused_state()
+        tiny_model.vit_params = tiny_model.vit_params
+        assert tiny_model._placed_state_cache is None
+    finally:
+        tiny_model.place_on_mesh(None)
+
+
 def test_server_over_mesh_matches_direct_forward(tiny_model, mesh):
     """End-to-end: the batching server on a 4-device mesh returns the same
     captions as direct single-device forward; the bucket ladder snaps to

@@ -215,10 +215,10 @@ def test_w8a8_quantized_forward():
 
 
 def test_padded_qkv_attention_extraction_exact():
-    """keep_qkv_padded + num_real_k masking must be bitwise-equal to the
-    unpad-slice path: exp(-inf) pads contribute exactly 0 to the softmax,
-    so skipping the (B, N, 3D) unpad copy (the flagship hot path,
-    PERF.md) cannot change extraction results."""
+    """keep_qkv_padded + num_real_k must be bitwise-equal to the
+    unpad-slice path: the padded key columns are dropped from the tiny
+    logits before the softmax, so skipping the (B, N, 3D) unpad copy
+    (the flagship hot path, PERF.md) cannot change extraction results."""
     from jax.experimental.pallas import tpu as pltpu
 
     # num_heads=2 -> hd=64, the fusedqkv kernel's head geometry
