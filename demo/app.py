@@ -12,6 +12,8 @@ API:
   POST /caption           {"image": <base64 jpg/png>[, "model": name]} -> cls caption
   POST /caption_trace     {"image": ..., "trace": [{"x","y"},..]} -> trace caption
   POST /caption_bboxes    {"image": ..., "bboxes": [[x,y,w,h],..]} -> per-box
+  POST /caption_region_set {"image": ..., "bboxes": [[x,y,w,h],..]} -> ONE
+                          caption for the union of the boxes (controllable)
   GET  /health | /models
 
 Model hot-swap (the reference demo's config dropdown, demo/app.py:108-145):
@@ -146,7 +148,7 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 serve_paths = ("/caption", "/caption_trace",
-                               "/caption_bboxes")
+                               "/caption_bboxes", "/caption_region_set")
                 if (batch_server is not None
                         and req.get("model") in (None, "default")
                         and self.path in serve_paths
@@ -157,7 +159,8 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                     from PIL import Image
 
                     pil = Image.open(io.BytesIO(base64.b64decode(req["image"])))
-                    if self.path == "/caption_bboxes":
+                    if self.path in ("/caption_bboxes",
+                                     "/caption_region_set"):
                         # API boxes are pixel [x1, y1, w, h] in the
                         # model's square frame (forward's convention);
                         # the server contract is normalized [0,1] xyxy
@@ -167,6 +170,12 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                              (b[0] + b[2]) / d, (b[1] + b[3]) / d]
                             for b in req["bboxes"]
                         ]
+                        if self.path == "/caption_region_set":
+                            cap = batch_server.submit(
+                                pil, bboxes=norm, region_set=True
+                            ).result(timeout=600)
+                            self._reply(200, {"caption": cap})
+                            return
                         caps = batch_server.submit(
                             pil, bboxes=norm).result(timeout=600)
                         self._reply(200, {"captions": caps})
@@ -190,6 +199,17 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                     boxes = np.asarray([req["bboxes"]], np.float32)
                     outs = m.forward(imgs, get_cls_capt=False, bboxes=boxes)
                     self._reply(200, {"captions": outs["bbox_capts"][0]})
+                elif self.path == "/caption_region_set":
+                    # one caption for the union of the boxes (the
+                    # reference's controllable mode, src/model.py:1042-1047)
+                    boxes = np.asarray([req["bboxes"]], np.float32)
+                    outs = m.forward(
+                        imgs, get_cls_capt=False, bboxes=boxes,
+                        get_controllable_capts=True,
+                    )
+                    self._reply(
+                        200, {"caption": outs["set_controllable_capts"][0]}
+                    )
                 else:
                     self._reply(404, {"error": "unknown endpoint"})
             except Exception as e:  # surface errors to the client

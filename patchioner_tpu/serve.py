@@ -17,10 +17,12 @@ serving shape around the same model:
   per observed batch size — the static-shape discipline that keeps a
   TPU serving deployment from recompiling under load;
 * every request mode rides its single-dispatch fused program when the
-  model supports it (`Patchioner.caption_{traces,bboxes,images}_fused`):
-  trace points pad to a fixed `trace_points` length, box lists to a fixed
+  model supports it
+  (`Patchioner.caption_{traces,bboxes,region_sets,images}_fused`): trace
+  points pad to a fixed `trace_points` length, box lists to a fixed
   `max_boxes` count (normalized [0,1] xyxy; a request resolves to the
-  list of its per-box captions), and whole-image (cls) requests run the
+  list of its per-box captions, or with `region_set=True` to ONE caption
+  for the union of its boxes), and whole-image (cls) requests run the
   fused global program.
 
 Padding rows are sliced off before decode results are delivered, so a
@@ -55,12 +57,14 @@ class ServerStats:
 
 
 class _Request:
-    __slots__ = ("pixels", "trace", "bboxes", "future", "t_enq")
+    __slots__ = ("pixels", "trace", "bboxes", "region_set", "future",
+                 "t_enq")
 
-    def __init__(self, pixels, trace, bboxes=None):
+    def __init__(self, pixels, trace, bboxes=None, region_set=False):
         self.pixels = pixels
         self.trace = trace
         self.bboxes = bboxes
+        self.region_set = region_set
         self.future: Future = Future()
         self.t_enq = time.perf_counter()
 
@@ -158,9 +162,11 @@ class CaptionServer:
     # ------------------------------------------------------------- client
 
     def submit(self, image, trace: Optional[Sequence] = None,
-               bboxes: Optional[Sequence] = None) -> Future:
+               bboxes: Optional[Sequence] = None,
+               region_set: bool = False) -> Future:
         """Enqueue one request; resolves to the caption string (or, for a
-        `bboxes` request, a LIST of per-box caption strings).
+        `bboxes` request without `region_set`, a LIST of per-box caption
+        strings).
 
         `image`: PIL image (when `preprocess=True`) or a preprocessed
         (H, W, 3) array. `trace`: optional sequence of (x, y) in [0, 1]
@@ -168,14 +174,18 @@ class CaptionServer:
         trace caption. `bboxes`: optional sequence of up to `max_boxes`
         xyxy boxes with NORMALIZED [0, 1] coordinates of the preprocessed
         square image (scaled to pixels internally) — present means dense
-        per-box captions. Absent both, a whole-image caption.
+        per-box captions, or, with `region_set=True`, ONE caption for the
+        union of the boxes (the reference's controllable captioning,
+        src/model.py:1042-1047). Absent both, a whole-image caption.
         """
         if self._closed:
             raise RuntimeError("CaptionServer is closed")
         if trace is not None and bboxes is not None:
             raise ValueError("a request is trace OR bboxes, not both")
+        if region_set and bboxes is None:
+            raise ValueError("region_set=True requires bboxes")
         req = _Request(self._prep(image), self._norm_trace(trace),
-                       self._norm_bboxes(bboxes))
+                       self._norm_bboxes(bboxes), region_set=region_set)
         with self._stats_lock:
             self.stats.requests += 1
         self._q.put(req)
@@ -189,7 +199,7 @@ class CaptionServer:
         return [f.result(timeout=timeout) for f in futs]
 
     def warmup(self, *, trace: bool = True, cls: bool = False,
-               bbox: bool = False,
+               bbox: bool = False, region_set: bool = False,
                buckets: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the bucket ladder before taking traffic.
 
@@ -222,6 +232,12 @@ class CaptionServer:
                 self._run_group(
                     [_Request(dummy, None, dummy_boxes) for _ in range(b)],
                     "bbox", record_stats=False,
+                )
+            if region_set:
+                self._run_group(
+                    [_Request(dummy, None, dummy_boxes, region_set=True)
+                     for _ in range(b)],
+                    "region_set", record_stats=False,
                 )
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
@@ -318,11 +334,14 @@ class CaptionServer:
             batch = self._drain()
             if batch is None:
                 return
-            # trace / bbox / cls requests run different programs — split,
-            # keep arrival order within each group
+            # trace / bbox / region-set / cls requests run different
+            # programs — split, keep arrival order within each group
             for group, mode in (
                 ([r for r in batch if r.trace is not None], "trace"),
-                ([r for r in batch if r.bboxes is not None], "bbox"),
+                ([r for r in batch
+                  if r.bboxes is not None and not r.region_set], "bbox"),
+                ([r for r in batch
+                  if r.bboxes is not None and r.region_set], "region_set"),
                 ([r for r in batch
                   if r.trace is None and r.bboxes is None], "cls"),
             ):
@@ -394,6 +413,22 @@ class CaptionServer:
             return [
                 list(rows[i][: len(r.bboxes)]) for i, r in enumerate(group)
             ]
+        if mode == "region_set":
+            # fixed (nb, max_boxes, 4) shape; all-negative dummy rows are
+            # skipped by the merged-weight-map pooling
+            # (ops/region_pooling.extract_bbox_features_single:257)
+            boxes = np.full((nb, self.max_boxes, 4), -1.0, np.float32)
+            for i, r in enumerate(group):
+                if r.bboxes:
+                    boxes[i, : len(r.bboxes)] = r.bboxes
+            if self._fused_ok():
+                caps = self.model.caption_region_sets_fused(imgs, boxes)
+            else:
+                caps = self.model.forward(
+                    imgs, get_cls_capt=False, bboxes=boxes,
+                    get_controllable_capts=True,
+                )["set_controllable_capts"]
+            return list(caps[:n])
         if self._fused_ok():
             caps = self.model.caption_images_fused(imgs)
         else:

@@ -255,3 +255,20 @@ def test_stats_endpoint(batched_server):
     assert code == 200
     assert body["requests"] == cs.stats.requests
     assert set(body) == {"requests", "batches", "mean_batch_size", "errors"}
+
+
+def test_region_set_endpoint_direct_and_batched(batched_server):
+    """/caption_region_set returns ONE caption for the union of the boxes
+    on both the direct and --batch-serve paths, and the two agree (the
+    batched path round-trips pixel xywh -> normalized xyxy -> pixel xywh)."""
+    url, _cs, direct_url = batched_server
+    img = _img_b64()
+    boxes = [[0.0, 0.0, 28.0, 28.0], [14.0, 14.0, 28.0, 28.0]]  # xywh px
+    code, direct = _post(
+        direct_url + "/caption_region_set", {"image": img, "bboxes": boxes}
+    )
+    assert code == 200 and isinstance(direct["caption"], str)
+    code, batched = _post(
+        url + "/caption_region_set", {"image": img, "bboxes": boxes}
+    )
+    assert code == 200 and batched["caption"] == direct["caption"]

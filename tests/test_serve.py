@@ -266,3 +266,48 @@ def test_warmup_bbox_bucket(tiny_model):
         srv.warmup(trace=False, bbox=True, buckets=[2])
         f = srv.submit(_img(3), bboxes=_boxes(3, 1))
         assert isinstance(f.result(timeout=120), list)
+
+
+def test_region_set_requests_match_direct_fused(tiny_model):
+    """region_set=True resolves to ONE caption for the union of the boxes,
+    equal to the direct caption_region_sets_fused call at the same padded
+    geometry ([-1] dummy rows are skipped by the merged-map pooling),
+    regardless of co-batched per-box bbox neighbors."""
+    imgs = [_img(60 + i) for i in range(2)]
+    boxes = [_boxes(60, 2), _boxes(61, 3)]
+    with CaptionServer(tiny_model, max_batch=4, preprocess=False,
+                       max_boxes=4, max_delay_ms=50) as srv:
+        futs = [srv.submit(im, bboxes=b, region_set=True)
+                for im, b in zip(imgs, boxes)]
+        # a per-box request co-batched in the same wave must not disturb it
+        futs.append(srv.submit(_img(62), bboxes=_boxes(62, 1)))
+        got = [f.result(timeout=120) for f in futs]
+    d = float(tiny_model.crop_dim)
+    for i in range(2):
+        pad = np.full((1, 4, 4), -1.0, np.float32)
+        bx = np.asarray(boxes[i], np.float32)
+        pad[0, : len(boxes[i])] = np.stack(
+            [bx[:, 0] * d, bx[:, 1] * d,
+             (bx[:, 2] - bx[:, 0]) * d, (bx[:, 3] - bx[:, 1]) * d], axis=-1
+        )
+        want = tiny_model.caption_region_sets_fused(
+            np.stack([imgs[i]]), pad
+        )[0]
+        assert got[i] == want, i
+        assert isinstance(got[i], str)
+    assert isinstance(got[2], list) and len(got[2]) == 1
+
+
+def test_region_set_contract_errors(tiny_model):
+    with CaptionServer(tiny_model, max_batch=1, preprocess=False,
+                       max_boxes=2) as srv:
+        with pytest.raises(ValueError, match="requires bboxes"):
+            srv.submit(_img(0), region_set=True)
+
+
+def test_warmup_region_set_bucket(tiny_model):
+    with CaptionServer(tiny_model, max_batch=2, preprocess=False,
+                       max_boxes=2) as srv:
+        srv.warmup(trace=False, region_set=True, buckets=[2])
+        f = srv.submit(_img(4), bboxes=_boxes(4, 2), region_set=True)
+        assert isinstance(f.result(timeout=120), str)
