@@ -144,6 +144,29 @@ def test_place_on_mesh_validation_and_revert(tiny_model, mesh):
     assert tiny_model._placed_state_cache is None
 
 
+def test_quantized_bank_on_mesh(tiny_model, mesh):
+    """The int8 serving-memory lever composes with mesh placement: the
+    QuantizedBank state (bank_scale leaf included) replicates and the
+    captions equal the single-device quantized run."""
+    from patchioner_tpu.ops import memory_projection as mp_ops
+
+    imgs = _imgs(4, seed=9)
+    pts, valid = _traces(4, seed=9)
+    old_bank = tiny_model.bank
+    try:
+        tiny_model.bank = mp_ops.quantize_bank(old_bank.rows[: old_bank.num_real])
+        want = tiny_model.caption_traces_fused(imgs, pts, valid)
+        tiny_model.place_on_mesh(mesh)
+        got = tiny_model.caption_traces_fused(imgs, pts, valid)
+        placed = tiny_model._placed_fused_state()
+        assert "bank_scale" in placed
+        assert len(placed["bank_scale"].sharding.device_set) == 4
+    finally:
+        tiny_model.place_on_mesh(None)
+        tiny_model.bank = old_bank
+    assert got == want
+
+
 def test_hot_swap_invalidates_placed_state(tiny_model, mesh):
     """Reassigning bank/decoder/vit_params drops the replicated mesh
     state immediately — no stale serving and no pinned old arrays."""
