@@ -205,6 +205,24 @@ def test_server_over_mesh_matches_direct_forward(tiny_model, mesh):
     assert got == list(want)
 
 
+def test_server_mesh_two_workers(tiny_model, mesh):
+    """mesh placement + workers=2: concurrent workers may race into
+    _placed_fused_state (benign — both build valid replicated state);
+    results must stay equal to single-device captions."""
+    imgs = [_imgs(1, seed=40 + i)[0] for i in range(8)]
+    pts, valid = _traces(8, seed=40)
+    traces = [[tuple(p) for p in pts[i]] for i in range(8)]
+    want = tiny_model.caption_traces_fused(np.stack(imgs), pts, valid)
+    try:
+        with CaptionServer(tiny_model, max_batch=4, max_delay_ms=10,
+                           preprocess=False, workers=2, mesh=mesh) as srv:
+            got = srv.caption(imgs, traces, timeout=600)
+            assert srv.stats.batches >= 2
+    finally:
+        tiny_model.place_on_mesh(None)
+    assert got == list(want)
+
+
 def test_server_mesh_max_batch_contract(tiny_model, mesh):
     with pytest.raises(ValueError, match="multiple of the dp size"):
         CaptionServer(tiny_model, max_batch=6, mesh=mesh)
