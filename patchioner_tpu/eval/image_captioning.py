@@ -78,12 +78,13 @@ def evaluate(
             # with prefetch this measures pipeline stall, not decode work
             infos, imgs = next(loaded)
         with timer.phase("inference"):
-            if (caption_from in ("cls", "avg_self_attn")
+            if (caption_from in ("cls", "avg_self_attn", "patches")
                     and hasattr(model, "supports_fused_trace_path")
                     and model.supports_fused_trace_path()):
                 # fused fast path — same captions as forward, one dispatch
                 capts = model.caption_images_fused(
-                    imgs, caption_from=caption_from
+                    imgs, caption_from=caption_from,
+                    gaussian_img_variance=gaussian_variance,
                 )
             else:
                 outs = model.forward(

@@ -1468,16 +1468,25 @@ class Patchioner:
         return [capts[i * n_boxes : (i + 1) * n_boxes]
                 for i in range(len(capts) // n_boxes)]
 
-    def _fused_global_step(self, mode: str):
+    def _fused_global_step(self, mode: str,
+                           gaussian_img_variance: float = 1.0):
         """Whole-image captioning (`forward(get_cls_capt=True)` /
-        `get_avg_self_attn_capt=True` semantics, src/model.py:863-877,927)
-        as one program."""
-        key = ("fused_global", mode, self.bank.num_real,
-               type(self.bank).__name__, self.embed_inversion)
+        `get_avg_self_attn_capt=True` / `get_avg_patch_capt=True`
+        semantics, src/model.py:863-877,927,938-943) as one program."""
+        key = ("fused_global", mode, float(gaussian_img_variance),
+               self.bank.num_real, type(self.bank).__name__,
+               self.embed_inversion)
 
         def pool(outs, extract_attn):
             if mode == "cls":
                 return outs["x_norm_clstoken"]
+            if mode == "patches":
+                # whole-image gaussian/uniform patch mean (reference
+                # compute_region_means, src/model.py:45-94)
+                return rp.compute_region_means(
+                    outs["x_norm_patchtokens"],
+                    float(gaussian_img_variance),
+                )
             # softmax CLS->patch attention row weights the patch tokens
             # (reference :869: mean over patches of attn-weighted tokens)
             attn = extract_attn()
@@ -1487,14 +1496,16 @@ class Patchioner:
 
         return self._make_fused_step(key, pool)
 
-    def caption_images_fused(self, imgs, *, caption_from: str = "cls"):
-        """Single-dispatch whole-image captioning (`caption_from` 'cls' or
-        'avg_self_attn') — identical strings to the matching `forward`
-        output (tests pin equality). Caller must check
-        `supports_fused_trace_path()`."""
-        if caption_from not in ("cls", "avg_self_attn"):
+    def caption_images_fused(self, imgs, *, caption_from: str = "cls",
+                             gaussian_img_variance: float = 1.0):
+        """Single-dispatch whole-image captioning (`caption_from` 'cls',
+        'avg_self_attn' or 'patches' — the latter uses
+        `gaussian_img_variance` like `forward(get_avg_patch_capt=True)`)
+        — identical strings to the matching `forward` output (tests pin
+        equality). Caller must check `supports_fused_trace_path()`."""
+        if caption_from not in ("cls", "avg_self_attn", "patches"):
             raise ValueError(f"caption_from={caption_from!r}")
-        step = self._fused_global_step(caption_from)
+        step = self._fused_global_step(caption_from, gaussian_img_variance)
         tokens = self._dispatch_fused(step, _as_nhwc(imgs))
         return [self.tokenizer.decode_caption(row) for row in tokens]
 

@@ -281,17 +281,31 @@ def test_fused_bbox_path_matches_forward(tiny_model, imgs):
 
 
 def test_fused_global_path_matches_forward(tiny_model, imgs):
-    """caption_images_fused must match forward's cls / avg_self_attn
-    whole-image captions."""
+    """caption_images_fused must match forward's cls / avg_self_attn /
+    avg_patch whole-image captions."""
     want = tiny_model.forward(
-        imgs, get_cls_capt=True, get_avg_self_attn_capt=True
+        imgs, get_cls_capt=True, get_avg_self_attn_capt=True,
+        get_avg_patch_capt=True, gaussian_img_variance=0.5,
     )
     assert tiny_model.caption_images_fused(imgs) == want["cls_capt"]
     assert tiny_model.caption_images_fused(
         imgs, caption_from="avg_self_attn"
     ) == want["avg_self_attn_capt"]
+    assert tiny_model.caption_images_fused(
+        imgs, caption_from="patches", gaussian_img_variance=0.5
+    ) == want["avg_patch_capt"]
+    # uniform (>=100) and one-hot-center (0) variance regimes too
+    for var in (100.0, 0.0):
+        want_v = tiny_model.forward(
+            imgs, get_cls_capt=False, get_avg_patch_capt=True,
+            gaussian_img_variance=var,
+        )["avg_patch_capt"]
+        got_v = tiny_model.caption_images_fused(
+            imgs, caption_from="patches", gaussian_img_variance=var
+        )
+        assert got_v == want_v, var
     with pytest.raises(ValueError, match="caption_from"):
-        tiny_model.caption_images_fused(imgs, caption_from="patches")
+        tiny_model.caption_images_fused(imgs, caption_from="nope")
 
 
 def test_fused_region_set_path_matches_forward(tiny_model, imgs):
