@@ -198,10 +198,78 @@ def bench_fn_pipelined(fn, args, iters: int):
     return (time.perf_counter() - t0) / iters
 
 
+def _platform_override_stmt() -> str:
+    """PATCHIONER_PLATFORM=cpu forces the backend via jax.config.update —
+    the only mechanism that works where a site hook (axon) registers a
+    device backend at interpreter start and ignores shell JAX_PLATFORMS."""
+    plat = os.environ.get("PATCHIONER_PLATFORM")
+    if not plat:
+        return "import jax; "
+    return f"import jax; jax.config.update('jax_platforms', {plat!r}); "
+
+
+def _apply_platform_override():
+    plat = os.environ.get("PATCHIONER_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
+def _wait_for_backend():
+    """Ride out a flaky TPU tunnel instead of crashing the round's bench.
+
+    The axon backend intermittently fails to initialize for minutes at a
+    time. Retrying `jax.default_backend()` in-process is NOT safe: a failed
+    init leaves xla_bridge's `_backends` cache partially populated (CPU
+    only), so the retry silently benches tiny CPU shapes. Probe backend
+    init in a fresh subprocess until it succeeds or the retry budget
+    (PATCHIONER_BENCH_RETRY_S, default 900 s; 0 disables) runs out, then
+    let the real init proceed in this process.
+    """
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("PATCHIONER_BENCH_RETRY_S", "900"))
+    deadline = time.time() + budget
+    probe = (
+        _platform_override_stmt() + "import numpy as np; "
+        "x = jax.device_put(np.ones(2, np.float32)); "
+        "assert float(np.asarray(x + 1)[0]) == 2.0"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr[-1500:]
+        except subprocess.TimeoutExpired:
+            err = "backend probe timed out after 300 s"
+        if time.time() >= deadline:
+            print(
+                f"device backend still failing after {attempt} probe "
+                f"attempt(s) / {budget:.0f}s budget:\n{err}",
+                file=sys.stderr,
+            )
+            raise RuntimeError("device backend failed to initialize")
+        print(
+            f"backend probe failed (attempt {attempt}); retrying...",
+            file=sys.stderr,
+        )
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
     from patchioner_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()  # flagship compiles once per toolchain, not per run
+    _apply_platform_override()
+    _wait_for_backend()
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 128 if on_tpu else 2))
     bank_size = int(
