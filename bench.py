@@ -229,6 +229,8 @@ def _wait_for_backend():
     import sys
 
     budget = float(os.environ.get("PATCHIONER_BENCH_RETRY_S", "900"))
+    if budget <= 0:  # disabled: fail inside the real init with its error
+        return
     deadline = time.time() + budget
     probe = (
         _platform_override_stmt() + "import numpy as np; "
@@ -236,32 +238,37 @@ def _wait_for_backend():
         "assert float(np.asarray(x + 1)[0]) == 2.0"
     )
     attempt = 0
-    while True:
+    err = "no probe ran"
+    while time.time() < deadline:
         attempt += 1
+        # cap each probe so one hung attempt cannot overrun the budget
+        probe_timeout = min(300.0, max(30.0, deadline - time.time()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
                 capture_output=True,
                 text=True,
-                timeout=300,
+                timeout=probe_timeout,
             )
             if r.returncode == 0:
                 return
             err = r.stderr[-1500:]
         except subprocess.TimeoutExpired:
-            err = "backend probe timed out after 300 s"
-        if time.time() >= deadline:
-            print(
-                f"device backend still failing after {attempt} probe "
-                f"attempt(s) / {budget:.0f}s budget:\n{err}",
-                file=sys.stderr,
-            )
-            raise RuntimeError("device backend failed to initialize")
+            err = f"backend probe timed out after {probe_timeout:.0f} s"
+        remaining = deadline - time.time()
+        if remaining <= 1.0:
+            break
         print(
             f"backend probe failed (attempt {attempt}); retrying...",
             file=sys.stderr,
         )
-        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+        time.sleep(min(60.0, remaining))
+    print(
+        f"device backend still failing after {attempt} probe "
+        f"attempt(s) / {budget:.0f}s budget:\n{err}",
+        file=sys.stderr,
+    )
+    raise RuntimeError("device backend failed to initialize")
 
 
 def main():

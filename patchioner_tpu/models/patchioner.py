@@ -1473,7 +1473,11 @@ class Patchioner:
         """Whole-image captioning (`forward(get_cls_capt=True)` /
         `get_avg_self_attn_capt=True` / `get_avg_patch_capt=True`
         semantics, src/model.py:863-877,927,938-943) as one program."""
-        key = ("fused_global", mode, float(gaussian_img_variance),
+        # variance only shapes the 'patches' program — keying cls/
+        # avg_self_attn on it would recompile byte-identical programs
+        # (a multi-minute flagship compile) per distinct value passed
+        var_key = float(gaussian_img_variance) if mode == "patches" else None
+        key = ("fused_global", mode, var_key,
                self.bank.num_real, type(self.bank).__name__,
                self.embed_inversion)
 

@@ -182,8 +182,9 @@ class CaptionServer:
             raise RuntimeError("CaptionServer is closed")
         if trace is not None and bboxes is not None:
             raise ValueError("a request is trace OR bboxes, not both")
-        if region_set and bboxes is None:
-            raise ValueError("region_set=True requires bboxes")
+        if region_set and not bboxes:
+            # [] must not silently caption an all-zero merged weight map
+            raise ValueError("region_set=True requires a non-empty bboxes")
         req = _Request(self._prep(image), self._norm_trace(trace),
                        self._norm_bboxes(bboxes), region_set=region_set)
         with self._stats_lock:

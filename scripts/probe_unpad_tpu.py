@@ -100,7 +100,13 @@ def main():
     print(f"token equality sliced vs padded: {eq:.4f}")
     d = results["sliced"] - results["padded"]
     print(f"padded saves {d:+.2f} ms/batch "
-          f"({d / results['sliced'] * 100:+.2f}%)")
+        f"({d / results['sliced'] * 100:+.2f}%)")
+    # the timing comparison is only valid if the extraction is in fact
+    # bit-identical on this backend (the docstring's contract)
+    assert eq == 1.0, (
+        f"padded-qkv extraction diverges on this backend (agreement {eq:.4f})"
+        " — do NOT adopt keep_qkv_padded from this A/B"
+    )
 
 
 if __name__ == "__main__":

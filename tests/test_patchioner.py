@@ -308,6 +308,21 @@ def test_fused_global_path_matches_forward(tiny_model, imgs):
         tiny_model.caption_images_fused(imgs, caption_from="nope")
 
 
+def test_fused_global_cache_ignores_variance_except_patches(tiny_model):
+    """gaussian_img_variance shapes only the 'patches' program; cls /
+    avg_self_attn must reuse ONE cached program across variance values
+    (recompiling a byte-identical flagship program costs minutes on a
+    remote backend)."""
+    for mode in ("cls", "avg_self_attn"):
+        s1 = tiny_model._fused_global_step(mode, 1.0)
+        s2 = tiny_model._fused_global_step(mode, 2.0)
+        assert s1 is s2, mode
+    p1 = tiny_model._fused_global_step("patches", 1.0)
+    p2 = tiny_model._fused_global_step("patches", 2.0)
+    assert p1 is not p2
+    assert tiny_model._fused_global_step("patches", 1.0) is p1
+
+
 def test_fused_region_set_path_matches_forward(tiny_model, imgs):
     """caption_region_sets_fused must match forward's controllable
     (merged-box-set) captions, dummy boxes included."""

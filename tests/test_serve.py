@@ -301,8 +301,12 @@ def test_region_set_requests_match_direct_fused(tiny_model):
 def test_region_set_contract_errors(tiny_model):
     with CaptionServer(tiny_model, max_batch=1, preprocess=False,
                        max_boxes=2) as srv:
-        with pytest.raises(ValueError, match="requires bboxes"):
+        with pytest.raises(ValueError, match="non-empty bboxes"):
             srv.submit(_img(0), region_set=True)
+        with pytest.raises(ValueError, match="non-empty bboxes"):
+            # [] must error like None — an all-dummy box row would
+            # silently caption a zero merged weight map
+            srv.submit(_img(0), bboxes=[], region_set=True)
 
 
 def test_warmup_region_set_bucket(tiny_model):
