@@ -188,9 +188,12 @@ class ResultsCollector:
                    variant_index: int) -> Optional[dict]:
         matches = [r for r in rows if r.get("model") == model_name
                    or r.get("model_name") == model_name]
-        if not matches:
+        if variant_index >= len(matches):
+            # a variant with no CSV row is MISSING (found=False, empty
+            # scores — reference :388-470); clamping would duplicate
+            # another variant's scores into a fabricated result
             return None
-        return matches[min(variant_index, len(matches) - 1)]
+        return matches[variant_index]
 
     def summary_report(self, results: Dict[str, List[dict]]) -> str:
         """Found/missing counts per task (reference :542-600)."""

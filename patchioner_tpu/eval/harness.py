@@ -202,19 +202,37 @@ def parallel_image_loader(preprocess_one: Callable, workers: int = None,
     518px — ~2 s per 128-batch against ~0.34 s of device compute; threads
     bring host work under the device time so prefetch can hide it.
     `collate` combines the per-item results (default: np.stack)."""
-    import os as _os
-    from concurrent.futures import ThreadPoolExecutor
-
     import numpy as _np
 
-    workers = workers or min(16, _os.cpu_count() or 8)
     collate = collate or _np.stack
-    ex = ThreadPoolExecutor(max_workers=workers)
+    ex = _shared_decode_pool(workers)
 
     def load(items):
         return collate(list(ex.map(preprocess_one, items)))
 
     return load
+
+
+_DECODE_POOLS: dict = {}
+
+
+def _shared_decode_pool(workers: int = None):
+    """One decode thread pool per worker count, shared process-wide.
+
+    A pool per `parallel_image_loader` call would leak: the returned
+    closure pins the executor alive and nothing ever shuts it down, so a
+    grid of evaluate() runs accumulates idle worker threads. Decode
+    threads are stateless, so sharing is safe."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = workers or min(16, _os.cpu_count() or 8)
+    pool = _DECODE_POOLS.get(workers)
+    if pool is None:
+        pool = _DECODE_POOLS[workers] = ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="img-decode"
+        )
+    return pool
 
 
 class profile_trace:

@@ -23,6 +23,25 @@ __all__ = ["merge_annotation_parts", "load_trace_dataset", "evaluate",
            "compute_scores"]
 
 
+_staging_warned = False
+
+
+def _warn_staging_failed(exc: Exception) -> None:
+    global _staging_warned
+    if _staging_warned:
+        return
+    _staging_warned = True
+    import warnings
+
+    warnings.warn(
+        "prefetch-worker device staging failed "
+        f"({type(exc).__name__}: {exc}); transfers will land inside the "
+        "timed inference phase, inflating its ms/batch",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+
+
 def merge_annotation_parts(part_paths, out_path: Optional[str] = None) -> dict:
     """Merge split annotation JSONs ({image_id: {...}} dicts) into one.
 
@@ -129,6 +148,12 @@ def evaluate(
         imgs = loader([samples["img_paths"][i] for i in batch_idx])
         traces = [samples["traces"][i] for i in batch_idx]
         extra = None
+        if use_fused:
+            # pure host work — a bug here must surface, not be swallowed
+            # by the transfer fallback below
+            from patchioner_tpu.models.patchioner import _traces_to_arrays
+
+            extra = _traces_to_arrays(traces, max_points=max_pts)
         try:
             import jax
 
@@ -139,13 +164,8 @@ def evaluate(
             put_imgs = not isinstance(imgs, jax.Array)
             if put_imgs:
                 imgs = jax.device_put(imgs)
-            if use_fused:
-                from patchioner_tpu.models.patchioner import (
-                    _traces_to_arrays,
-                )
-
-                pts, valid = _traces_to_arrays(traces, max_points=max_pts)
-                extra = (jax.device_put(pts), jax.device_put(valid))
+            if extra is not None:
+                extra = (jax.device_put(extra[0]), jax.device_put(extra[1]))
             # FORCE fresh transfers to finish here in the worker — on
             # remote-device transports the RPC otherwise fires lazily when
             # the consuming program runs, landing inside the timed compute
@@ -155,8 +175,11 @@ def evaluate(
                 np.asarray(imgs[0, 0, 0, 0])
             if extra is not None:
                 np.asarray(extra[1][0, 0])
-        except Exception:
-            pass
+        except Exception as e:
+            # transfer failed — the consuming program will retry/stage
+            # lazily inside the timed phase; say so ONCE instead of
+            # silently misattributing upload time to 'inference'
+            _warn_staging_failed(e)
         return imgs, traces, extra
 
     batches = list(harness.batched(idxs, batch_size))

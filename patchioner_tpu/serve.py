@@ -185,6 +185,11 @@ class CaptionServer:
         if region_set and not bboxes:
             # [] must not silently caption an all-zero merged weight map
             raise ValueError("region_set=True requires a non-empty bboxes")
+        if trace is not None and len(trace) == 0:
+            # an empty trace pools a zero feature -> NaN prefix under
+            # normalize=True -> a silent garbage caption; error at the
+            # serving boundary like the empty region-set above
+            raise ValueError("trace must contain at least one point")
         req = _Request(self._prep(image), self._norm_trace(trace),
                        self._norm_bboxes(bboxes), region_set=region_set)
         with self._stats_lock:
@@ -201,7 +206,8 @@ class CaptionServer:
 
     def warmup(self, *, trace: bool = True, cls: bool = False,
                bbox: bool = False, region_set: bool = False,
-               buckets: Optional[Sequence[int]] = None) -> None:
+               buckets: Optional[Sequence[int]] = None,
+               pixel_dtype=None) -> None:
         """Pre-compile the bucket ladder before taking traffic.
 
         XLA compiles one program per (bucket, mode); at flagship scale a
@@ -213,7 +219,14 @@ class CaptionServer:
         reflects real traffic only.
         """
         h, w = self.model.crop_dim, self.model.crop_dim
-        dummy = np.zeros((h, w, 3), np.uint8)
+        # jit programs key on the pixel dtype: PIL-mode servers stage
+        # uint8 (_prep -> preprocess_pil_uint8), preprocess=False clients
+        # typically submit normalized float32 arrays — warming the wrong
+        # dtype would leave the first live request paying the compile.
+        # pixel_dtype overrides for unusual client staging.
+        if pixel_dtype is None:
+            pixel_dtype = np.uint8 if self.preprocess else np.float32
+        dummy = np.zeros((h, w, 3), pixel_dtype)
         dummy_trace = self._norm_trace([(0.5, 0.5)])
         dummy_boxes = self._norm_bboxes([(0.1, 0.1, 0.9, 0.9)])
         for b in (buckets if buckets is not None else self.buckets):

@@ -322,3 +322,38 @@ def test_collect_from_config_assembly(tmp_path):
     assert not ghost["found"] and ghost["CIDEr"] == ""
     report = rc.summary_report(results)
     assert "1/2 configurations" in report and "ghost.k" in report
+
+
+def test_collect_variant_without_row_is_missing(tmp_path):
+    """A declared task variant with no CSV row must report found=False —
+    clamping to the last row would fabricate a duplicate result
+    (reference collect_results.py:388-470 keeps missing variants empty)."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    harness.append_results_csv(
+        str(tmp_path / "narratives.csv"),
+        {"model": "mlp.k", "task": "narratives", "CIDEr": "0.5"},
+        ["model", "task"],
+    )
+    grid = {
+        "experiments": [
+            {"model_name": "mlp.k",
+             "tasks": {"narratives": [{}, {"use_gaussian_weighting": True},
+                                      {"caption_from": "cls"}]}},
+        ]
+    }
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rc = ResultsCollector(str(tmp_path))
+    rows = rc.collect_from_config(str(cfg_path))["narratives"]
+    assert len(rows) == 3
+    assert rows[0]["found"] and rows[0]["CIDEr"] == 50.0
+    for r in rows[1:]:
+        assert not r["found"], r
+        assert r["CIDEr"] == ""
+    assert "1/3 configurations" in rc.summary_report(
+        {"narratives": rows}
+    )

@@ -307,6 +307,34 @@ def test_region_set_contract_errors(tiny_model):
             # [] must error like None — an all-dummy box row would
             # silently caption a zero merged weight map
             srv.submit(_img(0), bboxes=[], region_set=True)
+        with pytest.raises(ValueError, match="at least one point"):
+            # an empty trace pools a zero feature -> NaN prefix -> silent
+            # garbage caption; error at the boundary instead
+            srv.submit(_img(0), trace=[])
+
+
+def test_warmup_dtype_matches_staging_mode(tiny_model, monkeypatch):
+    """warmup must compile the dtype live traffic will stage: uint8 for
+    PIL-mode servers (preprocess=True), float32 for preprocessed-array
+    clients — a mismatch leaves the first real request paying the
+    flagship compile warmup exists to absorb."""
+    seen = {}
+
+    def capture(self, group, mode, record_stats=True):
+        seen.setdefault(self.preprocess, set()).add(
+            np.asarray(group[0].pixels).dtype
+        )
+        return ["x"] * len(group)
+
+    monkeypatch.setattr(CaptionServer, "_run_group", capture)
+    with CaptionServer(tiny_model, max_batch=1, preprocess=False) as srv:
+        srv.warmup(buckets=[1])
+        srv.warmup(buckets=[1], pixel_dtype=np.uint8)  # explicit override
+    with CaptionServer(tiny_model, max_batch=1, preprocess=True) as srv:
+        srv.warmup(buckets=[1])
+    assert np.dtype(np.float32) in seen[False]
+    assert np.dtype(np.uint8) in seen[False]
+    assert seen[True] == {np.dtype(np.uint8)}
 
 
 def test_warmup_region_set_bucket(tiny_model):
