@@ -76,9 +76,14 @@ def port_dinov2(sd: Mapping, depth: int, num_registers: int) -> dict:
             "qkv": _linear(sd, f"{p}.attn.qkv"),
             "proj": _linear(sd, f"{p}.attn.proj"),
             "norm2": _ln(sd, f"{p}.norm2"),
-            "fc1": _linear(sd, f"{p}.mlp.fc1"),
-            "fc2": _linear(sd, f"{p}.mlp.fc2"),
         }
+        if f"{p}.mlp.w12.weight" in sd:
+            # giant's SwiGLUFFNFused stores w12 (d -> 2h) and w3 (h -> d)
+            blk["w12"] = _linear(sd, f"{p}.mlp.w12")
+            blk["w3"] = _linear(sd, f"{p}.mlp.w3")
+        else:
+            blk["fc1"] = _linear(sd, f"{p}.mlp.fc1")
+            blk["fc2"] = _linear(sd, f"{p}.mlp.fc2")
         if f"{p}.ls1.gamma" in sd:
             blk["ls1"] = _np(sd[f"{p}.ls1.gamma"])
             blk["ls2"] = _np(sd[f"{p}.ls2.gamma"])
@@ -120,11 +125,16 @@ def port_hf_dinov2(sd: Mapping, depth: int, num_registers: int) -> dict:
             },
             "proj": _linear(sd, f"{p}.attention.output.dense"),
             "norm2": _ln(sd, f"{p}.norm2"),
-            "fc1": _linear(sd, f"{p}.mlp.fc1"),
-            "fc2": _linear(sd, f"{p}.mlp.fc2"),
             "ls1": _np(sd[f"{p}.layer_scale1.lambda1"]),
             "ls2": _np(sd[f"{p}.layer_scale2.lambda1"]),
         }
+        if f"{p}.mlp.weights_in.weight" in sd:
+            # use_swiglu_ffn=True (giant): Dinov2SwiGLUFFN weights_in/out
+            blk["w12"] = _linear(sd, f"{p}.mlp.weights_in")
+            blk["w3"] = _linear(sd, f"{p}.mlp.weights_out")
+        else:
+            blk["fc1"] = _linear(sd, f"{p}.mlp.fc1")
+            blk["fc2"] = _linear(sd, f"{p}.mlp.fc2")
         params["blocks"].append(blk)
     return params
 

@@ -853,6 +853,21 @@ class Patchioner:
         if config.get("clipcap") is not None:
             from patchioner_tpu.models import clipcap as clipcap_mod
 
+            # ClipCap consumes the BACKBONE feature dim, not prefix_size:
+            # the reference overrides it per dinov2 size fragment
+            # (src/model.py:119-127; substring match, so dinotxt names
+            # resolve through their inner vitl fragment too).
+            cc_feature_dim = prefix_size
+            if dino_model is not None:
+                for frag, dim in (
+                    ("dinov2_vits14", 384),
+                    ("dinov2_vitb14", 768),
+                    ("dinov2_vitl14", 1024),
+                    ("dinov2_vitg14", 1536),
+                ):
+                    if frag in dino_model:
+                        cc_feature_dim = dim
+                        break
             cd = dict(config["clipcap"])
             ccfg = clipcap_mod.ClipCapConfig(
                 prefix_length=cd.get("prefix_length", 10),
@@ -878,7 +893,7 @@ class Patchioner:
                 gpt2_params_cc = ported_cc.get("gpt2")
             elif allow_missing_weights:
                 mapper = clipcap_mod.init_mlp_mapper(
-                    k_cc, prefix_size, ccfg.prefix_length, g_cfg.n_embd
+                    k_cc, cc_feature_dim, ccfg.prefix_length, g_cfg.n_embd
                 )
             else:
                 raise FileNotFoundError(f"ClipCap weights not found: {wp}")
@@ -893,7 +908,7 @@ class Patchioner:
                 ccfg, g_cfg,
                 jax.tree_util.tree_map(jnp.asarray, gpt2_params_cc),
                 jax.tree_util.tree_map(jnp.asarray, mapper),
-                tok, prefix_size=prefix_size,
+                tok, prefix_size=cc_feature_dim,
             )
 
         return cls(

@@ -35,6 +35,11 @@ class ViTConfig:
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    # 'mlp' (fc1 -> GELU -> fc2, every S/B/L DINOv2) | 'swiglu'
+    # (w12 -> silu(x1)*x2 -> w3 — DINOv2-giant's SwiGLUFFNFused; the
+    # reference reaches it through torch.hub delegation, src/model.py:343,
+    # and dispatches its 1536-d features at src/model.py:127).
+    ffn: str = "mlp"
     num_registers: int = 4  # 0 for non-"reg" variants
     layerscale: bool = True
     qkv_bias: bool = True
@@ -102,6 +107,16 @@ class ViTConfig:
     def stored_pos_grid(self) -> int:
         return self.pos_grid if self.pos_grid is not None else self.grid_size
 
+    @property
+    def ffn_hidden(self) -> int:
+        """Hidden width of the FFN. SwiGLU shrinks the nominal 4x by 2/3
+        rounded up to a multiple of 8 — both dinov2's SwiGLUFFNFused and
+        HF's Dinov2SwiGLUFFN use this formula (1536*4 -> 4096 for giant)."""
+        h = int(self.embed_dim * self.mlp_ratio)
+        if self.ffn == "swiglu":
+            h = (int(h * 2 / 3) + 7) // 8 * 8
+        return h
+
 
 VARIANTS = {
     # name fragments follow torch.hub dinov2 ids (reference: src/model.py:343)
@@ -113,6 +128,11 @@ VARIANTS = {
                               extract_heads=6),
     "dinov2_vitb14_reg": dict(embed_dim=768, depth=12, num_heads=12, num_registers=4),
     "dinov2_vitl14_reg": dict(embed_dim=1024, depth=24, num_heads=16, num_registers=4),
+    # giant uses the fused-SwiGLU FFN (dinov2 vit_giant2 / HF use_swiglu_ffn)
+    "dinov2_vitg14": dict(embed_dim=1536, depth=40, num_heads=24, num_registers=0,
+                          ffn="swiglu"),
+    "dinov2_vitg14_reg": dict(embed_dim=1536, depth=40, num_heads=24,
+                              num_registers=4, ffn="swiglu"),
 }
 
 
@@ -133,7 +153,7 @@ def init_vit(key: jax.Array, cfg: ViTConfig) -> dict:
     """Random init matching DINOv2's layout (trunc-normal-ish; exactness of
     init doesn't matter — real use ports pretrained weights)."""
     d = cfg.embed_dim
-    h = int(d * cfg.mlp_ratio)
+    h = cfg.ffn_hidden
     keys = iter(jax.random.split(key, 8 + 8 * cfg.depth))
 
     def dense(k, fan_in, fan_out):
@@ -165,9 +185,13 @@ def init_vit(key: jax.Array, cfg: ViTConfig) -> dict:
             "qkv": dense(next(keys), d, 3 * d),
             "proj": dense(next(keys), d, d),
             "norm2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
-            "fc1": dense(next(keys), d, h),
-            "fc2": dense(next(keys), h, d),
         }
+        if cfg.ffn == "swiglu":
+            blk["w12"] = dense(next(keys), d, 2 * h)
+            blk["w3"] = dense(next(keys), h, d)
+        else:
+            blk["fc1"] = dense(next(keys), d, h)
+            blk["fc2"] = dense(next(keys), h, d)
         if cfg.layerscale:
             blk["ls1"] = jnp.full((d,), 1e-5)
             blk["ls2"] = jnp.full((d,), 1e-5)
@@ -215,7 +239,9 @@ def _dense_w8a8(x, p):
     return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def quantize_vit_weights(params: dict, targets=("qkv", "proj", "fc1", "fc2")) -> dict:
+def quantize_vit_weights(
+    params: dict, targets=("qkv", "proj", "fc1", "fc2", "w12", "w3")
+) -> dict:
     """Per-output-channel symmetric int8 quantization of the transformer
     matmul weights (the 4 big dots: ~97% of encoder FLOPs). Everything
     else — patch embed, LN, layerscale, cls/pos/reg tokens — stays
@@ -456,6 +482,21 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
             a = a * blk["ls1"]
         x = x + a
     n = x.shape[1]
+    if cfg.ffn == "swiglu":
+        # DINOv2-giant FFN: silu(x1) * x2 over a fused (D, 2H) projection
+        # (dinov2 SwiGLUFFNFused / HF Dinov2SwiGLUFFN semantics).
+        if cfg.mlp_fused:
+            _warn_fusion_unusable(
+                "mlp_fused",
+                "SwiGLU FFN — fused_ln_mlp implements the GELU MLP only",
+                "the unfused XLA SwiGLU",
+            )
+        h = _dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["w12"])
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        m = _dense(jax.nn.silu(x1) * x2, blk["w3"])
+        if cfg.layerscale:
+            m = m * blk["ls2"]
+        return x + m, qkv
     if cfg.mlp_fused and not (n % 128 == 0 and "w" in blk["fc1"]):
         _warn_fusion_unusable(
             "mlp_fused",

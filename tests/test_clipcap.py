@@ -135,3 +135,21 @@ def test_clipcap_end_to_end(small_model):
     capts, scores = model.forward(feats, compute_scores=True)
     assert len(capts) == 2 and len(scores) == 2
     assert all(c.endswith(".") for c in capts)
+
+
+def test_clipcap_feature_dim_follows_dinov2_backbone():
+    """The reference sizes ClipCap's input by the BACKBONE dim for dinov2
+    names, not prefix_size (src/model.py:119-127) — a vits14 backbone with
+    a 512 prefix_size must produce a 384-in mapper."""
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    cfg = dict(
+        prefix_size=512, support_memory_size=0,
+        dino_model="dinov2_vits14", crop_dim=28,
+        projection_type="coco", normalize=False,
+        clipcap=dict(prefix_length=2, clip_length=2, num_layers=1,
+                     mapping_type="mlp"),
+    )
+    m = Patchioner.from_config(cfg, allow_missing_weights=True)
+    assert m.clipcap.prefix_size == 384
+    assert m.clipcap.mapper_params["fc1"]["w"].shape[0] == 384

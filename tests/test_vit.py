@@ -262,3 +262,150 @@ def test_padded_qkv_attention_extraction_exact():
         num_real_k=n_real,
     )
     assert a_n.shape == a_s.shape
+
+
+# ------------------------------------------------------------------ SwiGLU
+
+
+def make_hf_swiglu_model(img=56, patch=14, dim=64, heads=4, depth=3, regs=4):
+    from transformers import (
+        Dinov2WithRegistersConfig,
+        Dinov2WithRegistersModel,
+    )
+
+    cfg = Dinov2WithRegistersConfig(
+        hidden_size=dim,
+        num_hidden_layers=depth,
+        num_attention_heads=heads,
+        image_size=img,
+        patch_size=patch,
+        num_register_tokens=regs,
+        layerscale_value=0.5,
+        use_swiglu_ffn=True,
+    )
+    torch.manual_seed(0)
+    return Dinov2WithRegistersModel(cfg).eval(), cfg
+
+
+def test_swiglu_ffn_hidden_formula():
+    # giant: 1536*4 -> 2/3 -> 4096 (dinov2 SwiGLUFFNFused & HF agree)
+    assert vit.ViTConfig(embed_dim=1536, ffn="swiglu").ffn_hidden == 4096
+    # non-multiple-of-8 case rounds up
+    assert vit.ViTConfig(embed_dim=64, ffn="swiglu").ffn_hidden == 176
+    # plain MLP unchanged
+    assert vit.ViTConfig(embed_dim=768).ffn_hidden == 3072
+
+
+def test_vitg_variant_config():
+    cfg = vit.config_for("dinov2_vitg14_reg")
+    assert (cfg.embed_dim, cfg.depth, cfg.num_heads) == (1536, 40, 24)
+    assert cfg.num_registers == 4 and cfg.ffn == "swiglu"
+    # the reference hard-codes 16 extraction heads for every non-'vits'
+    # model (src/model.py:336-337) — giant included
+    assert cfg.extract_heads == 16 and cfg.extract_scale == 0.125
+    assert vit.config_for("dinov2_vitg14").num_registers == 0
+
+
+def test_swiglu_forward_parity_vs_hf():
+    """DINOv2-giant's FFN (use_swiglu_ffn=True): port a random-init HF
+    model and match the full forward, as test_forward_parity does for the
+    GELU MLP towers."""
+    model, _ = make_hf_swiglu_model()
+    cfg = vit.ViTConfig(
+        img_size=56, patch_size=14, embed_dim=64, depth=3, num_heads=4,
+        num_registers=4, extract_heads=4, ffn="swiglu",
+    )
+    params = torch_port.port_hf_dinov2(model.state_dict(), cfg.depth,
+                                       cfg.num_registers)
+    blk = params["blocks"][0]
+    assert "w12" in blk and "w3" in blk and "fc1" not in blk
+    assert blk["w12"]["w"].shape == (64, 2 * cfg.ffn_hidden)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = model(torch.from_numpy(x)).last_hidden_state.numpy()
+    out = vit.vit_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)
+    ours = np.concatenate(
+        [
+            np.asarray(out["x_norm_clstoken"])[:, None],
+            np.asarray(out["x_norm_regtokens"]),
+            np.asarray(out["x_norm_patchtokens"]),
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(ours, hf_out, rtol=1e-4, atol=1e-4)
+
+
+def test_swiglu_hub_layout_port_equals_hf_layout():
+    """Synthetic torch-hub giant layout (blocks.N.mlp.{w12,w3}) ports to the
+    same tree as the HF layout (mlp.{weights_in,weights_out})."""
+    model, _ = make_hf_swiglu_model()
+    sd = model.state_dict()
+    params_hf = torch_port.port_hf_dinov2(sd, 3, 4)
+    hub = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "register_tokens": sd["embeddings.register_tokens"],
+        "patch_embed.proj.weight": sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias": sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for i in range(3):
+        p, q = f"blocks.{i}", f"encoder.layer.{i}"
+        hub[f"{p}.norm1.weight"] = sd[f"{q}.norm1.weight"]
+        hub[f"{p}.norm1.bias"] = sd[f"{q}.norm1.bias"]
+        hub[f"{p}.attn.qkv.weight"] = torch.cat(
+            [sd[f"{q}.attention.attention.{k}.weight"]
+             for k in ("query", "key", "value")]
+        )
+        hub[f"{p}.attn.qkv.bias"] = torch.cat(
+            [sd[f"{q}.attention.attention.{k}.bias"]
+             for k in ("query", "key", "value")]
+        )
+        hub[f"{p}.attn.proj.weight"] = sd[f"{q}.attention.output.dense.weight"]
+        hub[f"{p}.attn.proj.bias"] = sd[f"{q}.attention.output.dense.bias"]
+        hub[f"{p}.ls1.gamma"] = sd[f"{q}.layer_scale1.lambda1"]
+        hub[f"{p}.ls2.gamma"] = sd[f"{q}.layer_scale2.lambda1"]
+        hub[f"{p}.norm2.weight"] = sd[f"{q}.norm2.weight"]
+        hub[f"{p}.norm2.bias"] = sd[f"{q}.norm2.bias"]
+        hub[f"{p}.mlp.w12.weight"] = sd[f"{q}.mlp.weights_in.weight"]
+        hub[f"{p}.mlp.w12.bias"] = sd[f"{q}.mlp.weights_in.bias"]
+        hub[f"{p}.mlp.w3.weight"] = sd[f"{q}.mlp.weights_out.weight"]
+        hub[f"{p}.mlp.w3.bias"] = sd[f"{q}.mlp.weights_out.bias"]
+    params_hub = torch_port.port_dinov2(hub, 3, 4)
+    for a, b in zip(jax.tree_util.tree_leaves(params_hf),
+                    jax.tree_util.tree_leaves(params_hub)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_swiglu_quantized_and_fused_knobs():
+    """W8A8 quantization covers w12/w3; mlp_fused warns + falls back on
+    SwiGLU towers instead of silently running the wrong kernel."""
+    import warnings
+
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                        num_heads=4, num_registers=4, extract_heads=4,
+                        pos_grid=4, ffn="swiglu")
+    p = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    for blk in p["blocks"]:
+        blk["ls1"] = jnp.ones_like(blk["ls1"])
+        blk["ls2"] = jnp.ones_like(blk["ls2"])
+    pq = vit.quantize_vit_weights(p)
+    assert pq["blocks"][0]["w12"]["w_q"].dtype == jnp.int8
+    assert pq["blocks"][0]["w3"]["w_q"].dtype == jnp.int8
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(p, x, cfg)["x_norm_patchtokens"]
+    b = vit.vit_forward(pq, x, cfg)["x_norm_patchtokens"]
+    cos = jnp.sum(a * b, -1) / (
+        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1))
+    assert float(jnp.min(cos)) > 0.995
+
+    cfg_f = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                          num_heads=4, num_registers=4, extract_heads=4,
+                          pos_grid=4, ffn="swiglu", mlp_fused=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        c = vit.vit_forward(p, x, cfg_f)["x_norm_patchtokens"]
+    assert any("SwiGLU" in str(x.message) for x in w)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
