@@ -145,12 +145,16 @@ def _analytic_caption_flops(model, batch: int) -> float:
     vit_cfg, _, gcfg, _, bank = model
     n = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
     d = vit_cfg.embed_dim
-    mlp = int(d * vit_cfg.mlp_ratio)
+    h = vit_cfg.ffn_hidden
+    if vit_cfg.ffn == "swiglu":
+        ffn = 2 * n * d * 2 * h + 2 * n * h * d  # w12 (d->2h) + w3 (h->d)
+    else:
+        ffn = 2 * 2 * n * d * h                  # fc1 + fc2
     enc_layer = (
         2 * n * d * 3 * d          # qkv
         + 2 * 2 * n * n * d        # QK^T + PV
         + 2 * n * d * d            # out proj
-        + 2 * 2 * n * d * mlp      # fc1 + fc2
+        + ffn
     )
     enc = vit_cfg.depth * enc_layer + 2 * (n - vit_cfg.num_global_tokens) * (
         vit_cfg.patch_size**2 * 3

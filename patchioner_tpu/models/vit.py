@@ -485,12 +485,34 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
     if cfg.ffn == "swiglu":
         # DINOv2-giant FFN: silu(x1) * x2 over a fused (D, 2H) projection
         # (dinov2 SwiGLUFFNFused / HF Dinov2SwiGLUFFN semantics).
-        if cfg.mlp_fused:
+        hid = blk["w3"]["w"].shape[0] if "w" in blk.get("w3", {}) else 0
+        swiglu_fusable = (
+            cfg.mlp_fused and "w" in blk["w12"] and hid % 128 == 0
+            and any(n % bq == 0 for bq in (352, 256, 176, 128))
+        )
+        if cfg.mlp_fused and not swiglu_fusable:
             _warn_fusion_unusable(
                 "mlp_fused",
-                "SwiGLU FFN — fused_ln_mlp implements the GELU MLP only",
+                f"N={n} has no 128-aligned q-block, H={hid} % 128 != 0, "
+                "or quantized w12",
                 "the unfused XLA SwiGLU",
             )
+        if swiglu_fusable:
+            from patchioner_tpu.ops.mlp import fused_ln_swiglu
+
+            # streamed-weight kernel: smaller q blocks than the pinned
+            # GELU kernel — the f32 accumulator scratch scales with bq·D
+            bq = next(b for b in (352, 256, 176, 128) if n % b == 0)
+            bh = next(b for b in (512, 256, 128) if hid % b == 0)
+            ls = blk["ls2"] if cfg.layerscale else jnp.ones(
+                (x.shape[-1],), x.dtype
+            )
+            return fused_ln_swiglu(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                blk["w12"]["w"], blk["w12"]["b"],
+                blk["w3"]["w"], blk["w3"]["b"], ls,
+                eps=cfg.ln_eps, block_q=bq, block_h=bh,
+            ), qkv
         h = _dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["w12"])
         x1, x2 = jnp.split(h, 2, axis=-1)
         m = _dense(jax.nn.silu(x1) * x2, blk["w3"])

@@ -25,10 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_ln_mlp",
     "fused_ln_mlp_w8",
+    "fused_ln_swiglu",
     "fused_ln_dense",
     "fused_dense_residual",
     "quantize_mlp_weights",
     "ln_mlp_reference",
+    "ln_swiglu_reference",
 ]
 
 
@@ -428,3 +430,169 @@ def fused_ln_mlp_w8(
         interpret=interpret,
     )(x, row(ln_scale), row(ln_bias), w1q, w1s.reshape(1, -1), row(b1),
       w2q, w2s.reshape(1, -1), row(b2), row(ls))
+
+
+# ------------------------------------------------- fused LN + SwiGLU FFN
+
+
+def ln_swiglu_reference(x, p, *, eps: float, layerscale: bool = True):
+    """Plain-XLA twin of fused_ln_swiglu (and the parity oracle) — the
+    DINOv2-giant FFN half of a block (models/vit._block ffn='swiglu'):
+    `x + ls2 * (silu(x1) * x2) @ w3` over a fused (D, 2H) w12 projection."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * p["norm2"]["scale"] + p["norm2"]["bias"]).astype(x.dtype)
+    h = y @ p["w12"]["w"] + p["w12"]["b"]
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    g = jax.nn.silu(x1.astype(jnp.float32)) * x2.astype(jnp.float32)
+    o = g.astype(x.dtype) @ p["w3"]["w"] + p["w3"]["b"]
+    if layerscale:
+        o = o * p["ls2"]
+    return x + o
+
+
+def _ln_swiglu_kernel(
+    x_ref,    # (1, BQ, D)
+    g_ref,    # (1, D) ln scale
+    bg_ref,   # (1, D) ln bias
+    w1_ref,   # (D, BH) gate-half column tile of w12
+    b1_ref,   # (1, BH)
+    w2_ref,   # (D, BH) linear-half column tile of w12
+    b2_ref,   # (1, BH)
+    w3_ref,   # (BH, D) row tile of w3
+    b3_ref,   # (1, D)
+    ls_ref,   # (1, D) layerscale (ones when disabled)
+    o_ref,    # (1, BQ, D)
+    y_scr,    # (BQ, D) x.dtype scratch: normed rows (computed once / q block)
+    acc_scr,  # (BQ, D) f32 scratch: partial w3 products over the H tiles
+    *,
+    eps: float,
+    n_h: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        y_scr[...] = _ln_rows(x_ref, g_ref, bg_ref, eps).astype(y_scr.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    y = y_scr[...]
+    h1 = jax.lax.dot_general(
+        y, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    h2 = jax.lax.dot_general(
+        y, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    # silu in f32: Mosaic lowers exp; error far below bf16 resolution
+    g = h1 * (1.0 / (1.0 + jnp.exp(-h1))) * h2
+    acc_scr[...] += jax.lax.dot_general(
+        g.astype(y.dtype), w3_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_h - 1)
+    def _fin():
+        x = x_ref[0]
+        o = acc_scr[...] + b3_ref[0].astype(jnp.float32)
+        o_ref[0] = x + (o * ls_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "block_q", "block_h", "interpret"),
+)
+def fused_ln_swiglu(
+    x: jax.Array,         # (B, N, D)
+    ln_scale: jax.Array,  # (D,)
+    ln_bias: jax.Array,   # (D,)
+    w12: jax.Array,       # (D, 2H) fused gate+linear projection
+    b12: jax.Array,       # (2H,)
+    w3: jax.Array,        # (H, D)
+    b3: jax.Array,        # (D,)
+    ls: jax.Array,        # (D,) layerscale, pass ones to disable
+    *,
+    eps: float,
+    block_q: int = 352,
+    block_h: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """LN -> w12 -> silu(x1)*x2 -> w3 -> layerscale -> residual in one
+    kernel — the SwiGLU counterpart of fused_ln_mlp for DINOv2-giant
+    geometry (D=1536, H=4096). Giant's FFN weights (~38 MB bf16) cannot
+    stay pinned in VMEM like ViT-B/L's, so this kernel STREAMS the hidden
+    dimension: grid (B, N/bq, H/bh) with the H axis innermost, the gate and
+    linear halves of w12 addressed as two column-tile views of the same
+    array (no host-side split, no slicing copies), normed activations
+    computed once per row block into scratch, and partial `g @ w3` products
+    accumulated in an f32 scratch that is flushed with bias + layerscale +
+    residual on the last H step. The (B, N, 2H) intermediate (~3 GB/layer
+    for giant at the 518px flagship geometry) never touches HBM.
+
+    Numerics: f32 LN statistics, bf16 matmul operands with f32 MXU
+    accumulation, silu evaluated in f32 — same policy as fused_ln_mlp.
+    Reference semantics: dinov2 SwiGLUFFNFused inside Block.forward (the
+    reference runs giant via torch.hub delegation, src/model.py:343)."""
+    b, n, d = x.shape
+    h = w3.shape[0]
+    if w12.shape[1] != 2 * h:
+        raise ValueError(f"w12 must be (D, 2H)=(D, {2*h}), got {w12.shape}")
+    if n % block_q:
+        raise ValueError(f"fused_ln_swiglu needs N%{block_q}==0, got {n}")
+    if h % block_h:
+        raise ValueError(f"fused_ln_swiglu needs H%{block_h}==0, got {h}")
+    n_h = h // block_h
+    grid = (b, n // block_q, n_h)
+    row = lambda v: v.reshape(1, -1)
+    b12r = b12.reshape(1, -1)
+    return pl.pallas_call(
+        functools.partial(_ln_swiglu_kernel, eps=eps, n_h=n_h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # two tiled views of the SAME w12/b12 arrays: gate half at
+            # column-block k, linear half at column-block n_h + k
+            pl.BlockSpec((d, block_h), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_h), lambda i, j, k: (0, n_h + k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), lambda i, j, k: (0, n_h + k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, d), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, k: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), x.dtype),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * d * h,
+            bytes_accessed=(2 * b * n * d
+                            + (b * n // block_q) * 3 * d * h)
+            * x.dtype.itemsize,
+            transcendentals=b * n * h,
+        ),
+        interpret=interpret,
+    )(x, row(ln_scale), row(ln_bias), w12, b12r, w12, b12r, w3, row(b3),
+      row(ls))

@@ -210,3 +210,90 @@ def test_vit_qkv_fused_matches_unfused():
             np.asarray(a[key]), np.asarray(b[key]), rtol=5e-5, atol=5e-6,
             err_msg=key,
         )
+
+
+# ------------------------------------------------------ fused LN + SwiGLU
+
+
+def _swiglu_params(rng, d, h, dtype):
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+    return {
+        "norm2": {"scale": arr(d), "bias": arr(d)},
+        "w12": {"w": arr(d, 2 * h, scale=d**-0.5), "b": arr(2 * h)},
+        "w3": {"w": arr(h, d, scale=h**-0.5), "b": arr(d)},
+        "ls2": jnp.full((d,), 1e-2, dtype),
+    }
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_ln_swiglu_parity(dtype):
+    rng = np.random.default_rng(0)
+    d, h = 128, 256
+    p = _swiglu_params(rng, d, h, dtype)
+    x = jnp.asarray(rng.standard_normal((2, 256, d)), dtype)
+    ref = mlp.ln_swiglu_reference(x, p, eps=1e-6)
+    got = mlp.fused_ln_swiglu(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["w12"]["w"], p["w12"]["b"], p["w3"]["w"], p["w3"]["b"], p["ls2"],
+        eps=1e-6, block_q=128, block_h=128, interpret=True,
+    )
+    tol = 2e-5 if dtype == jnp.float32 else 0.05
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+    # multi-tile H accumulation == single-tile (same grid math either way)
+    got1 = mlp.fused_ln_swiglu(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["w12"]["w"], p["w12"]["b"], p["w3"]["w"], p["w3"]["b"], p["ls2"],
+        eps=1e-6, block_q=256, block_h=256, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got1, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_fused_ln_swiglu_rejects_bad_shapes():
+    rng = np.random.default_rng(0)
+    p = _swiglu_params(rng, 128, 256, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 200, 128)), jnp.float32)
+    with pytest.raises(ValueError, match="N%"):
+        mlp.fused_ln_swiglu(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            p["w12"]["w"], p["w12"]["b"], p["w3"]["w"], p["w3"]["b"],
+            p["ls2"], eps=1e-6, block_q=128, block_h=128, interpret=True)
+    x = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+    with pytest.raises(ValueError, match="H%"):
+        mlp.fused_ln_swiglu(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            p["w12"]["w"], p["w12"]["b"], p["w3"]["w"], p["w3"]["b"],
+            p["ls2"], eps=1e-6, block_q=128, block_h=192, interpret=True)
+
+
+def test_vit_swiglu_fused_matches_xla():
+    """mlp_fused on a SwiGLU tower (giant geometry scaled down: hd=64 head
+    pairs for fusedqkv, ffn_hidden 1024 %128==0) must match the plain-XLA
+    SwiGLU encoder end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from patchioner_tpu.models import vit
+
+    kw = dict(img_size=56, patch_size=14, embed_dim=384, depth=2,
+              num_heads=6, num_registers=4, extract_heads=6, pos_grid=4,
+              ffn="swiglu")
+    cfg_x = vit.ViTConfig(**kw)
+    assert cfg_x.ffn_hidden == 1024
+    cfg_f = vit.ViTConfig(**kw, attn_impl="fusedqkv", mlp_fused=True)
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = vit.vit_forward(params, x, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        b = vit.vit_forward(params, x, cfg_f)
+    for key in ("x_norm_patchtokens", "x_norm_clstoken"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=5e-4, atol=5e-5,
+            err_msg=key,
+        )
