@@ -55,8 +55,9 @@ def _patch_conv_to_dense(w_conv: np.ndarray) -> np.ndarray:
 def port_dinov2(sd: Mapping, depth: int, num_registers: int) -> dict:
     """Port a facebookresearch/dinov2 torch.hub state_dict
     (keys: cls_token, pos_embed, register_tokens, patch_embed.proj.*,
-    blocks.N.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,
-    ls2.gamma}, norm.*)."""
+    blocks.N.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,ls2.gamma}, norm.*,
+    plus per-block FFN keys: mlp.fc1/mlp.fc2 for the GELU towers (S/B/L)
+    or mlp.w12/mlp.w3 for giant's fused SwiGLU)."""
     params = {
         "cls_token": _np(sd["cls_token"]),
         "pos_embed": _np(sd["pos_embed"]),

@@ -486,24 +486,40 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         # DINOv2-giant FFN: silu(x1) * x2 over a fused (D, 2H) projection
         # (dinov2 SwiGLUFFNFused / HF Dinov2SwiGLUFFN semantics).
         hid = blk["w3"]["w"].shape[0] if "w" in blk.get("w3", {}) else 0
-        swiglu_fusable = (
-            cfg.mlp_fused and "w" in blk["w12"] and hid % 128 == 0
-            and any(n % bq == 0 for bq in (352, 256, 176, 128))
-        )
-        if cfg.mlp_fused and not swiglu_fusable:
+        bq = bh = None
+        if cfg.mlp_fused and "w" in blk["w12"] and hid % 128 == 0:
+            # streamed-weight kernel: pick the largest (block_q, block_h)
+            # whose per-program footprint fits scoped VMEM (~16 MB with
+            # Mosaic's ~1.5x accounting over a naive tile sum — same
+            # calibration as ops/memory_projection): x/out/y_scr blocks +
+            # f32 accumulator + double-buffered streamed weight tiles +
+            # f32 hidden temporaries.
+            d_ = x.shape[-1]
+            item = jnp.dtype(cfg.dtype).itemsize
+            for cq in (352, 256, 176, 128):
+                if n % cq:
+                    continue
+                for ch in (512, 256, 128):
+                    if hid % ch:
+                        continue
+                    est = (3 * cq * d_ * item + 4 * cq * d_
+                           + 2 * 3 * d_ * ch * item + 3 * cq * ch * 4)
+                    if est <= 14_000_000:
+                        bq, bh = cq, ch
+                        break
+                if bq:
+                    break
+        if cfg.mlp_fused and bq is None:
             _warn_fusion_unusable(
                 "mlp_fused",
                 f"N={n} has no 128-aligned q-block, H={hid} % 128 != 0, "
-                "or quantized w12",
+                "quantized w12, or no (block_q, block_h) fits VMEM at "
+                f"dtype={jnp.dtype(cfg.dtype).name}",
                 "the unfused XLA SwiGLU",
             )
-        if swiglu_fusable:
+        if bq is not None:
             from patchioner_tpu.ops.mlp import fused_ln_swiglu
 
-            # streamed-weight kernel: smaller q blocks than the pinned
-            # GELU kernel — the f32 accumulator scratch scales with bq·D
-            bq = next(b for b in (352, 256, 176, 128) if n % b == 0)
-            bh = next(b for b in (512, 256, 128) if hid % b == 0)
             ls = blk["ls2"] if cfg.layerscale else jnp.ones(
                 (x.shape[-1],), x.dtype
             )
@@ -686,11 +702,17 @@ def last_block_rerun(
     if cfg.layerscale:
         a = a * blk["ls1"]
     x = tokens + a
-    m = _dense(
-        jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
-                    approximate=cfg.gelu_approx),
-        blk["fc2"],
-    )
+    if "w12" in blk:
+        # SwiGLU FFN (giant geometry) — same dispatch as _block
+        hm = _dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["w12"])
+        x1, x2 = jnp.split(hm, 2, axis=-1)
+        m = _dense(jax.nn.silu(x1) * x2, blk["w3"])
+    else:
+        m = _dense(
+            jax.nn.gelu(_dense(_ln(x, blk["norm2"], cfg.ln_eps), blk["fc1"]),
+                        approximate=cfg.gelu_approx),
+            blk["fc2"],
+        )
     if cfg.layerscale:
         m = m * blk["ls2"]
     return x + m

@@ -409,3 +409,21 @@ def test_swiglu_quantized_and_fused_knobs():
         c = vit.vit_forward(p, x, cfg_f)["x_norm_patchtokens"]
     assert any("SwiGLU" in str(x.message) for x in w)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_last_block_rerun_swiglu():
+    """Double-DINO's last-block re-run must dispatch the SwiGLU FFN for
+    giant-layout blocks (it hard-coded fc1/fc2 before)."""
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                        num_heads=4, num_registers=4, extract_heads=4,
+                        pos_grid=4, ffn="swiglu")
+    params = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    out = vit.vit_forward(params, x, cfg, return_block_input=True)
+    tokens = out["last_block_input"]
+    mask = jnp.ones(tokens.shape[:2], bool)
+    y = vit.last_block_rerun(params, tokens, mask, cfg)
+    assert np.isfinite(np.asarray(y)).all()
+    # with the full key mask this must equal the final pre-norm stream
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(out["x_prenorm"]), rtol=2e-5, atol=2e-5)
