@@ -1307,6 +1307,130 @@ class Patchioner:
             state["inversion"] = self.inversion
         return state
 
+    # ---------------------------------------------------- native snapshots
+
+    def _snapshot_tree(self) -> dict:
+        """All array state as plain dicts/lists of numpy arrays
+        (msgpack-serializable; NamedTuples flattened to dicts)."""
+        tree: dict = {"vit": self.vit_params}
+        if self.decoder is not None:
+            tree["decoder"] = dict(self.decoder._asdict())
+        if self.bank is not None:
+            tree["bank"] = {
+                k: v for k, v in self.bank._asdict().items()
+                if hasattr(v, "shape")
+            }
+        if self.inversion is not None:
+            tree["inversion"] = dict(self.inversion)
+        if self.viecap is not None:
+            vc = self.viecap
+            tree["viecap"] = {
+                "gpt2": vc.gpt2_params,
+                "mapping": vc.mapping_params,
+                "entity_embeddings": vc.texts_embeddings,
+            }
+            if getattr(vc, "memory_clip_embeddings", None) is not None:
+                tree["viecap"]["memory_clip_embeddings"] = (
+                    vc.memory_clip_embeddings
+                )
+        if self.clipcap is not None:
+            tree["clipcap"] = {
+                "gpt2": self.clipcap.gpt2_params,
+                "mapper": self.clipcap.mapper_params,
+            }
+        return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+    def save_pretrained(self, out_dir: str) -> None:
+        """Snapshot the BUILT model to a self-contained directory:
+        config.json (the from_config schema), state.msgpack (every param
+        tree, bank included), meta.json (non-array state: bank class +
+        size, text lists). `load_pretrained(out_dir)` restores without the
+        original torch checkpoints / HDF5 banks — the reference has no
+        native persistence; it re-ports torch state on every load
+        (src/model.py:666-715). Quantized (int8) banks snapshot as-is."""
+        from flax import serialization
+
+        os.makedirs(out_dir, exist_ok=True)
+        import json
+
+        meta: dict = {"format_version": 1}
+        if self.bank is not None:
+            meta["bank_class"] = type(self.bank).__name__
+            meta["bank_num_real"] = int(self.bank.num_real)
+        if self.bank_texts is not None:
+            meta["bank_texts"] = list(self.bank_texts)
+        if self.viecap is not None and getattr(
+            self.viecap, "memory_captions", None
+        ) is not None:
+            meta["meacap_memory_captions"] = list(
+                self.viecap.memory_captions
+            )
+        with open(os.path.join(out_dir, "state.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(self._snapshot_tree()))
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            json.dump(self.config, f, indent=1)
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load_pretrained(cls, snap_dir: str, **from_config_kw) -> "Patchioner":
+        """Restore a `save_pretrained` snapshot: rebuild the structure from
+        the saved config (random init, tiny placeholder bank — nothing is
+        ported), then swap in the saved arrays. Extra kwargs forward to
+        `from_config` (e.g. dtype, concept_extractor)."""
+        import json
+
+        from flax import serialization
+
+        with open(os.path.join(snap_dir, "config.json")) as f:
+            config = json.load(f)
+        with open(os.path.join(snap_dir, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(snap_dir, "state.msgpack"), "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        from_config_kw.setdefault("allow_missing_weights", True)
+        if "bank" in tree:
+            # skip the full-size random placeholder bank — it is replaced
+            from_config_kw.setdefault("random_bank_size", 2)
+        m = cls.from_config(config, **from_config_kw)
+
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        m.vit_params = as_jnp(tree["vit"])
+        if "decoder" in tree:
+            m.decoder = decap_mod.DecapParams(**as_jnp(tree["decoder"]))
+        if "bank" in tree:
+            bank_cls = getattr(memproj, meta["bank_class"])
+            m.bank = bank_cls(
+                num_real=int(meta["bank_num_real"]), **as_jnp(tree["bank"])
+            )
+            m.bank_texts = meta.get("bank_texts")
+        if "inversion" in tree:
+            m.inversion = as_jnp(tree["inversion"])
+            m.embed_inversion = True
+        if "viecap" in tree and m.viecap is not None:
+            vc = m.viecap
+            vc.gpt2_params = as_jnp(tree["viecap"]["gpt2"])
+            vc.mapping_params = as_jnp(tree["viecap"]["mapping"])
+            vc.texts_embeddings = jnp.asarray(
+                tree["viecap"]["entity_embeddings"]
+            )
+            if "memory_clip_embeddings" in tree["viecap"]:
+                vc.memory_clip_embeddings = jnp.asarray(
+                    tree["viecap"]["memory_clip_embeddings"]
+                )
+                if meta.get("meacap_memory_captions") is not None:
+                    vc.memory_captions = list(
+                        meta["meacap_memory_captions"]
+                    )
+        if "clipcap" in tree and m.clipcap is not None:
+            m.clipcap.gpt2_params = as_jnp(tree["clipcap"]["gpt2"])
+            m.clipcap.mapper_params = as_jnp(tree["clipcap"]["mapper"])
+        # compiled-step caches key on bank geometry, but drop them anyway:
+        # the snapshot may carry a different bank size than the rebuild
+        m._fused_trace_cache = {}
+        m._placed_state_cache = None
+        return m
+
     # ------------------------------------------------- multi-chip serving
 
     # class attrs so older pickles / subclasses get the single-device
