@@ -27,6 +27,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -72,6 +73,12 @@ def build_model(config_path: str, allow_missing_weights: bool):
     sys.path.insert(0, ".")
     from patchioner_tpu.models.patchioner import Patchioner
 
+    # a save_pretrained snapshot directory restores without the source
+    # torch/HDF5 artifacts; anything else goes through the YAML/dict path
+    if os.path.isdir(config_path) and os.path.exists(
+        os.path.join(config_path, "state.msgpack")
+    ):
+        return Patchioner.load_pretrained(config_path)
     return Patchioner.from_config(
         config_path, allow_missing_weights=allow_missing_weights
     )
@@ -223,7 +230,9 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", required=True,
+                   help="model YAML/dict path, or a save_pretrained "
+                        "snapshot directory")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--allow-missing-weights", action="store_true")
     p.add_argument("--config-dir", default=None,

@@ -272,3 +272,23 @@ def test_region_set_endpoint_direct_and_batched(batched_server):
         url + "/caption_region_set", {"image": img, "bboxes": boxes}
     )
     assert code == 200 and batched["caption"] == direct["caption"]
+
+
+def test_build_model_accepts_snapshot_dir(tmp_path):
+    """demo --config pointed at a save_pretrained directory loads the
+    snapshot instead of treating it as YAML."""
+    from demo.app import build_model
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    m = Patchioner.from_config(
+        dict(prefix_size=384, support_memory_size=8,
+             dino_model="dinov2_vits14", crop_dim=28,
+             projection_type="coco", normalize=True),
+        allow_missing_weights=True,
+    )
+    snap = tmp_path / "snap"
+    m.save_pretrained(str(snap))
+    m2 = build_model(str(snap), allow_missing_weights=False)
+    np.testing.assert_array_equal(
+        np.asarray(m.bank.rows), np.asarray(m2.bank.rows)
+    )
