@@ -88,3 +88,43 @@ def test_snapshot_bf16_bank_dtype_survives(tmp_path):
         np.asarray(m.bank.rows, np.float32),
         np.asarray(m2.bank.rows, np.float32),
     )
+
+
+def test_snapshot_w8a8_encoder(tmp_path):
+    """encoder_w8a8 builds int8 vit weights; the snapshot must carry the
+    int8 + scale leaves and restore the quantized structure."""
+    m = _build(tmp_path, encoder_w8a8=True)
+    assert m.vit_params["blocks"][0]["qkv"]["w_q"].dtype == jnp.int8
+    snap = tmp_path / "snap_w8"
+    m.save_pretrained(str(snap))
+    m2 = Patchioner.load_pretrained(str(snap))
+    blk, blk2 = m.vit_params["blocks"][0], m2.vit_params["blocks"][0]
+    assert blk2["qkv"]["w_q"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(blk["qkv"]["w_q"]),
+                                  np.asarray(blk2["qkv"]["w_q"]))
+    np.testing.assert_array_equal(np.asarray(blk["qkv"]["w_scale"]),
+                                  np.asarray(blk2["qkv"]["w_scale"]))
+    imgs = _imgs()
+    assert (m.forward(imgs, get_cls_capt=True)["cls_capt"]
+            == m2.forward(imgs, get_cls_capt=True)["cls_capt"])
+
+
+def test_serve_from_snapshot(tmp_path):
+    """A load_pretrained model serves identically to the original through
+    the CaptionServer path."""
+    from patchioner_tpu.serve import CaptionServer
+
+    m = _build(tmp_path)
+    snap = tmp_path / "snap_serve"
+    m.save_pretrained(str(snap))
+    m2 = Patchioner.load_pretrained(str(snap))
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.default_rng(1).random((40, 50, 3)) * 255).astype(np.uint8)
+    )
+    with CaptionServer(m, max_batch=4) as s1, \
+            CaptionServer(m2, max_batch=4) as s2:
+        c1 = s1.submit(img).result()
+        c2 = s2.submit(img).result()
+    assert c1 == c2
