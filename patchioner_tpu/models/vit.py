@@ -63,7 +63,10 @@ class ViTConfig:
     # fused LN+fc1+GELU+fc2+residual Pallas kernel for the MLP half —
     # keeps the (B, N, 4D) intermediate in VMEM. 31.2 vs 38.1 ms/layer on
     # v5e combined with fusedqkv (PERF.md). Requires N%128==0 (i.e. the
-    # fusedqkv padded-token path); TPU-only.
+    # fusedqkv padded-token path); TPU-only. On SwiGLU towers (giant)
+    # this dispatches to the streamed-weight fused_ln_swiglu kernel,
+    # which MEASURED SLOWER than XLA (97.6 vs 92.4 ms/layer at B=128,
+    # probe_swiglu2 round 3b) — leave it off there unless re-measured.
     mlp_fused: bool = False
     # fold the attention half's LN into the qkv projection
     # (ops/mlp.fused_ln_dense) — XLA materializes the LN output, ~0.73
@@ -382,6 +385,20 @@ def _use_fused_qkv(x, blk, cfg: ViTConfig) -> bool:
             and "w" in blk["qkv"])
 
 
+def _qkv_fused_block(n: int, d: int, w_bytes: int, item: int):
+    """Largest q-block for fused_ln_dense whose per-program footprint
+    (pinned W_qkv + x/out blocks + the normed temp ~ bq*5d*item) fits
+    scoped VMEM, or None when none does. Calibrated on v5e
+    (probe_lnqkv_giant round 3b): giant (D=1536, W 14.2 MB) compiles at
+    bq<=352 (est 19.6 MB) and fails at bq704 (est 25.0 MB); ViT-B/L are
+    far under the cap at bq704."""
+    return next(
+        (b for b in (704, 512, 352, 256, 128)
+         if n % b == 0 and w_bytes + b * 5 * d * item <= 21_000_000),
+        None,
+    )
+
+
 def _qkv_activation(x, blk, cfg: ViTConfig):
     """qkv = LN(x) @ W_qkv + b, via the fused LN+dense kernel when enabled
     (qkv_fused — avoids materializing the LN output, PERF.md round 3)."""
@@ -389,10 +406,21 @@ def _qkv_activation(x, blk, cfg: ViTConfig):
         from patchioner_tpu.ops.mlp import fused_ln_dense
 
         n = x.shape[1]
-        bq = next(b for b in (704, 512, 352, 256, 128) if n % b == 0)
-        return fused_ln_dense(
-            x, blk["norm1"]["scale"], blk["norm1"]["bias"],
-            blk["qkv"]["w"], blk["qkv"]["b"], eps=cfg.ln_eps, block_q=bq,
+        d = x.shape[-1]
+        item = jnp.dtype(cfg.dtype).itemsize
+        w_bytes = blk["qkv"]["w"].size * blk["qkv"]["w"].dtype.itemsize
+        bq = _qkv_fused_block(n, d, w_bytes, item)
+        if bq is not None:
+            return fused_ln_dense(
+                x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["qkv"]["w"], blk["qkv"]["b"], eps=cfg.ln_eps,
+                block_q=bq,
+            )
+        _warn_fusion_unusable(
+            "qkv_fused",
+            f"no 128-aligned q-block of N={n} fits scoped VMEM next to "
+            f"the {w_bytes / 1e6:.1f} MB pinned W_qkv",
+            "the unfused LN+qkv XLA path",
         )
     _warn_qkv_fused_unusable(x, blk, cfg)
     return _dense(_ln(x, blk["norm1"], cfg.ln_eps), blk["qkv"])

@@ -536,7 +536,15 @@ def fused_ln_swiglu(
     Numerics: f32 LN statistics, bf16 matmul operands with f32 MXU
     accumulation, silu evaluated in f32 — same policy as fused_ln_mlp.
     Reference semantics: dinov2 SwiGLUFFNFused inside Block.forward (the
-    reference runs giant via torch.hub delegation, src/model.py:343)."""
+    reference runs giant via torch.hub delegation, src/model.py:343).
+
+    Measured LOSER on v5e (probes swiglu/swiglu2, round 3b): FFN half
+    18.1 ms best-fused (bq352/bh256) vs 17.2 XLA at B=32; full giant
+    layer 97.6 fused vs 92.4 XLA at B=128. The per-(b, q-block) weight
+    re-reads (~38 MB/program) only amortize past block_q ~1175 rows, and
+    every block_q >= 704 overflows scoped VMEM, so the kernel cannot
+    reach its break-even tile — XLA's own fusion of the SwiGLU chain is
+    the production path; this stays a parity-tested opt-in."""
     b, n, d = x.shape
     h = w3.shape[0]
     if w12.shape[1] != 2 * h:

@@ -212,6 +212,22 @@ def test_vit_qkv_fused_matches_unfused():
         )
 
 
+def test_qkv_fused_block_picker():
+    """The fused LN+qkv q-block must shrink with the pinned-weight
+    footprint: giant's 14.2 MB W_qkv overflows scoped VMEM at bq704
+    (measured compile failure, probe_lnqkv_giant round 3b) while ViT-B/L
+    run the full-N block."""
+    from patchioner_tpu.models.vit import _qkv_fused_block
+
+    # ViT-B (d=768) and ViT-L (d=1024), bf16: whole padded N in one block
+    assert _qkv_fused_block(1408, 768, 768 * 3 * 768 * 2, 2) == 704
+    assert _qkv_fused_block(1408, 1024, 1024 * 3 * 1024 * 2, 2) == 704
+    # giant (d=1536): must step down to a compiling block, not crash
+    assert _qkv_fused_block(1408, 1536, 1536 * 3 * 1536 * 2, 2) == 352
+    # absurd width: no block fits -> None (caller warns and falls back)
+    assert _qkv_fused_block(1408, 8192, 8192 * 3 * 8192 * 2, 2) is None
+
+
 # ------------------------------------------------------ fused LN + SwiGLU
 
 
