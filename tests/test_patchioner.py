@@ -141,6 +141,40 @@ def test_argmax_text_mode(tiny_model, imgs):
         tiny_model.calculate_argmax_text = False
 
 
+def test_from_config_giant_swiglu_orchestrator(monkeypatch):
+    """The giant (SwiGLU-FFN) backbone must work through the ORCHESTRATOR
+    surface, not just vit_forward: from_config name dispatch, 1536-d
+    bank/decoder prefix, and cls + trace captioning end to end. Depth is
+    monkeypatched to 2 so the test exercises the swiglu plumbing (which
+    is per-layer) without 40 CPU layers. Reference giant surface:
+    src/model.py:127 (dim dispatch), torch.hub dinov2_vitg14* delegation
+    at src/model.py:336-343."""
+    giant = dict(vit.VARIANTS["dinov2_vitg14_reg"], depth=2)
+    monkeypatch.setitem(vit.VARIANTS, "dinov2_vitg14_reg", giant)
+    m = Patchioner.from_config(
+        {
+            "dino_model": "dinov2_vitg14_reg",
+            "crop_dim": 140,
+            "prefix_size": 1536,
+            "support_memory_size": 128,
+            "normalize": True,
+            "projection_type": "coco",
+        },
+        allow_missing_weights=True,
+        random_bank_size=128,
+    )
+    assert m.vit_cfg.ffn == "swiglu"
+    assert m.vit_cfg.embed_dim == 1536
+    assert m.bank.rows.shape[-1] == 1536
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(-1.5, 1.5, (2, 140, 140, 3)).astype(np.float32)
+    traces = [np.array([[0.2, 0.2], [0.6, 0.6]], np.float32)] * 2
+    outs = m.forward(imgs, traces=traces, get_cls_capt=True)
+    assert len(outs["cls_capt"]) == 2
+    assert len(outs["trace_capts"]) == 2
+    assert all(isinstance(c, str) for c in outs["cls_capt"])
+
+
 def test_from_config_full_size(tmp_path):
     cfg = {
         "decap_weights": "/nonexistent/decap.pt",
