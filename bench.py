@@ -78,6 +78,20 @@ def _naive_reference_port(model, batch: int):
         vit_cfg, attn_impl="xla", mlp_fused=False, qkv_fused=False,
         proj_fused=False, gelu_approx=False
     )
+    # The stock path materializes (B, H, N, N) attention logits in HBM;
+    # past ~14 GB that compile can only OOM (measured: giant at B=128
+    # needs 11.1 GB for the logits alone and XLA dies at 16.2/15.75 GB).
+    # Fail fast with the reason instead of a multi-minute compile spiral.
+    n_tok = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
+    logits_gb = batch * vit_cfg.num_heads * n_tok * n_tok * 2 / 1e9
+    if logits_gb > 8.0:
+        raise RuntimeError(
+            f"baseline infeasible on one 16 GB chip: the stock-XLA "
+            f"encoder's materialized attention logits are {logits_gb:.1f} "
+            f"GB at batch {batch} (the fused-attention path does not pay "
+            f"this — rerun with PATCHIONER_BENCH_BATCH<="
+            f"{int(batch * 8.0 / logits_gb)} for a two-sided ratio)"
+        )
     bank_rows = bank.rows[: bank.num_real]
 
     @jax.jit
@@ -321,6 +335,7 @@ def main():
         pass
 
     vs_baseline = None
+    baseline_note = None
     if os.environ.get("PATCHIONER_BENCH_SKIP_BASELINE", "0") != "1":
         try:
             naive_iters = max(1, iters // 5)
@@ -342,23 +357,24 @@ def main():
             # report the measured throughput with vs_baseline unset
             import sys
 
+            baseline_note = str(e)[:300]
             print(f"baseline measurement failed: {e!r}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "trace_captions_per_sec_per_chip",
-                "value": round(captions_per_sec, 3),
-                "unit": "captions/s",
-                "vs_baseline": vs_baseline,
-                "ms_per_batch": round(dt * 1000, 1),
-                "latency_ms_per_batch": round(dt_lat * 1000, 1),
-                "batch": batch,
-                "mfu": mfu,
-                "mfu_flop_source": flop_source,
-            }
-        )
-    )
+    record = {
+        "metric": "trace_captions_per_sec_per_chip",
+        "value": round(captions_per_sec, 3),
+        "unit": "captions/s",
+        "vs_baseline": vs_baseline,
+        "ms_per_batch": round(dt * 1000, 1),
+        "latency_ms_per_batch": round(dt_lat * 1000, 1),
+        "batch": batch,
+        "mfu": mfu,
+        "mfu_flop_source": flop_source,
+    }
+    if baseline_note is not None:
+        # why vs_baseline is null (infeasible baseline / flaky transport)
+        record["baseline_note"] = baseline_note
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
