@@ -91,8 +91,14 @@ def main():
         lambda k: decap.init_decap(k, cfg, prefix_size=768)
     )(jax.random.PRNGKey(2))
     prefix = jnp.asarray(rng.standard_normal((b, 768)), jnp.bfloat16)
-    timed("decap_greedy_30tok_12L",
+    timed("decap_greedy_30tok_12L_with_scores",
           lambda: decap.greedy_decode(dec, prefix, cfg))
+    # the caption pipelines discard scores inside ONE jitted program, so
+    # the per-step vocab log_softmax is dead code there — this is the
+    # number comparable to the viecap greedy row
+    tokens_only = jax.jit(lambda d, p: decap.greedy_decode(d, p, cfg)[0])
+    timed("decap_greedy_30tok_12L_tokens_only",
+          lambda: tokens_only(dec, prefix))
 
 
 if __name__ == "__main__":
