@@ -145,13 +145,15 @@ def _attn_full(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
-                 pos_offset: int = 0) -> jax.Array:
-    """Full-sequence forward over input embeddings -> logits (B, T, V).
+@functools.partial(jax.jit, static_argnames=("cfg", "pos_offset"))
+def gpt2_hidden(params: dict, embeds: jax.Array, cfg: GPT2Config,
+                pos_offset: int = 0) -> jax.Array:
+    """Full-sequence forward -> post-ln_f hidden states (B, T, D) in cfg.dtype.
 
-    Matches HF `GPT2LMHeadModel(inputs_embeds=...)`: add wpe positions, run
-    blocks, final LN, logits via tied wte.
+    The transformer half of `gpt2_forward`, split out so callers that want to
+    apply the tied-wte lm head in chunks (e.g. the chunked training CE in
+    train/decoder_train.py, which must never materialize the full (B, T, V)
+    logits) can do so without paying the forward twice.
     """
     b, t, d = embeds.shape
     if cfg.dtype != jnp.float32:
@@ -176,8 +178,22 @@ def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
         x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
         h = _ln(x, blk["ln_2"], cfg.ln_eps)
         x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
-    x = _ln(x, params["ln_f"], cfg.ln_eps)
-    return (x @ params["wte"].T).astype(jnp.float32)
+    return _ln(x, params["ln_f"], cfg.ln_eps)
+
+
+def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
+                 pos_offset: int = 0) -> jax.Array:
+    """Full-sequence forward over input embeddings -> logits (B, T, V).
+
+    Matches HF `GPT2LMHeadModel(inputs_embeds=...)`: add wpe positions, run
+    blocks, final LN, logits via tied wte.
+    """
+    x = gpt2_hidden(params, embeds, cfg, pos_offset)
+    if cfg.dtype != jnp.float32:
+        wte = params["wte"].astype(cfg.dtype)
+    else:
+        wte = params["wte"]
+    return (x @ wte.T).astype(jnp.float32)
 
 
 def gpt2_prefill(

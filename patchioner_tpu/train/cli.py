@@ -74,6 +74,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit_steps", type=int, default=None)
+    p.add_argument("--loss_chunk", type=int, default=0,
+                   help="compute the lm-head CE this many sequence positions "
+                        "at a time (0 = unchunked); lets batch sizes whose "
+                        "full (B, T, V) logits would OOM train (e.g. 4096)")
     # decoder architecture (defaults = the DeCap decoder_config.pkl values)
     p.add_argument("--n_layer", type=int, default=4)
     p.add_argument("--n_head", type=int, default=4)
@@ -152,6 +156,7 @@ def main(argv=None):
         warmup_steps=args.warmup,
         total_steps=args.epochs * max(steps_per_epoch, 1),
         gaussian_noise=args.gaussian_noise,
+        loss_chunk=args.loss_chunk,
     )
     tx = decoder_train.make_optimizer(tcfg)
     opt_state = tx.init(params)

@@ -40,6 +40,12 @@ class TrainConfig:
     label_smoothing: float = 0.1  # :229
     gaussian_noise: float = 0.0  # CapDec variant (:314-316)
     grad_clip: Optional[float] = None
+    # Chunked lm-head CE: compute logits `loss_chunk` sequence positions at a
+    # time under lax.scan + jax.checkpoint so the (B, T, V) f32 logits never
+    # materialize (33 GB at B=4096/T=40/V=50257 — the round-3 OOM wall in
+    # PERF.md's training table). 0 = the plain unchunked loss. Numerically
+    # identical up to f32 summation order (parity-tested incl. grads).
+    loss_chunk: int = 0
 
 
 def _smoothed_ce(logits, targets, label_smoothing, ignore_index=0):
@@ -54,6 +60,55 @@ def _smoothed_ce(logits, targets, label_smoothing, ignore_index=0):
     return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0), mask
 
 
+def _smoothed_ce_chunked(hidden, wte, targets, label_smoothing, chunk,
+                         ignore_index=0):
+    """Smoothed CE + argmax accuracy from post-ln_f hidden states, applying
+    the tied-wte lm head `chunk` positions at a time.
+
+    Same math as `_smoothed_ce` rearranged so only one (B, chunk, V) logits
+    block is ever live: logp = logits - lse, so nll = lse - logits[target]
+    and the smoothing term -mean(logp) = lse - mean(logits). The scan body is
+    wrapped in jax.checkpoint so the backward pass re-derives each chunk's
+    logits instead of keeping them resident.
+    """
+    from jax import lax
+
+    b, t, d = hidden.shape
+    pad = (-t) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        # Padded positions get the ignore_index so their mask is 0.
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=ignore_index)
+    n = (t + pad) // chunk
+    hidden_c = hidden.reshape(b, n, chunk, d).transpose(1, 0, 2, 3)
+    targets_c = targets.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    def body(carry, inp):
+        h, tgt = inp
+        logits = (h @ wte.T).astype(jnp.float32)  # (B, chunk, V)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt_logit = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+        nll = lse - tgt_logit
+        smooth = lse - jnp.mean(logits, axis=-1)
+        loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+        mask = (tgt != ignore_index).astype(jnp.float32)
+        correct = (jnp.argmax(logits, -1) == tgt).astype(jnp.float32) * mask
+        loss_sum, mask_sum, corr_sum = carry
+        return (
+            loss_sum + jnp.sum(loss * mask),
+            mask_sum + jnp.sum(mask),
+            corr_sum + jnp.sum(correct),
+        ), None
+
+    init = (jnp.zeros((), jnp.float32),) * 3
+    (loss_sum, mask_sum, corr_sum), _ = lax.scan(
+        jax.checkpoint(body), init, (hidden_c, targets_c)
+    )
+    denom = jnp.maximum(mask_sum, 1.0)
+    return loss_sum / denom, corr_sum / denom
+
+
 def decap_loss(
     params: decap_mod.DecapParams,
     features: jax.Array,
@@ -61,6 +116,7 @@ def decap_loss(
     gpt2_cfg: gpt2_mod.GPT2Config,
     *,
     label_smoothing: float = 0.1,
+    loss_chunk: int = 0,
 ):
     """CE reconstruction loss.
 
@@ -69,10 +125,21 @@ def decap_loss(
 
     Logit/target alignment matches the reference (:323-330): the prefix
     occupies position 0, logits[:, :-1] predict tokens[:, :].
+
+    loss_chunk > 0 computes the lm head + CE in position chunks
+    (`_smoothed_ce_chunked`) so the full (B, T, V) logits never materialize.
     """
     prefix_emb = decap_mod.decap_project_prefix(params, features)[:, None, :]
     tok_emb = params.gpt2["wte"][tokens]
     embeds = jnp.concatenate([prefix_emb, tok_emb], axis=1)
+    if loss_chunk:
+        hidden = gpt2_mod.gpt2_hidden(params.gpt2, embeds, gpt2_cfg)[:, :-1]
+        wte = params.gpt2["wte"]
+        if gpt2_cfg.dtype != jnp.float32:
+            wte = wte.astype(gpt2_cfg.dtype)
+        return _smoothed_ce_chunked(
+            hidden, wte, tokens, label_smoothing, loss_chunk
+        )
     logits = gpt2_mod.gpt2_forward(params.gpt2, embeds, gpt2_cfg)[:, :-1]
     loss, mask = _smoothed_ce(logits, tokens, label_smoothing)
     acc = jnp.sum((jnp.argmax(logits, -1) == tokens) * mask) / jnp.maximum(
@@ -157,6 +224,7 @@ def make_train_step(
             return decap_loss(
                 p, feats, tokens, gpt2_cfg,
                 label_smoothing=train_cfg.label_smoothing,
+                loss_chunk=train_cfg.loss_chunk,
             )
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -116,3 +116,59 @@ def test_capdec_noise_and_projection_pipeline():
     )
     norms = np.linalg.norm(np.asarray(out), axis=-1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_chunked_loss_matches_unchunked():
+    """loss_chunk must be numerically equivalent (loss, acc, AND grads) to the
+    plain loss — it only changes how the lm head is applied (chunked under
+    lax.scan + jax.checkpoint so the (B, T, V) logits never materialize)."""
+    cfg, params, feats, toks = _tiny_setup()
+    feats = jnp.asarray(feats)
+    toks = jnp.asarray(toks)
+
+    def loss_fn(p, chunk):
+        return decoder_train.decap_loss(
+            p, feats, toks, cfg, label_smoothing=0.1, loss_chunk=chunk
+        )
+
+    (l0, a0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params, 0)
+    # chunk=4 divides T=10 unevenly -> exercises the ignore-index padding.
+    for chunk in (4, 10, 64):
+        (l1, a1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, chunk)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        np.testing.assert_allclose(float(a1), float(a0), rtol=1e-6)
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for x, y in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=5e-5, atol=1e-6
+            )
+
+
+def test_chunked_loss_train_step_and_sharded():
+    """The chunked loss trains (loss decreases) and produces the same params
+    as the unchunked step on the virtual mesh."""
+    cfg, params, feats, toks = _tiny_setup()
+    tcfg_c = decoder_train.TrainConfig(
+        lr=1e-3, warmup_steps=2, total_steps=50, loss_chunk=4
+    )
+    tcfg_u = decoder_train.TrainConfig(lr=1e-3, warmup_steps=2, total_steps=50)
+    mesh = sharding.make_mesh(dp=4, mp=2)
+    outs = []
+    for tcfg in (tcfg_c, tcfg_u):
+        tx = decoder_train.make_optimizer(tcfg)
+        step = decoder_train.make_train_step(cfg, tcfg, tx, mesh=mesh)
+        # The train step donates params/opt_state — give each run its own copy.
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = tx.init(p)
+        key = jax.random.PRNGKey(0)
+        with mesh:
+            for _ in range(3):
+                p, opt_state, metrics = step(
+                    p, opt_state, jnp.asarray(feats), jnp.asarray(toks), key
+                )
+        outs.append((jax.tree_util.tree_leaves(p), float(metrics["loss"])))
+    for a, b in zip(outs[0][0], outs[1][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4)
