@@ -181,6 +181,7 @@ def gpt2_hidden(params: dict, embeds: jax.Array, cfg: GPT2Config,
     return _ln(x, params["ln_f"], cfg.ln_eps)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "pos_offset"))
 def gpt2_forward(params: dict, embeds: jax.Array, cfg: GPT2Config,
                  pos_offset: int = 0) -> jax.Array:
     """Full-sequence forward over input embeddings -> logits (B, T, V).
