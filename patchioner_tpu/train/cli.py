@@ -201,7 +201,12 @@ def main(argv=None):
     with mesh:
         for epoch in range(args.epochs):
             mix = ds.mix_indices(rng) if args.mix_captions else None
-            epoch_loss, epoch_acc, batches = 0.0, 0.0, 0
+            # Metrics stay device-side until epoch end: a float() per step
+            # would block on the async dispatch queue and serialize host and
+            # device (the reference pays the same sync via .item(),
+            # decoderTraining.py:336-345; here deferring it lets steps
+            # pipeline).
+            losses, accs = [], []
             t0 = time.time()
             for idx in data_mod.batch_iterator(
                 n, args.bs, seed=args.seed + epoch
@@ -214,15 +219,16 @@ def main(argv=None):
                 params, opt_state, metrics = step_fn(
                     params, opt_state, batch_feats, batch_toks, k, *extra
                 )
-                epoch_loss += float(metrics["loss"])
-                epoch_acc += float(metrics["acc"])
-                batches += 1
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
                 step += 1
                 if args.limit_steps and step >= args.limit_steps:
                     break
+            epoch_loss = float(np.mean([np.asarray(x) for x in losses])) if losses else 0.0
+            epoch_acc = float(np.mean([np.asarray(x) for x in accs])) if accs else 0.0
             line = (
-                f"{epoch},{step},{epoch_loss / max(batches,1):.5f},"
-                f"{epoch_acc / max(batches,1):.5f},{time.time() - t0:.1f}"
+                f"{epoch},{step},{epoch_loss:.5f},"
+                f"{epoch_acc:.5f},{time.time() - t0:.1f}"
             )
             print(f"epoch,step,loss,acc,seconds -> {line}")
             with open(log_path, "a") as f:
