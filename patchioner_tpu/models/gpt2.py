@@ -27,6 +27,8 @@ __all__ = [
     "GPT2_BASE_CONFIG",
     "init_gpt2",
     "gpt2_forward",
+    "gpt2_hidden",
+    "gpt2_hidden_packed",
     "init_kv_cache",
     "gpt2_step",
     "gpt2_candidates_step",
@@ -175,6 +177,52 @@ def gpt2_hidden(params: dict, embeds: jax.Array, cfg: GPT2Config,
             _split_heads(v, cfg.n_head),
             scale,
         )
+        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    return _ln(x, params["ln_f"], cfg.ln_eps)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def gpt2_hidden_packed(params: dict, embeds: jax.Array, segment_ids: jax.Array,
+                       pos_ids: jax.Array, cfg: GPT2Config) -> jax.Array:
+    """Packed-sequence forward -> post-ln_f hidden states (B, L, D).
+
+    Rows hold several independent captions back to back (see
+    train/packing.py). Attention is causal AND segment-local — position q
+    attends to k iff k <= q and segment_ids[q] == segment_ids[k] != 0 — and
+    positions are per-segment (`wpe[pos_ids]`), so each packed caption sees
+    exactly the attention pattern and position embeddings it would see alone
+    in a padded row. Padding slots carry segment id 0 and attend to nothing
+    (their softmax row sees only the all -1e30 logits; outputs are masked by
+    the loss).
+    """
+    b, t, d = embeds.shape
+    if cfg.dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
+    x = embeds.astype(cfg.dtype) + jnp.take(params["wpe"], pos_ids, axis=0).astype(
+        cfg.dtype
+    )
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    seg_ok = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+        segment_ids[:, None, :] != 0
+    )
+    mask = (causal[None] & seg_ok)[:, None]  # (B, 1, L, L)
+    for blk in params["blocks"]:
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.n_head)
+        k = _split_heads(k, cfg.n_head)
+        v = _split_heads(v, cfg.n_head)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+        logits = jnp.where(mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
         h = _ln(x, blk["ln_2"], cfg.ln_eps)
         x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])

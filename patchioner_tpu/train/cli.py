@@ -78,6 +78,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="compute the lm-head CE this many sequence positions "
                         "at a time (0 = unchunked); lets batch sizes whose "
                         "full (B, T, V) logits would OOM train (e.g. 4096)")
+    p.add_argument("--pack_len", type=int, default=0,
+                   help="pack captions into rows of this many positions with "
+                        "segment-local attention (0 = off). COCO captions "
+                        "average ~11 tokens vs the 40-token pad, so packing "
+                        "~3x's the captions trained per step; --bs counts "
+                        "packed ROWS in this mode (train/packing.py)")
     # decoder architecture (defaults = the DeCap decoder_config.pkl values)
     p.add_argument("--n_layer", type=int, default=4)
     p.add_argument("--n_head", type=int, default=4)
@@ -179,9 +185,14 @@ def main(argv=None):
     from patchioner_tpu.parallel import sharding
 
     mesh = sharding.make_mesh(dp=args.dp, mp=args.mp)
-    step_fn = decoder_train.make_train_step(
-        gcfg, tcfg, tx, use_bank=bank_rows is not None, mesh=mesh
-    )
+    if args.pack_len:
+        step_fn = decoder_train.make_packed_train_step(
+            gcfg, tcfg, tx, use_bank=bank_rows is not None, mesh=mesh
+        )
+    else:
+        step_fn = decoder_train.make_train_step(
+            gcfg, tcfg, tx, use_bank=bank_rows is not None, mesh=mesh
+        )
 
     from patchioner_tpu.io.checkpoints import CheckpointManager
 
@@ -198,9 +209,63 @@ def main(argv=None):
     log_path = os.path.join(args.out_dir, "train_log.csv")
     os.makedirs(args.out_dir, exist_ok=True)
 
+    if args.pack_len:
+        from patchioner_tpu.train import packing
+
+        # One resident copy of ALL caption features; each step's
+        # seg_feature_idx gathers its captions from it on device.
+        features_dev = jnp.asarray(features)
+        lengths = (np.asarray(ds.tokens) != 0).sum(axis=1)
+        # Fixed segment budget -> the step compiles once across epochs.
+        max_segments = max(1, args.pack_len // max(1, int(lengths.min())))
+
     with mesh:
         for epoch in range(args.epochs):
             mix = ds.mix_indices(rng) if args.mix_captions else None
+            if args.pack_len:
+                order = np.random.default_rng(args.seed + epoch).permutation(n)
+                pack = packing.pack_captions(
+                    ds.tokens, args.pack_len,
+                    feature_indices=mix, order=order,
+                    max_segments=max_segments,
+                )
+                nrows = pack.targets.shape[0]
+                losses, accs = [], []
+                t0 = time.time()
+                for start in range(0, nrows - args.bs + 1, args.bs):
+                    batch = packing.PackedBatch(
+                        *(jnp.asarray(a[start : start + args.bs])
+                          for a in pack)
+                    )
+                    key, k = jax.random.split(key)
+                    extra = (bank_rows,) if bank_rows is not None else ()
+                    params, opt_state, metrics = step_fn(
+                        params, opt_state, features_dev, batch, k, *extra
+                    )
+                    losses.append(metrics["loss"])
+                    accs.append(metrics["acc"])
+                    step += 1
+                    if args.limit_steps and step >= args.limit_steps:
+                        break
+                epoch_loss = (float(np.mean([np.asarray(x) for x in losses]))
+                              if losses else 0.0)
+                epoch_acc = (float(np.mean([np.asarray(x) for x in accs]))
+                             if accs else 0.0)
+                line = (
+                    f"{epoch},{step},{epoch_loss:.5f},"
+                    f"{epoch_acc:.5f},{time.time() - t0:.1f}"
+                )
+                print(f"epoch,step,loss,acc,seconds -> {line} "
+                      f"(packed: {nrows} rows, "
+                      f"{packing.packing_efficiency(pack):.0%} slot use)")
+                with open(log_path, "a") as f:
+                    f.write(line + "\n")
+                if (epoch + 1) % args.save_every == 0:
+                    ckpt.save(step, {"params": params, "opt_state": opt_state,
+                                     "step": step})
+                if args.limit_steps and step >= args.limit_steps:
+                    break
+                continue
             # Metrics stay device-side until epoch end: a float() per step
             # would block on the async dispatch queue and serialize host and
             # device (the reference pays the same sync via .item(),

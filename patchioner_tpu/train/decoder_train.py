@@ -28,7 +28,10 @@ import optax
 from patchioner_tpu.models import decap as decap_mod
 from patchioner_tpu.models import gpt2 as gpt2_mod
 
-__all__ = ["TrainConfig", "decap_loss", "make_train_step", "make_optimizer"]
+__all__ = [
+    "TrainConfig", "decap_loss", "decap_loss_packed", "make_train_step",
+    "make_packed_train_step", "make_optimizer",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +151,54 @@ def decap_loss(
     return loss, acc
 
 
+def decap_loss_packed(
+    params: decap_mod.DecapParams,
+    seg_features: jax.Array,
+    pack,
+    gpt2_cfg: gpt2_mod.GPT2Config,
+    *,
+    label_smoothing: float = 0.1,
+    loss_chunk: int = 0,
+):
+    """CE reconstruction loss over packed rows (train/packing.py).
+
+    seg_features: (R, S, prefix) — the per-SEGMENT prefix features, already
+      run through `prepare_features` (projection/noise are per caption).
+    pack: PackedBatch of device arrays; targets align 1:1 with positions
+      (position j of a segment predicts target j — same alignment as
+      `decap_loss`, reference decoderTraining.py:323-330).
+
+    Packing changes only which slots do useful work; per-token math is
+    identical to the unpacked loss (parity-tested in tests/test_packing.py).
+    """
+    r, s, _ = seg_features.shape
+    prefix = decap_mod.decap_project_prefix(
+        params, seg_features.reshape(r * s, -1)
+    ).reshape(r, s, -1)
+    tok_emb = params.gpt2["wte"][pack.input_tokens]  # (R, L, D)
+    seg_slot = jnp.maximum(pack.segment_ids - 1, 0)  # (R, L); pads clamp to 0
+    pre = jnp.take_along_axis(prefix, seg_slot[..., None], axis=1)
+    embeds = jnp.where(
+        pack.prefix_mask[..., None], pre.astype(tok_emb.dtype), tok_emb
+    )
+    hidden = gpt2_mod.gpt2_hidden_packed(
+        params.gpt2, embeds, pack.segment_ids, pack.pos_ids, gpt2_cfg
+    )
+    wte = params.gpt2["wte"]
+    if gpt2_cfg.dtype != jnp.float32:
+        wte = wte.astype(gpt2_cfg.dtype)
+    if loss_chunk:
+        return _smoothed_ce_chunked(
+            hidden, wte, pack.targets, label_smoothing, loss_chunk
+        )
+    logits = (hidden @ wte.T).astype(jnp.float32)
+    loss, mask = _smoothed_ce(logits, pack.targets, label_smoothing)
+    acc = jnp.sum((jnp.argmax(logits, -1) == pack.targets) * mask) / jnp.maximum(
+        jnp.sum(mask), 1.0
+    )
+    return loss, acc
+
+
 def prepare_features(
     features: jax.Array,
     *,
@@ -241,6 +292,74 @@ def make_train_step(
     dp = NamedSharding(mesh, P(dp_axis))
     mp = NamedSharding(mesh, P(mp_axis))
     in_shardings = [repl, repl, dp, dp, repl]
+    if use_bank:
+        in_shardings.append(mp)
+    return jax.jit(
+        step,
+        in_shardings=tuple(in_shardings),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_packed_train_step(
+    gpt2_cfg: gpt2_mod.GPT2Config,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    use_bank: bool = False,
+    mesh=None,
+    dp_axis: str = "dp",
+    mp_axis: str = "mp",
+):
+    """Packed-rows variant of `make_train_step` (see train/packing.py).
+
+    Signature: step(params, opt_state, features, pack, key[, bank_rows])
+    -> (params, opt_state, metrics). `features` is the FULL caption-feature
+    array (replicated — it stays resident on device across steps);
+    `pack.seg_feature_idx` selects this batch's captions, and the frozen
+    pipeline (projection / CapDec noise) runs once per segment = once per
+    caption, exactly as the unpacked step does per batch row.
+
+    With a mesh the pack's row axis shards over `dp_axis` — prefix gathers
+    from the replicated feature array stay local, and the gradient
+    all-reduce emerges from the shardings like the unpacked step's.
+    """
+
+    def step(params, opt_state, features, pack, key, bank_rows=None):
+        r, s = pack.seg_feature_idx.shape
+        seg_feats = features[pack.seg_feature_idx.reshape(-1)]
+        seg_feats = prepare_features(
+            seg_feats,
+            key=key,
+            gaussian_noise=train_cfg.gaussian_noise,
+            bank=bank_rows if use_bank else None,
+            use_pallas=False,
+        ).reshape(r, s, -1)
+
+        def loss_fn(p):
+            return decap_loss_packed(
+                p, seg_feats, pack, gpt2_cfg,
+                label_smoothing=train_cfg.label_smoothing,
+                loss_chunk=train_cfg.loss_chunk,
+            )
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "acc": acc}
+
+    if mesh is None:
+        return jax.jit(step)
+
+    from patchioner_tpu.train import packing
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(dp_axis))
+    mp = NamedSharding(mesh, P(mp_axis))
+    pack_sharding = packing.PackedBatch(*([dp] * 6))
+    in_shardings = [repl, repl, repl, pack_sharding, repl]
     if use_bank:
         in_shardings.append(mp)
     return jax.jit(
