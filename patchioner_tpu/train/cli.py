@@ -78,6 +78,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="compute the lm-head CE this many sequence positions "
                         "at a time (0 = unchunked); lets batch sizes whose "
                         "full (B, T, V) logits would OOM train (e.g. 4096)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each --bs batch into this many micro-batches "
+                        "scanned inside ONE jitted step (one big-batch-"
+                        "equivalent optimizer update); trains batch-size "
+                        "recipes beyond one chip's activation memory. "
+                        "--bs must be divisible by it")
     p.add_argument("--pack_len", type=int, default=0,
                    help="pack captions into rows of this many positions with "
                         "segment-local attention (0 = off). COCO captions "
@@ -90,6 +96,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_embd", type=int, default=768)
     p.add_argument("--vocab_size", type=int, default=50257)
     return p
+
+
+def _microbatch(a, grad_accum):
+    """Reshape a (B, ...) host batch to (grad_accum, B/grad_accum, ...) for
+    the accumulating train step (decoder_train.TrainConfig.grad_accum)."""
+    if grad_accum <= 1:
+        return a
+    return a.reshape((grad_accum, a.shape[0] // grad_accum) + a.shape[1:])
 
 
 def main(argv=None):
@@ -156,6 +170,10 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), gcfg, args.prefix_size
     )
 
+    if args.grad_accum > 1 and args.bs % args.grad_accum:
+        raise SystemExit(
+            f"--bs {args.bs} not divisible by --grad_accum {args.grad_accum}"
+        )
     steps_per_epoch = n // args.bs
     tcfg = decoder_train.TrainConfig(
         lr=args.lr,
@@ -163,6 +181,7 @@ def main(argv=None):
         total_steps=args.epochs * max(steps_per_epoch, 1),
         gaussian_noise=args.gaussian_noise,
         loss_chunk=args.loss_chunk,
+        grad_accum=args.grad_accum,
     )
     tx = decoder_train.make_optimizer(tcfg)
     opt_state = tx.init(params)
@@ -234,7 +253,8 @@ def main(argv=None):
                 t0 = time.time()
                 for start in range(0, nrows - args.bs + 1, args.bs):
                     batch = packing.PackedBatch(
-                        *(jnp.asarray(a[start : start + args.bs])
+                        *(jnp.asarray(_microbatch(a[start : start + args.bs],
+                                                  args.grad_accum))
                           for a in pack)
                     )
                     key, k = jax.random.split(key)
@@ -277,8 +297,12 @@ def main(argv=None):
                 n, args.bs, seed=args.seed + epoch
             ):
                 feat_idx = mix[idx] if mix is not None else idx
-                batch_feats = jnp.asarray(features[feat_idx])
-                batch_toks = jnp.asarray(ds.tokens[idx])
+                batch_feats = jnp.asarray(
+                    _microbatch(features[feat_idx], args.grad_accum)
+                )
+                batch_toks = jnp.asarray(
+                    _microbatch(ds.tokens[idx], args.grad_accum)
+                )
                 key, k = jax.random.split(key)
                 extra = (bank_rows,) if bank_rows is not None else ()
                 params, opt_state, metrics = step_fn(

@@ -49,6 +49,15 @@ class TrainConfig:
     # PERF.md's training table). 0 = the plain unchunked loss. Numerically
     # identical up to f32 summation order (parity-tested incl. grads).
     loss_chunk: int = 0
+    # Gradient accumulation: the step takes inputs with a leading
+    # (grad_accum,) micro-batch axis, scans the forward+backward over it,
+    # and applies ONE optimizer update from the token-count-weighted sum of
+    # micro-gradients — exactly the gradient the single big batch would
+    # produce (the CE normalizes over non-pad tokens, so micro losses are
+    # accumulated as sums and divided by the GLOBAL mask count; parity-tested
+    # vs the plain step). Lets batch-size recipes beyond one chip's
+    # activation memory train without sharding changes. 1 = off.
+    grad_accum: int = 1
 
 
 def _smoothed_ce(logits, targets, label_smoothing, ignore_index=0):
@@ -224,6 +233,35 @@ def prepare_features(
     return features
 
 
+def _accum_apply(params, opt_state, tx, micro_grads, xs):
+    """Scan `micro_grads` over the leading micro-batch axis of `xs`,
+    accumulate SUM gradients and (loss_sum, mask_sum, correct_sum), then
+    apply one update normalized by the GLOBAL mask count.
+
+    micro_grads(params, x) -> (sum_grads, loss_sum, mask_sum, correct_sum)
+    where sum_grads = d(loss_sum)/d(params). Dividing the accumulated sums
+    by the total mask count reproduces the big-batch mean-over-tokens CE
+    gradient exactly (up to f32 summation order).
+    """
+
+    def body(carry, x):
+        g_acc, l_acc, m_acc, c_acc = carry
+        g, lsum, msum, csum = micro_grads(params, x)
+        return (
+            jax.tree_util.tree_map(jnp.add, g_acc, g),
+            l_acc + lsum, m_acc + msum, c_acc + csum,
+        ), None
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    z = jnp.zeros((), jnp.float32)
+    (g, lsum, msum, csum), _ = jax.lax.scan(body, (zeros, z, z, z), xs)
+    denom = jnp.maximum(msum, 1.0)
+    grads = jax.tree_util.tree_map(lambda v: v / denom.astype(v.dtype), g)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, {"loss": lsum / denom, "acc": csum / denom}
+
+
 def make_optimizer(cfg: TrainConfig):
     """AdamW + linear warmup then linear decay
     (reference: get_linear_schedule_with_warmup, :255,265-267)."""
@@ -257,12 +295,53 @@ def make_train_step(
     Signature: step(params, opt_state, features, tokens, key[, bank_rows])
     -> (params, opt_state, metrics dict).
 
-    With a mesh: features/tokens shard over `dp_axis`, bank rows over
-    `mp_axis`, params/opt-state replicated — XLA inserts the gradient
-    all-reduce and the projection's softmax collectives.
+    With `train_cfg.grad_accum > 1`, features/tokens instead carry a leading
+    (grad_accum, micro_batch, ...) axis; the step scans forward+backward over
+    micro-batches and applies one big-batch-equivalent update (`_accum_apply`;
+    CapDec noise keys are split per micro-batch).
+
+    With a mesh: features/tokens shard over `dp_axis` (the micro-batch axis
+    when accumulating), bank rows over `mp_axis`, params/opt-state
+    replicated — XLA inserts the gradient all-reduce and the projection's
+    softmax collectives.
     """
+    accum = max(int(train_cfg.grad_accum), 1)
+
+    def micro_grads(params, x, bank_rows=None):
+        feats_m, toks_m, k = x
+        feats = prepare_features(
+            feats_m,
+            key=k,
+            gaussian_noise=train_cfg.gaussian_noise,
+            bank=bank_rows,
+            use_pallas=False,
+        )
+        msum = jnp.sum((toks_m != 0).astype(jnp.float32))
+
+        def loss_sum_fn(p):
+            loss, acc = decap_loss(
+                p, feats, toks_m, gpt2_cfg,
+                label_smoothing=train_cfg.label_smoothing,
+                loss_chunk=train_cfg.loss_chunk,
+            )
+            # loss is mean over the micro-batch's non-pad tokens; its sum
+            # form (loss * msum) is what accumulates exactly across
+            # micro-batches.
+            return loss * msum, acc
+
+        (lsum, acc), g = jax.value_and_grad(loss_sum_fn, has_aux=True)(params)
+        return g, lsum, msum, acc * msum
 
     def step(params, opt_state, features, tokens, key, bank_rows=None):
+        if accum > 1:
+            keys = jax.random.split(key, accum)
+            # The bank is not micro-batched — close over it so the scan
+            # never carries (accum,) copies.
+            bank = bank_rows if use_bank else None
+            mg = lambda p, x: micro_grads(p, x, bank)
+            return _accum_apply(
+                params, opt_state, tx, mg, (features, tokens, keys)
+            )
         feats = prepare_features(
             features,
             key=key,
@@ -289,7 +368,8 @@ def make_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    dp = NamedSharding(mesh, P(dp_axis))
+    batch_spec = P(None, dp_axis) if accum > 1 else P(dp_axis)
+    dp = NamedSharding(mesh, batch_spec)
     mp = NamedSharding(mesh, P(mp_axis))
     in_shardings = [repl, repl, dp, dp, repl]
     if use_bank:
@@ -324,9 +404,44 @@ def make_packed_train_step(
     With a mesh the pack's row axis shards over `dp_axis` — prefix gathers
     from the replicated feature array stay local, and the gradient
     all-reduce emerges from the shardings like the unpacked step's.
+
+    With `train_cfg.grad_accum > 1`, every pack leaf carries a leading
+    (grad_accum, micro_rows, ...) axis and the step scans micro-batches into
+    one big-batch-equivalent update (`_accum_apply`); `features` stays one
+    resident unbatched array.
     """
+    accum = max(int(train_cfg.grad_accum), 1)
+
+    def micro_grads(params, x, features, bank_rows=None):
+        pack_m, k = x
+        r, s = pack_m.seg_feature_idx.shape
+        seg_feats = features[pack_m.seg_feature_idx.reshape(-1)]
+        seg_feats = prepare_features(
+            seg_feats,
+            key=k,
+            gaussian_noise=train_cfg.gaussian_noise,
+            bank=bank_rows,
+            use_pallas=False,
+        ).reshape(r, s, -1)
+        msum = jnp.sum((pack_m.targets != 0).astype(jnp.float32))
+
+        def loss_sum_fn(p):
+            loss, acc = decap_loss_packed(
+                p, seg_feats, pack_m, gpt2_cfg,
+                label_smoothing=train_cfg.label_smoothing,
+                loss_chunk=train_cfg.loss_chunk,
+            )
+            return loss * msum, acc
+
+        (lsum, acc), g = jax.value_and_grad(loss_sum_fn, has_aux=True)(params)
+        return g, lsum, msum, acc * msum
 
     def step(params, opt_state, features, pack, key, bank_rows=None):
+        if accum > 1:
+            keys = jax.random.split(key, accum)
+            bank = bank_rows if use_bank else None
+            mg = lambda p, x: micro_grads(p, x, features, bank)
+            return _accum_apply(params, opt_state, tx, mg, (pack, keys))
         r, s = pack.seg_feature_idx.shape
         seg_feats = features[pack.seg_feature_idx.reshape(-1)]
         seg_feats = prepare_features(
@@ -356,7 +471,8 @@ def make_packed_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    dp = NamedSharding(mesh, P(dp_axis))
+    row_spec = P(None, dp_axis) if accum > 1 else P(dp_axis)
+    dp = NamedSharding(mesh, row_spec)
     mp = NamedSharding(mesh, P(mp_axis))
     pack_sharding = packing.PackedBatch(*([dp] * 6))
     in_shardings = [repl, repl, repl, pack_sharding, repl]

@@ -52,6 +52,7 @@ def test_cli_trains_and_resumes(tmp_path):
         "--n_layer", "1", "--n_head", "2", "--n_embd", "32",
         "--vocab_size", "49408",
         "--mix_captions", "--dp", "4", "--mp", "2", "--limit_steps", "2",
+        "--grad_accum", "2",
     ]
     cli.main(argv)
     assert (out / "train_log.csv").exists()

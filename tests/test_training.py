@@ -172,3 +172,81 @@ def test_chunked_loss_train_step_and_sharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4)
+
+
+def test_grad_accum_matches_single_step():
+    """grad_accum=A over (A, M, ...) micro-batches must produce the SAME
+    update as the plain step on the flat (A*M, ...) batch — the accumulated
+    gradient is the token-count-weighted sum divided by the global mask
+    count, i.e. exactly the big-batch CE gradient (noise off; with noise the
+    per-micro-batch keys intentionally differ)."""
+    cfg, params, feats, toks = _tiny_setup()
+    bank = np.random.default_rng(4).standard_normal((64, 16)).astype(np.float32)
+    key = jax.random.PRNGKey(2)
+    outs = []
+    for accum in (1, 2, 4):
+        tcfg = decoder_train.TrainConfig(
+            lr=1e-3, warmup_steps=2, total_steps=50, grad_accum=accum
+        )
+        tx = decoder_train.make_optimizer(tcfg)
+        step = decoder_train.make_train_step(cfg, tcfg, tx, use_bank=True)
+        f = jnp.asarray(feats.reshape(accum, 8 // accum, -1)) if accum > 1 \
+            else jnp.asarray(feats)
+        t = jnp.asarray(toks.reshape(accum, 8 // accum, -1)) if accum > 1 \
+            else jnp.asarray(toks)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        p, _, m = step(p, tx.init(p), f, t, key, jnp.asarray(bank))
+        outs.append((jax.tree_util.tree_leaves(p), float(m["loss"]),
+                     float(m["acc"])))
+    for leaves, loss, acc in outs[1:]:
+        np.testing.assert_allclose(loss, outs[0][1], rtol=1e-5)
+        np.testing.assert_allclose(acc, outs[0][2], rtol=1e-5)
+        for a, b in zip(leaves, outs[0][0]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_grad_accum_packed_and_sharded():
+    """Packed grad_accum == packed plain step, both on the (dp, mp) mesh
+    (leading micro-batch axis replicated, rows dp-sharded)."""
+    from patchioner_tpu.train import packing
+
+    cfg, params, feats, toks = _tiny_setup()
+    tcfg0 = decoder_train.TrainConfig(lr=1e-3, warmup_steps=2, total_steps=50)
+    mesh = sharding.make_mesh(dp=4, mp=2)
+    pack_np = packing.pack_captions(toks, row_len=16, max_segments=2)
+    r = pack_np.targets.shape[0]
+    pad = (-r) % 8  # rows divisible by accum * dp
+    if pad:
+        pack_np = packing.PackedBatch(
+            *(np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+              for a in pack_np)
+        )
+    r = pack_np.targets.shape[0]
+    outs = []
+    for accum in (1, 2):
+        tcfg = decoder_train.TrainConfig(
+            lr=1e-3, warmup_steps=2, total_steps=50, grad_accum=accum
+        )
+        tx = decoder_train.make_optimizer(tcfg)
+        if accum > 1:
+            pack = packing.PackedBatch(
+                *(jnp.asarray(a.reshape((accum, r // accum) + a.shape[1:]))
+                  for a in pack_np)
+            )
+        else:
+            pack = packing.PackedBatch(*(jnp.asarray(a) for a in pack_np))
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        with mesh:
+            step = decoder_train.make_packed_train_step(
+                cfg, tcfg, tx, mesh=mesh
+            )
+            p, _, m = step(p, tx.init(p), jnp.asarray(feats), pack,
+                           jax.random.PRNGKey(0))
+        outs.append((jax.tree_util.tree_leaves(p), float(m["loss"]),
+                     float(m["acc"])))
+    np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[1][2], outs[0][2], rtol=1e-5)
+    for a, b in zip(outs[1][0], outs[0][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
