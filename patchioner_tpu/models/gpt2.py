@@ -138,13 +138,39 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
-def _attn_full(q, k, v, scale):
+def _attn_full(q, k, v, scale, mask=None):
+    """Full-sequence attention; `mask` (broadcastable to (B, H, Tq, Tk),
+    True = attend) overrides the default causal mask (used by the packed
+    path's causal-AND-segment-local mask)."""
     t, s = q.shape[-2], k.shape[-2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
-    causal = jnp.tril(jnp.ones((t, s), bool), k=s - t)
-    logits = jnp.where(causal, logits, -1e30)
+    if mask is None:
+        mask = jnp.tril(jnp.ones((t, s), bool), k=s - t)
+    logits = jnp.where(mask, logits, -1e30)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _blocks(params: dict, x: jax.Array, cfg: GPT2Config, mask=None) -> jax.Array:
+    """The transformer trunk shared by `gpt2_hidden` (causal) and
+    `gpt2_hidden_packed` (explicit segment mask): blocks + final LN.
+    Positions must already be added to `x`; params already in cfg.dtype."""
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    for blk in params["blocks"]:
+        h = _ln(x, blk["ln_1"], cfg.ln_eps)
+        qkv = _dense(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = _attn_full(
+            _split_heads(q, cfg.n_head),
+            _split_heads(k, cfg.n_head),
+            _split_heads(v, cfg.n_head),
+            scale,
+            mask=mask,
+        )
+        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
+        h = _ln(x, blk["ln_2"], cfg.ln_eps)
+        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
+    return _ln(x, params["ln_f"], cfg.ln_eps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pos_offset"))
@@ -166,21 +192,7 @@ def gpt2_hidden(params: dict, embeds: jax.Array, cfg: GPT2Config,
     x = embeds.astype(cfg.dtype) + params["wpe"][pos_offset : pos_offset + t].astype(
         cfg.dtype
     )
-    scale = 1.0 / math.sqrt(cfg.head_dim)
-    for blk in params["blocks"]:
-        h = _ln(x, blk["ln_1"], cfg.ln_eps)
-        qkv = _dense(h, blk["attn"]["c_attn"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = _attn_full(
-            _split_heads(q, cfg.n_head),
-            _split_heads(k, cfg.n_head),
-            _split_heads(v, cfg.n_head),
-            scale,
-        )
-        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
-        h = _ln(x, blk["ln_2"], cfg.ln_eps)
-        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
-    return _ln(x, params["ln_f"], cfg.ln_eps)
+    return _blocks(params, x, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -206,27 +218,12 @@ def gpt2_hidden_packed(params: dict, embeds: jax.Array, segment_ids: jax.Array,
     x = embeds.astype(cfg.dtype) + jnp.take(params["wpe"], pos_ids, axis=0).astype(
         cfg.dtype
     )
-    scale = 1.0 / math.sqrt(cfg.head_dim)
     causal = jnp.tril(jnp.ones((t, t), bool))
     seg_ok = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
         segment_ids[:, None, :] != 0
     )
     mask = (causal[None] & seg_ok)[:, None]  # (B, 1, L, L)
-    for blk in params["blocks"]:
-        h = _ln(x, blk["ln_1"], cfg.ln_eps)
-        qkv = _dense(h, blk["attn"]["c_attn"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = _split_heads(q, cfg.n_head)
-        k = _split_heads(k, cfg.n_head)
-        v = _split_heads(v, cfg.n_head)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
-        logits = jnp.where(mask, logits, -1e30)
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        a = jnp.einsum("bhqk,bhkd->bhqd", w, v)
-        x = x + _dense(_merge_heads(a), blk["attn"]["c_proj"])
-        h = _ln(x, blk["ln_2"], cfg.ln_eps)
-        x = x + _dense(_gelu_new(_dense(h, blk["mlp"]["c_fc"])), blk["mlp"]["c_proj"])
-    return _ln(x, params["ln_f"], cfg.ln_eps)
+    return _blocks(params, x, cfg, mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pos_offset"))

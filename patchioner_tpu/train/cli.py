@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import random
+import sys
 import time
 
 import numpy as np
@@ -174,7 +175,27 @@ def main(argv=None):
         raise SystemExit(
             f"--bs {args.bs} not divisible by --grad_accum {args.grad_accum}"
         )
-    steps_per_epoch = n // args.bs
+    if args.pack_len:
+        from patchioner_tpu.train import packing
+
+        # Size the LR schedule and the static segment budget from an ACTUAL
+        # epoch-0 pack: a packed step consumes --bs ROWS (~3x captions), so
+        # caption-count step math would end the linear decay ~1/3 into it;
+        # and deriving max_segments from the observed pack keeps one
+        # degenerate 1-token caption from inflating the (R, S) axis to
+        # ~pack_len (review r3c).
+        pack0 = packing.pack_captions(ds.tokens, args.pack_len)
+        max_segments = pack0.seg_feature_idx.shape[1]
+        steps_per_epoch = pack0.targets.shape[0] // args.bs
+        if steps_per_epoch == 0:
+            raise SystemExit(
+                f"--bs {args.bs} rows exceeds the packed corpus "
+                f"({pack0.targets.shape[0]} rows at --pack_len "
+                f"{args.pack_len}); lower --bs — packed rows hold several "
+                "captions each"
+            )
+    else:
+        steps_per_epoch = n // args.bs
     tcfg = decoder_train.TrainConfig(
         lr=args.lr,
         warmup_steps=args.warmup,
@@ -229,14 +250,15 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
 
     if args.pack_len:
-        from patchioner_tpu.train import packing
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        # One resident copy of ALL caption features; each step's
+        # One resident copy of ALL caption features, placed REPLICATED on
+        # the mesh up front — a plain jnp.asarray would commit it to one
+        # device and re-broadcast every step (review r3c). Each step's
         # seg_feature_idx gathers its captions from it on device.
-        features_dev = jnp.asarray(features)
-        lengths = (np.asarray(ds.tokens) != 0).sum(axis=1)
-        # Fixed segment budget -> the step compiles once across epochs.
-        max_segments = max(1, args.pack_len // max(1, int(lengths.min())))
+        features_dev = jax.device_put(
+            features, NamedSharding(mesh, PartitionSpec())
+        )
 
     with mesh:
         for epoch in range(args.epochs):
@@ -267,6 +289,12 @@ def main(argv=None):
                     step += 1
                     if args.limit_steps and step >= args.limit_steps:
                         break
+                if not losses:
+                    print(
+                        f"WARNING: epoch {epoch} ran 0 packed steps "
+                        f"({nrows} rows < --bs {args.bs}); nothing trained",
+                        file=sys.stderr,
+                    )
                 epoch_loss = (float(np.mean([np.asarray(x) for x in losses]))
                               if losses else 0.0)
                 epoch_acc = (float(np.mean([np.asarray(x) for x in accs]))

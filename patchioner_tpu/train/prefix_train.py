@@ -31,6 +31,12 @@ class PrefixTrainConfig:
     total_steps: int = 100_000
     noise_variance: float = 0.016  # ViECap text-only noise (main.py:48)
     weight_decay: float = 0.0
+    # Chunked lm-head CE (same machinery as decoder training's
+    # TrainConfig.loss_chunk): the (B, T, V) f32 logits the full head
+    # materializes OOM one v5e at B=1024/T=40 (measured,
+    # scripts/probe_prefix_train_tpu.py); chunking the head removes them.
+    # 0 = plain full-logits loss.
+    loss_chunk: int = 0
 
 
 def prefix_loss(
@@ -42,11 +48,16 @@ def prefix_loss(
     mask: jax.Array,
     gpt2_cfg: gpt2_mod.GPT2Config,
     hard_tokens: Optional[jax.Array] = None,
+    loss_chunk: int = 0,
 ):
     """CE of caption tokens given [hard prompt ‖ soft prefix] (or just the
     soft prefix). tokens: (B, T) 0-padded; mask: (B, T) 1 for real tokens.
 
     mapper_fn(mapper_params, features) -> (B, L, D) soft prompt.
+
+    loss_chunk > 0 applies the tied-wte lm head `loss_chunk` positions at a
+    time (decoder_train._smoothed_ce_chunked with smoothing 0) so the
+    (B, T, V) f32 logits never materialize — numerically identical.
     """
     soft = mapper_fn(mapper_params, features)
     tok_emb = gpt2_params["wte"][tokens]
@@ -56,6 +67,19 @@ def prefix_loss(
         parts.insert(0, gpt2_params["wte"][hard_tokens])
         prefix_len += hard_tokens.shape[1]
     embeds = jnp.concatenate(parts, axis=1)
+    if loss_chunk:
+        from patchioner_tpu.train.decoder_train import _smoothed_ce_chunked
+
+        hidden = gpt2_mod.gpt2_hidden(gpt2_params, embeds, gpt2_cfg)[
+            :, prefix_len - 1 : -1
+        ]
+        wte = gpt2_params["wte"]
+        if gpt2_cfg.dtype != jnp.float32:
+            wte = wte.astype(gpt2_cfg.dtype)
+        # The chunked CE masks by ignore_index 0; fold the explicit mask in
+        # so both paths score exactly the same positions.
+        targets = jnp.where(mask.astype(bool), tokens, 0)
+        return _smoothed_ce_chunked(hidden, wte, targets, 0.0, loss_chunk)
     logits = gpt2_mod.gpt2_forward(gpt2_params, embeds, gpt2_cfg)
     # standard shift: position prefix_len-1+i predicts token i
     pred = logits[:, prefix_len - 1 : -1]
@@ -94,7 +118,8 @@ def make_prefix_train_step(
 
         def loss_fn(p):
             return prefix_loss(
-                p, mapper_fn, gpt2_params, features, tokens, mask, gpt2_cfg
+                p, mapper_fn, gpt2_params, features, tokens, mask, gpt2_cfg,
+                loss_chunk=cfg.loss_chunk,
             )
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(

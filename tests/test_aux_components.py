@@ -94,6 +94,35 @@ def test_prefix_training_decreases_loss():
     assert float(m["loss"]) < first
 
 
+def test_prefix_loss_chunked_matches_plain():
+    """PrefixTrainConfig.loss_chunk applies the lm head in position chunks —
+    loss/acc (and therefore mapper grads) must match the full-logits path
+    (same machinery as decoder training's loss_chunk; the (B, T, V) logits
+    OOM one v5e at B=1024, scripts/probe_prefix_train_tpu.py)."""
+    from patchioner_tpu.models import clipcap, gpt2
+    from patchioner_tpu.train import prefix_train
+
+    gcfg = gpt2.GPT2Config(vocab_size=101, n_positions=64, n_embd=32,
+                           n_layer=1, n_head=2)
+    gp = gpt2.init_gpt2(jax.random.PRNGKey(0), gcfg)
+    mapper = clipcap.init_mlp_mapper(jax.random.PRNGKey(1), 16, 3, 32)
+    fn = lambda p, f: clipcap.mlp_mapper_forward(p, f, 3, 32)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    toks_np = rng.integers(1, 101, (8, 6)).astype(np.int32)
+    toks_np[:, 4:] = 0  # padding -> exercises the mask folding
+    toks = jnp.asarray(toks_np)
+    mask = jnp.asarray((toks_np != 0).astype(np.float32))
+    l0, a0 = prefix_train.prefix_loss(mapper, fn, gp, feats, toks, mask, gcfg)
+    # chunk=4 divides T=6 unevenly -> exercises the pad-to-chunk path
+    for chunk in (2, 4, 64):
+        l1, a1 = prefix_train.prefix_loss(
+            mapper, fn, gp, feats, toks, mask, gcfg, loss_chunk=chunk
+        )
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        np.testing.assert_allclose(float(a1), float(a0), rtol=1e-5)
+
+
 def test_prefix_training_sharded_matches():
     import optax
 
