@@ -1485,22 +1485,31 @@ class Patchioner:
             )
         self._serve_mesh = (mesh, dp_axis) if mesh is not None else None
         self._placed_state_cache = None
+        import threading
+
+        self._placed_lock = threading.Lock()
 
     def _placed_fused_state(self):
         """Replicate the fused-step state over the serving mesh once;
         the bank/decoder/vit_params property setters (and place_on_mesh)
         drop the cache, so a hot-swap can neither serve stale state nor
-        pin the swapped-out arrays."""
+        pin the swapped-out arrays. Locked: two server workers racing the
+        first dispatch must not both pay the full-state transfer (minutes
+        over a slow link for a ~GB flagship state)."""
         cached = self._placed_state_cache
         if cached is not None:
             return cached
-        mesh, _ = self._serve_mesh
-        state = jax.device_put(
-            self._fused_state(),
-            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
-        )
-        self._placed_state_cache = state
-        return state
+        with self._placed_lock:
+            cached = self._placed_state_cache
+            if cached is not None:
+                return cached
+            mesh, _ = self._serve_mesh
+            state = jax.device_put(
+                self._fused_state(),
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            )
+            self._placed_state_cache = state
+            return state
 
     def _dispatch_fused(self, step, imgs, *args, rows_per_image: int = 1):
         """Run one fused caption program and return host token ids.

@@ -150,6 +150,10 @@ class CaptionServer:
         self._closed = False
         self._drain_lock = threading.Lock()  # one drainer at a time
         self._stats_lock = threading.Lock()
+        # serializes submit's closed-check+enqueue against close's
+        # sentinel insertion — a request slipping in AFTER the sentinels
+        # would never resolve its future
+        self._lifecycle_lock = threading.Lock()
         self._workers = [
             threading.Thread(
                 target=self._run, name=f"caption-server-{i}", daemon=True
@@ -194,7 +198,10 @@ class CaptionServer:
                        self._norm_bboxes(bboxes), region_set=region_set)
         with self._stats_lock:
             self.stats.requests += 1
-        self._q.put(req)
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("CaptionServer is closed")
+            self._q.put(req)
         return req.future
 
     def caption(self, images: Sequence, traces: Optional[Sequence] = None,
@@ -255,11 +262,12 @@ class CaptionServer:
                 )
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        for _ in self._workers:
-            self._q.put(None)
+        with self._lifecycle_lock:
+            if self._closed:
+                return
+            self._closed = True
+            for _ in self._workers:
+                self._q.put(None)
         for w in self._workers:
             w.join(timeout=timeout)
 
@@ -350,7 +358,7 @@ class CaptionServer:
                 return
             # trace / bbox / region-set / cls requests run different
             # programs — split, keep arrival order within each group
-            for group, mode in (
+            for mode_group, mode in (
                 ([r for r in batch if r.trace is not None], "trace"),
                 ([r for r in batch
                   if r.bboxes is not None and not r.region_set], "bbox"),
@@ -359,18 +367,27 @@ class CaptionServer:
                 ([r for r in batch
                   if r.trace is None and r.bboxes is None], "cls"),
             ):
-                if not group:
-                    continue
-                try:
-                    caps = self._run_group(group, mode)
-                    for r, c in zip(group, caps):
-                        r.future.set_result(c)
-                except Exception as e:  # noqa: BLE001 — delivered to callers
-                    with self._stats_lock:
-                        self.stats.errors += 1
-                    for r in group:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                # Also split by pixel dtype: np.stack over mixed
+                # uint8 (device-normalized) and float (pre-normalized)
+                # rows would promote everything to float and silently
+                # skip the fused step's uint8 normalization for the
+                # uint8 rows — run the two populations separately.
+                for group in (
+                    [r for r in mode_group if r.pixels.dtype == np.uint8],
+                    [r for r in mode_group if r.pixels.dtype != np.uint8],
+                ):
+                    if not group:
+                        continue
+                    try:
+                        caps = self._run_group(group, mode)
+                        for r, c in zip(group, caps):
+                            r.future.set_result(c)
+                    except Exception as e:  # noqa: BLE001 — delivered to callers
+                        with self._stats_lock:
+                            self.stats.errors += 1
+                        for r in group:
+                            if not r.future.done():
+                                r.future.set_exception(e)
 
     def _fused_ok(self) -> bool:
         return (hasattr(self.model, "supports_fused_trace_path")

@@ -73,7 +73,7 @@ def _smoothed_ce(logits, targets, label_smoothing, ignore_index=0):
 
 
 def _smoothed_ce_chunked(hidden, wte, targets, label_smoothing, chunk,
-                         ignore_index=0):
+                         ignore_index=0, mask=None):
     """Smoothed CE + argmax accuracy from post-ln_f hidden states, applying
     the tied-wte lm head `chunk` positions at a time.
 
@@ -82,40 +82,49 @@ def _smoothed_ce_chunked(hidden, wte, targets, label_smoothing, chunk,
     and the smoothing term -mean(logp) = lse - mean(logits). The scan body is
     wrapped in jax.checkpoint so the backward pass re-derives each chunk's
     logits instead of keeping them resident.
+
+    `mask` (B, T), when given, overrides the default `targets !=
+    ignore_index` scoring mask — prefix training passes its explicit mask
+    so a genuine token id 0 under mask=1 still scores (the default is the
+    decoder-training convention where 0 is always pad).
     """
     from jax import lax
 
     b, t, d = hidden.shape
+    mask = ((targets != ignore_index) if mask is None else mask).astype(
+        jnp.float32
+    )
     pad = (-t) % chunk
     if pad:
         hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
-        # Padded positions get the ignore_index so their mask is 0.
         targets = jnp.pad(targets, ((0, 0), (0, pad)),
                           constant_values=ignore_index)
+        # Padded positions never score.
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
     n = (t + pad) // chunk
     hidden_c = hidden.reshape(b, n, chunk, d).transpose(1, 0, 2, 3)
     targets_c = targets.reshape(b, n, chunk).transpose(1, 0, 2)
+    mask_c = mask.reshape(b, n, chunk).transpose(1, 0, 2)
 
     def body(carry, inp):
-        h, tgt = inp
+        h, tgt, m = inp
         logits = (h @ wte.T).astype(jnp.float32)  # (B, chunk, V)
         lse = jax.nn.logsumexp(logits, axis=-1)
         tgt_logit = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
         nll = lse - tgt_logit
         smooth = lse - jnp.mean(logits, axis=-1)
         loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
-        mask = (tgt != ignore_index).astype(jnp.float32)
-        correct = (jnp.argmax(logits, -1) == tgt).astype(jnp.float32) * mask
+        correct = (jnp.argmax(logits, -1) == tgt).astype(jnp.float32) * m
         loss_sum, mask_sum, corr_sum = carry
         return (
-            loss_sum + jnp.sum(loss * mask),
-            mask_sum + jnp.sum(mask),
+            loss_sum + jnp.sum(loss * m),
+            mask_sum + jnp.sum(m),
             corr_sum + jnp.sum(correct),
         ), None
 
     init = (jnp.zeros((), jnp.float32),) * 3
     (loss_sum, mask_sum, corr_sum), _ = lax.scan(
-        jax.checkpoint(body), init, (hidden_c, targets_c)
+        jax.checkpoint(body), init, (hidden_c, targets_c, mask_c)
     )
     denom = jnp.maximum(mask_sum, 1.0)
     return loss_sum / denom, corr_sum / denom

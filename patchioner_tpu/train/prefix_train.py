@@ -76,10 +76,12 @@ def prefix_loss(
         wte = gpt2_params["wte"]
         if gpt2_cfg.dtype != jnp.float32:
             wte = wte.astype(gpt2_cfg.dtype)
-        # The chunked CE masks by ignore_index 0; fold the explicit mask in
-        # so both paths score exactly the same positions.
-        targets = jnp.where(mask.astype(bool), tokens, 0)
-        return _smoothed_ce_chunked(hidden, wte, targets, 0.0, loss_chunk)
+        # Pass the explicit mask through so a genuine token id 0 ("!" in
+        # GPT-2's vocab) under mask=1 scores exactly like the full-logits
+        # path.
+        return _smoothed_ce_chunked(
+            hidden, wte, tokens, 0.0, loss_chunk, mask=mask
+        )
     logits = gpt2_mod.gpt2_forward(gpt2_params, embeds, gpt2_cfg)
     # standard shift: position prefix_len-1+i predicts token i
     pred = logits[:, prefix_len - 1 : -1]

@@ -110,9 +110,15 @@ def test_prefix_loss_chunked_matches_plain():
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
     toks_np = rng.integers(1, 101, (8, 6)).astype(np.int32)
-    toks_np[:, 4:] = 0  # padding -> exercises the mask folding
+    mask_np = np.ones((8, 6), np.float32)
+    mask_np[:, 4:] = 0.0  # padding
+    toks_np[:, 4:] = 0
+    # A REAL token id 0 ("!" in GPT-2's vocab) under mask=1 must score in
+    # both paths — the chunked head takes the explicit mask, not the
+    # targets!=0 convention.
+    toks_np[0, 2] = 0
     toks = jnp.asarray(toks_np)
-    mask = jnp.asarray((toks_np != 0).astype(np.float32))
+    mask = jnp.asarray(mask_np)
     l0, a0 = prefix_train.prefix_loss(mapper, fn, gp, feats, toks, mask, gcfg)
     # chunk=4 divides T=6 unevenly -> exercises the pad-to-chunk path
     for chunk in (2, 4, 64):
