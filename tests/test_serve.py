@@ -169,6 +169,33 @@ def test_two_workers_results_still_correct(tiny_model):
     assert got == list(direct)
 
 
+def test_mixed_pixel_dtypes_coexist(tiny_model):
+    """uint8 (device-normalized) and float32 (pre-normalized) requests in
+    ONE drained batch must each get the caption they'd get alone — the
+    worker splits by dtype so np.stack never promotes the uint8 rows to
+    float (which would silently skip their on-device normalization)."""
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, (56, 56, 3)).astype(np.uint8)
+    img_f32 = _img(91)
+    tr_u8, tr_f32 = _trace(91), _trace(92)
+    # baselines: each request served alone (bucket 1)
+    with CaptionServer(tiny_model, max_batch=1, max_delay_ms=1,
+                       preprocess=False) as srv:
+        alone_u8 = srv.submit(img_u8, tr_u8).result(timeout=300)
+        alone_f32 = srv.submit(img_f32, tr_f32).result(timeout=300)
+    # co-batched: one drain holds both dtypes
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=100,
+                       preprocess=False) as srv:
+        futs = [srv.submit(img_u8, tr_u8), srv.submit(img_f32, tr_f32),
+                srv.submit(img_u8, _trace(93))]
+        got = [f.result(timeout=300) for f in futs]
+        # the split ran the two dtype populations as separate groups
+        assert srv.stats.batches >= 2
+    assert got[0] == alone_u8
+    assert got[1] == alone_f32
+    assert isinstance(got[2], str)
+
+
 def test_warmup_compiles_each_bucket(tiny_model):
     """warmup() runs one dummy batch per bucket/mode and leaves the server
     fully operational; post-warmup results still match direct forward."""
