@@ -141,12 +141,7 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                 self._reply(200, {"loaded": sorted(models),
                                   "available": available})
             elif self.path == "/stats" and batch_server is not None:
-                s = batch_server.stats
-                self._reply(200, {
-                    "requests": s.requests, "batches": s.batches,
-                    "mean_batch_size": round(s.mean_batch_size, 2),
-                    "errors": s.errors,
-                })
+                self._reply(200, batch_server.snapshot())
             else:
                 self._reply(404, {"error": "unknown endpoint"})
 

@@ -32,6 +32,7 @@ it ran with (pinned by tests/test_serve.py).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -41,7 +42,22 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["CaptionServer", "ServerStats"]
+__all__ = ["CaptionServer", "ServerStats", "ServerOverloaded"]
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised by `submit` when the request queue is at `max_queue` depth.
+
+    Load shedding at the admission boundary: rejecting immediately keeps
+    tail latency bounded for admitted requests instead of letting the
+    queue grow without bound under sustained overload."""
+
+
+def _percentile(sorted_vals: list, q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[idx]
 
 
 @dataclasses.dataclass
@@ -50,6 +66,15 @@ class ServerStats:
     batches: int = 0
     batched_items: int = 0  # real items only (padding rows excluded)
     errors: int = 0
+    rejected: int = 0       # load-shed at admission (max_queue)
+    completed: int = 0      # futures resolved successfully
+    queue_wait_s_sum: float = 0.0   # enqueue -> batch starts staging
+    latency_s_sum: float = 0.0      # enqueue -> future resolved
+    latency_s_max: float = 0.0
+    # bounded reservoir of recent end-to-end latencies for percentiles
+    recent_latency_s: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=2048)
+    )
 
     @property
     def mean_batch_size(self) -> float:
@@ -99,16 +124,23 @@ class CaptionServer:
         no cross-batch communication (PERF.md scaling analysis), so
         throughput scales ~linearly with the dp size.
       dp_axis: mesh axis name carrying the batch (default "dp").
+      max_queue: optional admission limit — `submit` raises
+        `ServerOverloaded` (and counts it in `stats.rejected`) when the
+        queue already holds this many requests, so sustained overload
+        sheds load instead of growing tail latency without bound.
     """
 
     def __init__(self, model, *, max_batch: int = 8,
                  max_delay_ms: float = 5.0, trace_points: int = 64,
                  max_boxes: int = 16, preprocess: bool = True,
-                 workers: int = 1, mesh=None, dp_axis: str = "dp"):
+                 workers: int = 1, mesh=None, dp_axis: str = "dp",
+                 max_queue: Optional[int] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if workers < 1:
             raise ValueError("workers must be >= 1")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1 (or None)")
         self.model = model
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -145,7 +177,9 @@ class CaptionServer:
             self.buckets.append(b)
             b *= 2
         self.buckets.append(self.max_batch)
+        self.max_queue = max_queue
         self.stats = ServerStats()
+        self._t0 = time.perf_counter()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
         self._drain_lock = threading.Lock()  # one drainer at a time
@@ -194,6 +228,13 @@ class CaptionServer:
             # normalize=True -> a silent garbage caption; error at the
             # serving boundary like the empty region-set above
             raise ValueError("trace must contain at least one point")
+        if self.max_queue is not None and self._q.qsize() >= self.max_queue:
+            # shed BEFORE the (possibly expensive) image preprocessing
+            with self._stats_lock:
+                self.stats.rejected += 1
+            raise ServerOverloaded(
+                f"request queue at max_queue={self.max_queue}; retry later"
+            )
         req = _Request(self._prep(image), self._norm_trace(trace),
                        self._norm_bboxes(bboxes), region_set=region_set)
         with self._stats_lock:
@@ -260,6 +301,40 @@ class CaptionServer:
                      for _ in range(b)],
                     "region_set", record_stats=False,
                 )
+
+    def snapshot(self) -> dict:
+        """JSON-ready telemetry for an operations endpoint (/stats).
+
+        Latency percentiles come from a bounded reservoir of the most
+        recent 2048 completed requests (end-to-end: enqueue -> future
+        resolved, so they include queue wait, host staging, the device
+        step, and detokenization). Queue wait alone is reported as a mean
+        — a rising wait with a stable device step means the deployment
+        needs a bigger bucket / more chips, which is the one signal an
+        autoscaler needs."""
+        with self._stats_lock:
+            s = self.stats
+            recent = sorted(s.recent_latency_s)
+            done = s.completed
+            return {
+                "uptime_s": round(time.perf_counter() - self._t0, 3),
+                "requests": s.requests,
+                "completed": done,
+                "rejected": s.rejected,
+                "errors": s.errors,
+                "batches": s.batches,
+                "mean_batch_size": round(s.mean_batch_size, 2),
+                "queue_depth": self._q.qsize(),
+                "max_queue": self.max_queue,
+                "mean_queue_wait_ms": round(
+                    s.queue_wait_s_sum / done * 1e3, 3) if done else 0.0,
+                "mean_latency_ms": round(
+                    s.latency_s_sum / done * 1e3, 3) if done else 0.0,
+                "p50_latency_ms": round(_percentile(recent, 0.50) * 1e3, 3),
+                "p95_latency_ms": round(_percentile(recent, 0.95) * 1e3, 3),
+                "p99_latency_ms": round(_percentile(recent, 0.99) * 1e3, 3),
+                "max_latency_ms": round(s.latency_s_max * 1e3, 3),
+            }
 
     def close(self, timeout: Optional[float] = 10.0) -> None:
         with self._lifecycle_lock:
@@ -378,10 +453,21 @@ class CaptionServer:
                 ):
                     if not group:
                         continue
+                    t_start = time.perf_counter()
                     try:
                         caps = self._run_group(group, mode)
+                        t_done = time.perf_counter()
                         for r, c in zip(group, caps):
                             r.future.set_result(c)
+                        with self._stats_lock:
+                            s = self.stats
+                            for r in group:
+                                lat = t_done - r.t_enq
+                                s.completed += 1
+                                s.queue_wait_s_sum += t_start - r.t_enq
+                                s.latency_s_sum += lat
+                                s.latency_s_max = max(s.latency_s_max, lat)
+                                s.recent_latency_s.append(lat)
                     except Exception as e:  # noqa: BLE001 — delivered to callers
                         with self._stats_lock:
                             self.stats.errors += 1

@@ -404,3 +404,81 @@ def test_forward_fallback_paths(tiny_model, monkeypatch):
     # fused and forward paths produce identical captions (pinned elsewhere
     # per mode at the model level; this pins it THROUGH the server)
     assert got == fused
+
+
+# ---------------------------------------------------------------- telemetry
+
+
+def test_stats_snapshot_latency_and_json(tiny_model):
+    """snapshot() reports completion/latency telemetry and is JSON-ready
+    (the demo's /stats endpoint serializes it verbatim)."""
+    import json
+
+    imgs = [_img(300 + i) for i in range(5)]
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=20,
+                       preprocess=False) as srv:
+        srv.caption(imgs, timeout=300)
+        snap = srv.snapshot()
+    json.dumps(snap)  # must not raise
+    assert snap["requests"] == 5 and snap["completed"] == 5
+    assert snap["rejected"] == 0 and snap["errors"] == 0
+    assert snap["mean_latency_ms"] > 0
+    # queue wait is a component of end-to-end latency
+    assert snap["mean_queue_wait_ms"] <= snap["mean_latency_ms"]
+    assert (0 < snap["p50_latency_ms"] <= snap["p95_latency_ms"]
+            <= snap["p99_latency_ms"] <= snap["max_latency_ms"])
+    assert snap["queue_depth"] == 0 and snap["uptime_s"] > 0
+
+
+def test_warmup_excluded_from_latency_stats(tiny_model):
+    with CaptionServer(tiny_model, max_batch=2, max_delay_ms=10,
+                       preprocess=False) as srv:
+        srv.warmup(trace=False, cls=True, buckets=[1])
+        assert srv.snapshot()["completed"] == 0
+        srv.submit(_img(310)).result(timeout=300)
+        assert srv.snapshot()["completed"] == 1
+
+
+class _GatedModel:
+    """Delegates to a real model but blocks forward() until released —
+    makes queue buildup deterministic for the backpressure test."""
+
+    def __init__(self, model):
+        self._model = model
+        self.entered = threading.Event()
+        self.release = threading.Event()
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+    def supports_fused_trace_path(self):
+        return False  # route through forward() so the gate sees every batch
+
+    def forward(self, *a, **kw):
+        self.entered.set()
+        assert self.release.wait(timeout=300)
+        return self._model.forward(*a, **kw)
+
+
+def test_max_queue_sheds_load(tiny_model):
+    from patchioner_tpu.serve import ServerOverloaded
+
+    gated = _GatedModel(tiny_model)
+    srv = CaptionServer(gated, max_batch=1, max_delay_ms=1,
+                        preprocess=False, max_queue=2)
+    try:
+        f0 = srv.submit(_img(320))          # worker dequeues, blocks in forward
+        assert gated.entered.wait(timeout=300)
+        f1 = srv.submit(_img(321))          # queued (depth 1)
+        f2 = srv.submit(_img(322))          # queued (depth 2 == max_queue)
+        with pytest.raises(ServerOverloaded):
+            srv.submit(_img(323))           # shed at admission
+        assert srv.snapshot()["rejected"] == 1
+        gated.release.set()
+        for f in (f0, f1, f2):              # admitted requests all complete
+            assert isinstance(f.result(timeout=300), str)
+        snap = srv.snapshot()
+        assert snap["completed"] == 3 and snap["rejected"] == 1
+    finally:
+        gated.release.set()
+        srv.close()
