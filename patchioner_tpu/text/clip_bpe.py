@@ -170,6 +170,50 @@ class ClipTokenizer:
         return text
 
 
+def _tokenize_chunk(args):
+    texts, context_length, bpe_path = args
+    return get_tokenizer(bpe_path).tokenize(texts, context_length)
+
+
+def tokenize_parallel(
+    texts: Sequence[str],
+    context_length: int = 77,
+    *,
+    workers: int = 0,
+    chunk: int = 4096,
+    bpe_path: str = DEFAULT_BPE_PATH,
+):
+    """Corpus-scale batch tokenization over a process pool.
+
+    BPE encoding is pure Python and GIL-bound (~9k captions/s on one
+    core), and the production corpora are large — a flagship bank build
+    encodes 592k captions (im2txtprojection.py:456) and decoder training
+    tokenizes the 566k-caption COCO train split — so host tokenization is
+    a real phase of those workflows. Each forked worker inherits the
+    parent's already-built tokenizer (copy-on-write), so pool startup is
+    cheap; output is bitwise-identical to `tokenize` (chunks partition the
+    input in order). workers=0 picks cpu_count-1; workers<=1 or a small
+    input runs in-process."""
+    import numpy as np
+
+    if workers == 0:
+        workers = max(1, (os.cpu_count() or 2) - 1)
+    if workers <= 1 or len(texts) <= chunk:
+        return get_tokenizer(bpe_path).tokenize(texts, context_length)
+    get_tokenizer(bpe_path)  # build BEFORE forking so children inherit it
+    import multiprocessing as mp
+
+    jobs = [
+        (list(texts[i : i + chunk]), context_length, bpe_path)
+        for i in range(0, len(texts), chunk)
+    ]
+    ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
+                         else "spawn")
+    with ctx.Pool(min(workers, len(jobs))) as pool:
+        parts = pool.map(_tokenize_chunk, jobs)
+    return np.concatenate(parts, axis=0)
+
+
 @functools.lru_cache()
 def get_tokenizer(bpe_path: str = DEFAULT_BPE_PATH) -> ClipTokenizer:
     return ClipTokenizer(bpe_path)

@@ -48,8 +48,12 @@ class CaptionDataset:
         self.image_ids = list(image_ids) if image_ids is not None else list(
             range(len(captions))
         )
-        tok = tokenizer or clip_bpe.get_tokenizer()
-        self.tokens = tok.tokenize(self.captions, max_len)
+        if tokenizer is not None:
+            self.tokens = tokenizer.tokenize(self.captions, max_len)
+        else:
+            # corpus-scale pre-tokenization forks across host cores
+            # (no-op fallback to in-process on single-core hosts)
+            self.tokens = clip_bpe.tokenize_parallel(self.captions, max_len)
         self._by_image: dict = {}
         for i, img in enumerate(self.image_ids):
             self._by_image.setdefault(img, []).append(i)

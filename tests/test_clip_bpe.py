@@ -45,3 +45,19 @@ def test_batch_tokenize_shape():
     assert out[0, 0] == SOT_TOKEN
     assert EOT_TOKEN in out[0]
     assert VOCAB_SIZE == 49408
+
+
+def test_tokenize_parallel_matches_serial():
+    """The forked-pool corpus tokenizer is bitwise-identical to in-process
+    tokenize (chunks partition the input in order), including multi-byte
+    text and truncation."""
+    from patchioner_tpu.text import clip_bpe
+
+    texts = (["a photo of a dog", "straße 街道 café", "x " * 200]
+             * 70)  # > chunk so the pool path engages
+    serial = clip_bpe.get_tokenizer().tokenize(texts, 77)
+    pooled = clip_bpe.tokenize_parallel(texts, 77, workers=2, chunk=64)
+    assert (serial == pooled).all()
+    # small inputs take the in-process shortcut and still match
+    small = clip_bpe.tokenize_parallel(texts[:3], 77, workers=2, chunk=64)
+    assert (serial[:3] == small).all()
