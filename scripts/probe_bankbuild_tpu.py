@@ -20,6 +20,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
@@ -57,7 +59,23 @@ def main():
 
     caps = synth_captions(n)
     space = text_spaces.build_text_space("clip", None, seed=7)
-    t2dp = jax.jit(t2d.init_talk2dino)(jax.random.PRNGKey(8))
+    real_t2d = ("/root/reference/Patch-ioner/src/viecap/training/talk2dino/"
+                "weights/vitb_mlp_infonce.pth")
+    import torch
+
+    from patchioner_tpu.io import torch_port
+
+    if os.path.exists(real_t2d):
+        t2dp = torch_port.port_talk2dino(
+            torch.load(real_t2d, map_location="cpu"))
+    else:
+        g = torch.Generator().manual_seed(8)
+        t2dp = torch_port.port_talk2dino({
+            "linear_layer.weight": torch.randn(768, 512, generator=g),
+            "linear_layer.bias": torch.randn(768, generator=g),
+            "hidden_layers.0.weight": torch.randn(768, 768, generator=g) * 0.1,
+            "hidden_layers.0.bias": torch.randn(768, generator=g) * 0.1,
+        })
 
     # phase 1: host tokenization (the corpus-scale parallel path; this dev
     # box has ONE core so workers collapses to in-process — a TPU VM's
