@@ -1,6 +1,8 @@
 """Aux subsystem tests: hf_hub fallback, results collector, prefix training,
 .env loader, RegionCLIP from_config."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -392,3 +394,24 @@ def test_collect_variant_without_row_is_missing(tmp_path):
     assert "1/3 configurations" in rc.summary_report(
         {"narratives": rows}
     )
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """enable_compile_cache points JAX's persistent cache at the requested
+    dir (creating it), honors the kill switch, and is idempotent."""
+    import jax
+
+    from patchioner_tpu.utils import compile_cache
+
+    target = str(tmp_path / "xla_cache")
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        got = compile_cache.enable_compile_cache(target)
+        assert got == target and os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        assert compile_cache.enable_compile_cache(target) == target
+
+        monkeypatch.setenv("PATCHIONER_COMPILE_CACHE", "0")
+        assert compile_cache.enable_compile_cache(target) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
