@@ -83,7 +83,11 @@ def _naive_reference_port(model, batch: int):
     # needs 11.1 GB for the logits alone and XLA dies at 16.2/15.75 GB).
     # Fail fast with the reason instead of a multi-minute compile spiral.
     n_tok = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
-    logits_gb = batch * vit_cfg.num_heads * n_tok * n_tok * 2 / 1e9
+    # bytes-per-logit follows the compute dtype (f32 runs materialize
+    # 4-byte logits; the measured 11.1 GB giant calibration is bf16, where
+    # XLA fuses the f32-softmax upcast instead of materializing it)
+    logit_bytes = jnp.dtype(vit_cfg.dtype).itemsize
+    logits_gb = batch * vit_cfg.num_heads * n_tok * n_tok * logit_bytes / 1e9
     if logits_gb > 8.0:
         raise RuntimeError(
             f"baseline infeasible on one 16 GB chip: the stock-XLA "

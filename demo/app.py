@@ -96,11 +96,13 @@ def _decode_image(b64: str, model):
 def make_handler(model, config_dir=None, allow_missing_weights=False,
                  batch_server=None):
     """`batch_server`: an optional `patchioner_tpu.serve.CaptionServer`
-    wrapping the default model — /caption and /caption_trace requests for
-    it are then coalesced into micro-batches across concurrent HTTP
-    clients (run the HTTP side threaded, e.g. ThreadingHTTPServer, so
-    requests can actually arrive concurrently). Hot-swapped models and
-    /caption_bboxes keep the direct path."""
+    wrapping the default model — /caption, /caption_trace,
+    /caption_bboxes, and /caption_region_set requests for it are then
+    coalesced into micro-batches across concurrent HTTP clients (run the
+    HTTP side threaded, e.g. ThreadingHTTPServer, so requests can
+    actually arrive concurrently). Hot-swapped models, and bbox requests
+    with more boxes than the server's fixed-shape `max_boxes` contract,
+    keep the direct path."""
     models = {"default": model}
 
     def resolve(name):

@@ -134,6 +134,7 @@ class ResultsCollector:
         with open(config_path) as f:
             grid = json.load(f)
         out: Dict[str, List[dict]] = {}
+        task_rows: Dict[str, List[dict]] = {}  # parse each task CSV once
         for exp in grid.get("experiments", []):
             model_name = exp.get("model_name") or exp.get("model")
             for task_name, settings in exp.get("tasks", {}).items():
@@ -144,7 +145,9 @@ class ResultsCollector:
                     task_name, {"main_scores": _CAPTION_SCORES,
                                 "multiply_by_100": False},
                 )
-                rows = self.load_task(task_name)
+                if task_name not in task_rows:
+                    task_rows[task_name] = self.load_task(task_name)
+                rows = task_rows[task_name]
                 for vi, _variant in enumerate(variants):
                     match = self._match_row(rows, model_name, vi)
                     row = {

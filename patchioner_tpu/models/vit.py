@@ -451,10 +451,12 @@ def _warn_qkv_fused_unusable(x, blk, cfg: ViTConfig):
 
 def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
            num_real_k=None):
-    if cfg.attn_impl == "fusedqkv_proj":
+    if cfg.attn_impl == "fusedqkv_proj" and "w" in blk["proj"]:
         # Attention + out-proj + layerscale + residual in ONE kernel — the
         # merged (B, N, D) attention output never round-trips HBM
         # (ops/attention.fused_qkv_attention_proj; VERDICT r2 #6 attempt).
+        # Quantized (W8A8) proj weights can't pin into the kernel — that
+        # combination warns and takes the XLA path below.
         from patchioner_tpu.ops.attention import fused_qkv_attention_proj
 
         if not cfg.softmax_f32:
@@ -491,6 +493,12 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         )
         qkv = qkv if return_qkv else None
     else:
+        if cfg.attn_impl == "fusedqkv_proj":
+            _warn_fusion_unusable(
+                "fusedqkv_proj",
+                "quantized (W8A8) out-projection weights",
+                "XLA attention + out-projection",
+            )
         if cfg.proj_fused:
             _warn_fusion_unusable(
                 "proj_fused",

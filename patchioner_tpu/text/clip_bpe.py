@@ -170,9 +170,33 @@ class ClipTokenizer:
         return text
 
 
+# below this corpus size, spawn-mode pool startup costs more than it saves
+_SPAWN_MIN_TEXTS = 50_000
+
+
 def _tokenize_chunk(args):
     texts, context_length, bpe_path = args
     return get_tokenizer(bpe_path).tokenize(texts, context_length)
+
+
+def _fork_safe() -> bool:
+    """fork() in a multithreaded process can deadlock the children on
+    inherited locks — in this tree the usual culprit is an initialized JAX
+    backend (device client threads). Only fork when the process is still
+    single-threaded and no backend exists; otherwise spawn (each worker
+    re-imports and rebuilds the tokenizer, slower to start but safe)."""
+    import threading
+
+    if threading.active_count() > 1:
+        return False
+    try:
+        from jax._src import xla_bridge
+
+        if getattr(xla_bridge, "_backends", None):
+            return False
+    except Exception:
+        pass
+    return True
 
 
 def tokenize_parallel(
@@ -189,11 +213,12 @@ def tokenize_parallel(
     core), and the production corpora are large — a flagship bank build
     encodes 592k captions (im2txtprojection.py:456) and decoder training
     tokenizes the 566k-caption COCO train split — so host tokenization is
-    a real phase of those workflows. Each forked worker inherits the
-    parent's already-built tokenizer (copy-on-write), so pool startup is
-    cheap; output is bitwise-identical to `tokenize` (chunks partition the
-    input in order). workers=0 picks cpu_count-1; workers<=1 or a small
-    input runs in-process."""
+    a real phase of those workflows. Workers fork when that is provably
+    safe (single-threaded process, no initialized JAX backend — children
+    then inherit the already-built tokenizer copy-on-write) and spawn
+    otherwise; output is bitwise-identical to `tokenize` (chunks partition
+    the input in order). workers=0 picks cpu_count-1; workers<=1 or a
+    small input runs in-process."""
     import numpy as np
 
     if workers == 0:
@@ -207,8 +232,13 @@ def tokenize_parallel(
         (list(texts[i : i + chunk]), context_length, bpe_path)
         for i in range(0, len(texts), chunk)
     ]
-    ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods()
-                         else "spawn")
+    method = ("fork" if "fork" in mp.get_all_start_methods() and _fork_safe()
+              else "spawn")
+    if method == "spawn" and len(texts) < _SPAWN_MIN_TEXTS:
+        # spawn workers re-import + rebuild the vocab (~seconds each);
+        # below ~50k captions that startup beats the parallel win
+        return get_tokenizer(bpe_path).tokenize(texts, context_length)
+    ctx = mp.get_context(method)
     with ctx.Pool(min(workers, len(jobs))) as pool:
         parts = pool.map(_tokenize_chunk, jobs)
     return np.concatenate(parts, axis=0)

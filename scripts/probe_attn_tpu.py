@@ -22,6 +22,16 @@ from patchioner_tpu.ops.attention import (
     flash_attention_1pass,
 )
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 B, H, N, HD = 128, 12, 1374, 64
 SCALE = HD**-0.5
 

@@ -16,6 +16,16 @@ from patchioner_tpu.models import vit as V
 from patchioner_tpu.ops.attention import fused_qkv_attention
 from scripts.probe_layer_tpu import make_block
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 B, D, H, HD = 128, 768, 12, 64
 NREAL, NPAD = 1374, 1408
 

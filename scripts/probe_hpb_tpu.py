@@ -18,6 +18,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from patchioner_tpu.eval.chain_bench import chain_time
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 B, H, HD, D = 128, 12, 64, 768
 NREAL, NPAD = 1374, 1408
 SCALE = HD**-0.5

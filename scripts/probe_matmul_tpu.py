@@ -26,6 +26,16 @@ import jax.numpy as jnp
 
 from patchioner_tpu.eval.chain_bench import chain_time
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 B, N, D = 128, 1408, 768
 PEAK = 197e12  # v5e bf16
 

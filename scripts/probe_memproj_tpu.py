@@ -15,6 +15,16 @@ import jax.numpy as jnp
 from patchioner_tpu.eval.chain_bench import chain_time
 from patchioner_tpu.ops import memory_projection as memproj
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 B, D, M = 128, 768, 591753
 
 

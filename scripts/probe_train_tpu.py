@@ -19,6 +19,16 @@ from patchioner_tpu.models import gpt2 as gpt2_mod
 from patchioner_tpu.models import decap as decap_mod
 from patchioner_tpu.train import decoder_train as dt
 
+# persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
+try:
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
 
 def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])

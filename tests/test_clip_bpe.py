@@ -47,12 +47,15 @@ def test_batch_tokenize_shape():
     assert VOCAB_SIZE == 49408
 
 
-def test_tokenize_parallel_matches_serial():
-    """The forked-pool corpus tokenizer is bitwise-identical to in-process
+def test_tokenize_parallel_matches_serial(monkeypatch):
+    """The pooled corpus tokenizer is bitwise-identical to in-process
     tokenize (chunks partition the input in order), including multi-byte
-    text and truncation."""
+    text and truncation. Under pytest the JAX backend is live, so the pool
+    takes the spawn path (fork would be unsafe) — the spawn-startup
+    break-even is lowered so the pool actually engages here."""
     from patchioner_tpu.text import clip_bpe
 
+    monkeypatch.setattr(clip_bpe, "_SPAWN_MIN_TEXTS", 0)
     texts = (["a photo of a dog", "straße 街道 café", "x " * 200]
              * 70)  # > chunk so the pool path engages
     serial = clip_bpe.get_tokenizer().tokenize(texts, 77)
@@ -61,3 +64,14 @@ def test_tokenize_parallel_matches_serial():
     # small inputs take the in-process shortcut and still match
     small = clip_bpe.tokenize_parallel(texts[:3], 77, workers=2, chunk=64)
     assert (serial[:3] == small).all()
+
+
+def test_tokenize_parallel_fork_unsafe_detection():
+    """With a live JAX backend the pool must never fork (inherited device
+    client threads can deadlock children)."""
+    import jax.numpy as jnp
+
+    from patchioner_tpu.text import clip_bpe
+
+    jnp.zeros(1) + 1  # ensure a backend is initialized
+    assert clip_bpe._fork_safe() is False

@@ -254,7 +254,10 @@ def test_stats_endpoint(batched_server):
     code, body = _get(url + "/stats")
     assert code == 200
     assert body["requests"] == cs.stats.requests
-    assert set(body) == {"requests", "batches", "mean_batch_size", "errors"}
+    # snapshot(): counters + the round-3 telemetry fields
+    assert set(body) >= {"requests", "batches", "mean_batch_size", "errors",
+                         "queue_depth", "max_queue", "uptime_s",
+                         "p50_latency_ms", "p99_latency_ms"}
 
 
 def test_region_set_endpoint_direct_and_batched(batched_server):

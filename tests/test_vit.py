@@ -427,3 +427,29 @@ def test_last_block_rerun_swiglu():
     # with the full key mask this must equal the final pre-norm stream
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(out["x_prenorm"]), rtol=2e-5, atol=2e-5)
+
+
+def test_fusedqkv_proj_quantized_falls_back():
+    """attn_impl='fusedqkv_proj' on a W8A8-quantized encoder warns and
+    takes the XLA path instead of KeyError-ing on the missing plain proj
+    weight (the fused kernel needs an unquantized W_proj to pin)."""
+    import warnings
+
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+                        num_heads=4, num_registers=4, extract_heads=4,
+                        pos_grid=4)
+    p = vit.init_vit(jax.random.PRNGKey(0), cfg)
+    pq = vit.quantize_vit_weights(p)
+    assert "w" not in pq["blocks"][0]["proj"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    cfg_fp = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128,
+                           depth=2, num_heads=4, num_registers=4,
+                           extract_heads=4, pos_grid=4,
+                           attn_impl="fusedqkv_proj")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        a = vit.vit_forward(pq, x, cfg_fp)["x_norm_patchtokens"]
+    assert any("fusedqkv_proj" in str(m.message) for m in w)
+    b = vit.vit_forward(pq, x, cfg)["x_norm_patchtokens"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
