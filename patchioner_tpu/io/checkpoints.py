@@ -10,7 +10,8 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-__all__ = ["CheckpointManager", "save_params_npz", "load_params_npz"]
+__all__ = ["CheckpointManager", "load_decap_from_train_dir",
+           "save_params_npz", "load_params_npz"]
 
 
 class CheckpointManager:
@@ -43,6 +44,38 @@ class CheckpointManager:
         return self.manager.restore(
             step, args=self._ocp.args.StandardRestore(state_template)
         )
+
+
+def load_decap_from_train_dir(directory: str, step: Optional[int] = None):
+    """Restore ONLY the decoder params from a `train/cli.py` Orbax
+    checkpoint dir — the round-trip the reference gets from
+    torch.save/torch.load (decoderTraining.py:355-359 -> decap.py:207-218):
+    a decoder trained with this framework's CLI plugs straight back into
+    `Patchioner.from_config` via `decap_weights: <out_dir>`.
+
+    Optimizer state is dropped. Returns `DecapParams`; raises
+    FileNotFoundError when the dir holds no checkpoint."""
+    from patchioner_tpu.models import decap as decap_mod
+
+    mgr = CheckpointManager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(
+            f"no Orbax checkpoint steps under {directory!r}"
+        )
+    # raw (template-free) restore: the train state is a plain dict of
+    # {'params': {'gpt2', 'clip_project'}, 'opt_state', 'step'}
+    raw = mgr.manager.restore(step)
+    try:
+        params = raw["params"]
+        return decap_mod.DecapParams(
+            gpt2=params["gpt2"], clip_project=params["clip_project"]
+        )
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"{directory!r} step {step} is not a decoder-training "
+            f"checkpoint (expected a 'params' tree with gpt2/clip_project)"
+        ) from e
 
 
 def save_params_npz(path: str, params: Any) -> None:

@@ -735,7 +735,26 @@ class Patchioner:
         decoder = None
         if not calculate_argmax_text:
             weights = config.get("decap_weights", None)
-            if weights and os.path.exists(weights):
+            if weights and os.path.isdir(weights):
+                # a directory is an Orbax train-checkpoint dir from this
+                # framework's own `train/cli.py` — the native round-trip
+                # (the reference's equivalent is torch.load of its own
+                # torch.save, decap.py:207-218)
+                from patchioner_tpu.io import checkpoints
+
+                decoder = checkpoints.load_decap_from_train_dir(weights)
+                got = decoder.clip_project["w"].shape
+                got_layers = len(decoder.gpt2["blocks"])
+                if (got[0] != prefix_size or got[1] != gpt2_cfg.n_embd
+                        or got_layers != gpt2_cfg.n_layer):
+                    raise ValueError(
+                        f"decoder checkpoint at {weights!r} has "
+                        f"{got_layers} layers mapping {got[0]}->{got[1]} "
+                        f"but this config expects n_layer="
+                        f"{gpt2_cfg.n_layer}, prefix_size={prefix_size} "
+                        f"-> n_embd={gpt2_cfg.n_embd}"
+                    )
+            elif weights and os.path.exists(weights):
                 import torch
 
                 from patchioner_tpu.io import torch_port

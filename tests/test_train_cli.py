@@ -82,3 +82,91 @@ def test_params_npz_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trained_decoder_round_trips_into_captioner(tmp_path, monkeypatch):
+    """A decoder trained with THIS framework's CLI loads back into
+    `Patchioner.from_config` by pointing `decap_weights` at the Orbax
+    out_dir — the native equivalent of the reference's torch.save ->
+    torch.load round trip (decoderTraining.py:355-359 -> decap.py:207-218).
+    """
+    import jax.numpy as jnp
+    import yaml
+
+    from patchioner_tpu.io.checkpoints import (
+        CheckpointManager, load_decap_from_train_dir,
+    )
+    from patchioner_tpu.models import vit
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    # train 1 step at the captioner's fixed decoder geometry (4L/4H/768)
+    anns = [{"image_id": i, "caption": f"a dog number {i}"} for i in range(8)]
+    p = tmp_path / "caps.json"
+    p.write_text(json.dumps({"annotations": anns}))
+    feats = np.random.default_rng(0).standard_normal((8, 768)).astype(
+        np.float32)
+    fp = tmp_path / "feats.npy"
+    np.save(fp, feats)
+    out = tmp_path / "ckpt"
+    cli.main([
+        "--data", str(p), "--features", str(fp), "--out_dir", str(out),
+        "--epochs", "1", "--bs", "8", "--prefix_size", "768",
+        "--max_seq_len", "16", "--limit_steps", "1", "--loss_chunk", "4",
+    ])
+    trained = load_decap_from_train_dir(str(out))
+
+    small = dict(vit.VARIANTS["dinov2_vitb14_reg"], depth=2)
+    monkeypatch.setitem(vit.VARIANTS, "dinov2_vitb14_reg", small)
+    cfg = {
+        "decap_weights": str(out),
+        "prefix_size": 768,
+        "support_memory_size": 16,
+        "dino_model": "dinov2_vitb14_reg",
+        "crop_dim": 56,
+        "normalize": True,
+        "projection_type": "coco",
+    }
+    cfg_path = tmp_path / "model.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    m = Patchioner.from_config(str(cfg_path), allow_missing_weights=True)
+    # the captioner really carries the TRAINED weights, not a random init
+    np.testing.assert_array_equal(
+        np.asarray(m.decoder.clip_project["w"]),
+        np.asarray(trained.clip_project["w"]))
+    imgs = np.random.default_rng(1).standard_normal(
+        (1, 56, 56, 3)).astype(np.float32)
+    outs = m.forward(jnp.asarray(imgs), get_cls_capt=True)
+    assert isinstance(outs["cls_capt"][0], str)
+
+
+def test_mismatched_train_checkpoint_rejected(tmp_path, monkeypatch):
+    """A train checkpoint with the wrong decoder geometry fails loudly in
+    from_config instead of producing shape errors mid-forward."""
+    import yaml
+
+    from patchioner_tpu.models import vit
+    from patchioner_tpu.models.patchioner import Patchioner
+
+    p, fp = make_corpus(tmp_path)
+    out = tmp_path / "ckpt_small"
+    cli.main([
+        "--data", p, "--features", fp, "--out_dir", str(out),
+        "--epochs", "1", "--bs", "8", "--prefix_size", "32",
+        "--max_seq_len", "16", "--n_layer", "1", "--n_head", "2",
+        "--n_embd", "32", "--limit_steps", "1",
+    ])
+    small = dict(vit.VARIANTS["dinov2_vitb14_reg"], depth=2)
+    monkeypatch.setitem(vit.VARIANTS, "dinov2_vitb14_reg", small)
+    cfg = {
+        "decap_weights": str(out),
+        "prefix_size": 768,
+        "support_memory_size": 16,
+        "dino_model": "dinov2_vitb14_reg",
+        "crop_dim": 56,
+        "normalize": True,
+        "projection_type": "coco",
+    }
+    cfg_path = tmp_path / "model.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ValueError, match="decoder checkpoint"):
+        Patchioner.from_config(str(cfg_path), allow_missing_weights=True)
