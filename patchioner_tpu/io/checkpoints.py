@@ -78,6 +78,27 @@ def load_decap_from_train_dir(directory: str, step: Optional[int] = None):
         ) from e
 
 
+def load_mapper_from_train_dir(directory: str, step: Optional[int] = None):
+    """Restore ONLY the mapper params (raw dict) from a
+    `train/prefix_cli.py` Orbax checkpoint dir — the ViECap/ClipCap
+    equivalent of `load_decap_from_train_dir` (reference cycle:
+    viecap/training/main.py:100-105 -> viecap/entrypoint.py:82-96)."""
+    mgr = CheckpointManager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(
+            f"no Orbax checkpoint steps under {directory!r}"
+        )
+    raw = mgr.manager.restore(step)
+    try:
+        return raw["params"]
+    except (KeyError, TypeError) as e:
+        raise ValueError(
+            f"{directory!r} step {step} is not a prefix-training "
+            f"checkpoint (no 'params' tree)"
+        ) from e
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Flat .npz export (interchange format for inference-only weights)."""
     import jax

@@ -157,7 +157,20 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
     gpt2_cfg = gpt2_mod.GPT2_BASE_CONFIG
 
     weight_path = vd.get("weight_path")
-    if weight_path and os.path.exists(weight_path):
+    if weight_path and os.path.isdir(weight_path):
+        # an Orbax dir from this framework's train/prefix_cli.py — the
+        # native round-trip of the reference's torch.save/torch.load cycle
+        # (viecap/training/main.py:100-105 -> entrypoint.py:82-96)
+        from patchioner_tpu.io import checkpoints
+
+        mapping = checkpoints.load_mapper_from_train_dir(weight_path)
+        if "prefix_const" not in mapping:
+            raise ValueError(
+                f"{weight_path!r} is not a ViECap MappingNetwork training "
+                f"checkpoint (trained with --model clipcap?)"
+            )
+        gpt2_params = None
+    elif weight_path and os.path.exists(weight_path):
         import torch
 
         sd = torch.load(weight_path, map_location="cpu")
@@ -903,7 +916,17 @@ class Patchioner:
             k_cc = jax.random.PRNGKey(rng_seed + 2)
             wp = cd.get("weight_path")
             gpt2_params_cc = None
-            if wp and os.path.exists(wp):
+            if wp and os.path.isdir(wp):
+                # Orbax dir from train/prefix_cli.py --model clipcap
+                from patchioner_tpu.io import checkpoints
+
+                mapper = checkpoints.load_mapper_from_train_dir(wp)
+                if "fc1" not in mapper:
+                    raise ValueError(
+                        f"{wp!r} is not a ClipCap MLP-mapper training "
+                        f"checkpoint (trained with --model viecap?)"
+                    )
+            elif wp and os.path.exists(wp):
                 import torch
 
                 sd = torch.load(wp, map_location="cpu")
