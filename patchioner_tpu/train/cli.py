@@ -109,6 +109,9 @@ def _microbatch(a, grad_accum):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # flagship TPU compiles are minutes; cache persists them
 
     captions, image_ids = data_mod.load_coco_captions(args.data)
     ds = data_mod.CaptionDataset(captions, image_ids, max_len=args.max_seq_len)

@@ -214,6 +214,9 @@ def main(argv=None):
     i.add_argument("--bs", type=int, default=16)
     i.add_argument("--allow-random", action="store_true")
     args = p.parse_args(argv)
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # flagship TPU compiles are minutes; cache persists them
     if args.mode == "text":
         extract_text_features(args)
     elif args.mode == "bank":

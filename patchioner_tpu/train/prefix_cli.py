@@ -100,6 +100,9 @@ def main(argv=None):
     from patchioner_tpu.train import prefix_train
 
     args = build_argparser().parse_args(argv)
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # flagship TPU compiles are minutes; cache persists them
     captions, _ = data_mod.load_coco_captions(args.data)
     n = len(captions)
 
