@@ -206,16 +206,22 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "mapper_meta.json"), "w") as f:
         json.dump(meta, f)
     gpt2_params = sharding.replicate(mesh, gpt2_params)
-    # stage the corpus tensors on device ONCE; per-step batch selection is
-    # then a device-side gather instead of a host slice + transfer
-    # (measured ~70 ms/step of tunnel traffic at bs 1024, PERF.md)
+    # Stage the corpus tensors on device ONCE when they fit next to the
+    # training working set; per-step batch selection is then a device-side
+    # gather instead of a host slice + transfer (measured ~70 ms/step of
+    # tunnel traffic at bs 1024, PERF.md). The 566k-caption corpus at
+    # 768-d f32 (~2 GB) measured OOM on one 16 GB v5e next to the
+    # bs-1024 frozen-12L working set, so big corpora keep the host path.
     from jax.sharding import NamedSharding, PartitionSpec
 
     repl = NamedSharding(mesh, PartitionSpec())
     dp_shard = NamedSharding(mesh, PartitionSpec("dp"))
-    features = jax.device_put(jnp.asarray(features), repl)
-    tokens = jax.device_put(jnp.asarray(tokens), repl)
-    mask = jax.device_put(jnp.asarray(mask), repl)
+    corpus_bytes = features.nbytes + tokens.nbytes + mask.nbytes
+    stage_on_device = corpus_bytes <= 1_000_000_000
+    if stage_on_device:
+        features = jax.device_put(jnp.asarray(features), repl)
+        tokens = jax.device_put(jnp.asarray(tokens), repl)
+        mask = jax.device_put(jnp.asarray(mask), repl)
     key = jax.random.PRNGKey(args.seed + 2)
     log_path = os.path.join(args.out_dir, "train_log.csv")
     done = False
@@ -226,11 +232,16 @@ def main(argv=None):
             for idx in data_mod.batch_iterator(n, args.bs,
                                                seed=args.seed + epoch):
                 key, k = jax.random.split(key)
+                if stage_on_device:
+                    bf, bt, bm = (jax.device_put(features[idx], dp_shard),
+                                  jax.device_put(tokens[idx], dp_shard),
+                                  jax.device_put(mask[idx], dp_shard))
+                else:
+                    bf, bt, bm = (jnp.asarray(features[idx]),
+                                  jnp.asarray(tokens[idx]),
+                                  jnp.asarray(mask[idx]))
                 mapper, opt_state, m = step_fn(
-                    mapper, opt_state, gpt2_params,
-                    jax.device_put(features[idx], dp_shard),
-                    jax.device_put(tokens[idx], dp_shard),
-                    jax.device_put(mask[idx], dp_shard), k,
+                    mapper, opt_state, gpt2_params, bf, bt, bm, k,
                 )
                 losses.append(m["loss"])
                 accs.append(m["acc"])
