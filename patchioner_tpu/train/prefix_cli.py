@@ -215,13 +215,28 @@ def main(argv=None):
     from jax.sharding import NamedSharding, PartitionSpec
 
     repl = NamedSharding(mesh, PartitionSpec())
-    dp_shard = NamedSharding(mesh, PartitionSpec("dp"))
     corpus_bytes = features.nbytes + tokens.nbytes + mask.nbytes
     stage_on_device = corpus_bytes <= 1_000_000_000
     if stage_on_device:
         features = jax.device_put(jnp.asarray(features), repl)
         tokens = jax.device_put(jnp.asarray(tokens), repl)
         mask = jax.device_put(jnp.asarray(mask), repl)
+        # batch selection runs INSIDE the jitted step: one dispatch per
+        # step whose only host payload is the (bs,) index vector. Separate
+        # gather/device_put dispatches measured ~0 win over host slices on
+        # the tunnel (each dispatch is its own ~40 ms RPC).
+        base_step = step_fn
+
+        def _staged(mapper, opt_state, gp, f_all, t_all, m_all, idx, key):
+            return base_step(mapper, opt_state, gp, f_all[idx], t_all[idx],
+                             m_all[idx], key)
+
+        step_fn = jax.jit(
+            _staged,
+            in_shardings=(repl,) * 7 + (repl,),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
     key = jax.random.PRNGKey(args.seed + 2)
     log_path = os.path.join(args.out_dir, "train_log.csv")
     done = False
@@ -233,16 +248,16 @@ def main(argv=None):
                                                seed=args.seed + epoch):
                 key, k = jax.random.split(key)
                 if stage_on_device:
-                    bf, bt, bm = (jax.device_put(features[idx], dp_shard),
-                                  jax.device_put(tokens[idx], dp_shard),
-                                  jax.device_put(mask[idx], dp_shard))
+                    mapper, opt_state, m = step_fn(
+                        mapper, opt_state, gpt2_params, features, tokens,
+                        mask, jnp.asarray(idx), k,
+                    )
                 else:
-                    bf, bt, bm = (jnp.asarray(features[idx]),
-                                  jnp.asarray(tokens[idx]),
-                                  jnp.asarray(mask[idx]))
-                mapper, opt_state, m = step_fn(
-                    mapper, opt_state, gpt2_params, bf, bt, bm, k,
-                )
+                    mapper, opt_state, m = step_fn(
+                        mapper, opt_state, gpt2_params,
+                        jnp.asarray(features[idx]), jnp.asarray(tokens[idx]),
+                        jnp.asarray(mask[idx]), k,
+                    )
                 losses.append(m["loss"])
                 accs.append(m["acc"])
                 step += 1
