@@ -327,6 +327,15 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
     q = q.squeeze(2).transpose(0, 2, 1, 3)  # (B, H, N, hd)
     k = k.squeeze(2).transpose(0, 2, 1, 3)
     v = v.squeeze(2).transpose(0, 2, 1, 3)
+    if (num_real_k is not None and num_real_k < n
+            and cfg.attn_impl in ("flash", "flash1p", "flash_builtin")):
+        # unreachable today (only the fusedqkv impls lane-pad N), but the
+        # flash kernels have no pad-key mask — fail loudly over silently
+        # attending to garbage rows
+        raise NotImplementedError(
+            f"attn_impl={cfg.attn_impl!r} got lane-padded tokens "
+            f"(num_real_k={num_real_k} < N={n}) and has no pad mask"
+        )
     if cfg.attn_impl == "flash":
         from patchioner_tpu.ops.attention import flash_attention
 
@@ -365,6 +374,16 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
             out = builtin_flash(q, k, v, sm_scale=hd**-0.5)
     else:
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
+        if num_real_k is not None and num_real_k < n:
+            # lane-padded tokens (the fusedqkv impls pad N to %128; a
+            # fusion fallback can land here with the padding already
+            # applied): padded key rows are LN-of-zero garbage and must
+            # get zero softmax weight, exactly like the fused kernel's
+            # in-kernel mask. Large-negative (not -inf) keeps the padded
+            # QUERY rows finite — they are sliced off after the stack.
+            kmask = jnp.arange(n) < num_real_k
+            attn = jnp.where(kmask[None, None, None, :], attn,
+                             jnp.asarray(-1e30, attn.dtype))
         if cfg.softmax_f32:
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
                 qkv.dtype
@@ -806,8 +825,10 @@ def reorder_qkv_params(params: dict, attention_type: str) -> dict:
     """
     if attention_type == "qkv":
         return params
-    if sorted(set(attention_type)) and any(c not in "qkv" for c in attention_type):
-        raise ValueError(f"invalid attention_type: {attention_type}")
+    if len(attention_type) != 3 or any(c not in "qkv" for c in attention_type):
+        # must name exactly three components — a short/empty string would
+        # build a mis-shaped fused qkv that only fails deep in attention
+        raise ValueError(f"invalid attention_type: {attention_type!r}")
     idx = {"q": 0, "k": 1, "v": 2}
     blk = params["blocks"][-1]
     w = blk["qkv"]["w"]  # (D, 3D) in our layout

@@ -311,6 +311,12 @@ def _mem_proj_call_q(
 ):
     b, d = features.shape
     mp = rows.shape[0]
+    if mp % block_m:
+        # same silent-truncation hazard as _mem_proj_call
+        raise ValueError(
+            f"quantized bank padded size {mp} is not a multiple of "
+            f"block_m={block_m}; re-quantize the bank with this block_m"
+        )
     f = _l2_normalize(features.astype(jnp.float32))
     bp = pl.cdiv(b, block_b) * block_b
     f = jnp.pad(f, ((0, bp - b), (0, 0)))
@@ -466,6 +472,14 @@ def _mem_proj_call(
 ):
     b, d = features.shape
     mp = bank_rows.shape[0]
+    if mp % block_m:
+        # the grid floor-divides: a non-dividing block_m would silently
+        # skip the trailing bank rows and the softmax would renormalize
+        # over a truncated bank
+        raise ValueError(
+            f"bank padded size {mp} is not a multiple of block_m="
+            f"{block_m}; re-prepare the bank with this block_m"
+        )
     f = _l2_normalize(features.astype(jnp.float32))
     bp = pl.cdiv(b, block_b) * block_b
     f = jnp.pad(f, ((0, bp - b), (0, 0)))

@@ -154,10 +154,17 @@ def _attention_box_weights(
         def step(attn, box):
             inside = _box_inside_mask(box, grid_size).astype(attn.dtype)
             s = jnp.sum(attn * inside)
-            normalized = attn * inside / s
+            # An empty inside-mask (the [-1]*4 dummy rows of the
+            # fixed-shape batching convention, or a box fully outside the
+            # grid) must yield a ZERO weight map, not 0/0=NaN — the NaN
+            # would poison the merged map through `0 * NaN` in the
+            # valid-mask einsum. The reference never sees this case (it
+            # loops over real boxes only, src/bbox_utils.py:46-52).
+            safe = jnp.where(s > 0, s, 1.0)
+            normalized = attn * inside / safe
             # The reference divides the attention slice in place, so
             # subsequent overlapping boxes observe the normalized values.
-            attn = jnp.where(inside > 0, attn / s, attn)
+            attn = jnp.where(inside > 0, attn / safe, attn)
             return attn, normalized
 
         return jax.lax.scan(step, attn, boxes)

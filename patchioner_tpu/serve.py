@@ -106,8 +106,10 @@ class CaptionServer:
         longer than this are truncated, like any fixed-shape serving
         contract; the flagship eval traces are <64 points).
       preprocess: when True, PIL images are accepted and resized/cropped
-        to the model's geometry on the worker (uint8, normalized on
-        device); arrays are assumed preprocessed.
+        to the model's geometry on the SUBMITTING thread inside
+        `submit()` (uint8, normalized on device); arrays are assumed
+        preprocessed. Note queue-wait telemetry (`t_enq`) is stamped
+        after this resize, so it measures queue time, not client prep.
       workers: worker threads. One worker serializes host staging
         (np.stack of the batch, ~10 ms at 128x518px) with device compute;
         a second lets the next batch stage while the device runs
@@ -248,6 +250,12 @@ class CaptionServer:
     def caption(self, images: Sequence, traces: Optional[Sequence] = None,
                 timeout: Optional[float] = None) -> list:
         """Synchronous convenience: submit all, wait for all."""
+        if traces is not None and len(traces) != len(images):
+            # zip() would silently drop the tail and misalign results
+            raise ValueError(
+                f"got {len(images)} images but {len(traces)} traces; "
+                f"pass None entries for images without a trace"
+            )
         traces = traces if traces is not None else [None] * len(images)
         futs = [self.submit(im, tr) for im, tr in zip(images, traces)]
         return [f.result(timeout=timeout) for f in futs]

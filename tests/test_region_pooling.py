@@ -251,3 +251,26 @@ def test_ctx_cleaner():
     want2 = (dt * mask).numpy()
     got2 = rp.ctx_cleaner(jnp.asarray(d), jnp.asarray(c), "contrastive_mask")
     np.testing.assert_allclose(np.asarray(got2), want2, rtol=1e-5, atol=1e-5)
+
+
+def test_bbox_single_attention_mode_dummy_boxes_finite(data):
+    """Attention-weighted region-set pooling with the fixed-shape dummy
+    padding ([-1]*4 rows): a dummy (or fully-outside) box has an empty
+    inside-mask; its weight map must be ZERO, not 0/0=NaN — a NaN map
+    poisons the merged map through 0*NaN in the valid-mask einsum and
+    corrupts the caption of every padded image."""
+    tokens, boxes, attn = data
+    boxes = boxes.copy()
+    boxes[:, 2] = np.array([-1.0, -1.0, -1.0, -1.0], np.float32)  # dummy
+    got = rp.extract_bbox_features_single(
+        jnp.asarray(tokens), jnp.asarray(boxes), patch_size=PATCH,
+        attention_map=jnp.asarray(attn),
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    # dummy rows contribute nothing: same result without them
+    got_clean = rp.extract_bbox_features_single(
+        jnp.asarray(tokens), jnp.asarray(boxes[:, [0, 1, 3]]),
+        patch_size=PATCH, attention_map=jnp.asarray(attn),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_clean),
+                               rtol=1e-5, atol=1e-6)

@@ -432,24 +432,52 @@ def test_last_block_rerun_swiglu():
 def test_fusedqkv_proj_quantized_falls_back():
     """attn_impl='fusedqkv_proj' on a W8A8-quantized encoder warns and
     takes the XLA path instead of KeyError-ing on the missing plain proj
-    weight (the fused kernel needs an unquantized W_proj to pin)."""
+    weight (the fused kernel needs an unquantized W_proj to pin) — AND the
+    fallback masks the lane-padded key rows the fusedqkv impls add.
+
+    The params are deliberately made adversarial to the pad mask: O(1)
+    layerscale (DINOv2's ~1e-5 init hides any attention error — it hid the
+    original bug) and nonzero LN/qkv biases (so padded rows carry
+    non-trivial garbage keys). Depth 1 is checked tight; depth 2 loose,
+    because W8A8's dynamic per-token activation quantization amplifies
+    benign fp-order differences (padded vs unpadded contractions)
+    discontinuously (~0.02 measured) while the unmasked-pad bug shows as
+    ~0.9."""
     import warnings
 
-    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=2,
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    for depth, atol in ((1, 1e-5), (2, 0.1)):
+        cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128,
+                            depth=depth, num_heads=4, num_registers=4,
+                            extract_heads=4, pos_grid=4)
+        p = vit.init_vit(jax.random.PRNGKey(0), cfg)
+        for blk in p["blocks"]:
+            blk["ls1"] = jnp.ones_like(blk["ls1"])
+            blk["ls2"] = jnp.ones_like(blk["ls2"])
+            blk["norm1"]["bias"] = blk["norm1"]["bias"] + 0.3
+            blk["qkv"]["b"] = blk["qkv"]["b"] + 0.1
+        pq = vit.quantize_vit_weights(p)
+        assert "w" not in pq["blocks"][0]["proj"]
+        cfg_fp = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128,
+                               depth=depth, num_heads=4, num_registers=4,
+                               extract_heads=4, pos_grid=4,
+                               attn_impl="fusedqkv_proj")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            a = vit.vit_forward(pq, x, cfg_fp)["x_norm_patchtokens"]
+        assert any("fusedqkv_proj" in str(m.message) for m in w)
+        b = vit.vit_forward(pq, x, cfg)["x_norm_patchtokens"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=atol)
+
+
+def test_reorder_qkv_params_rejects_malformed_type():
+    cfg = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=1,
                         num_heads=4, num_registers=4, extract_heads=4,
                         pos_grid=4)
     p = vit.init_vit(jax.random.PRNGKey(0), cfg)
-    pq = vit.quantize_vit_weights(p)
-    assert "w" not in pq["blocks"][0]["proj"]
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
-    cfg_fp = vit.ViTConfig(img_size=56, patch_size=14, embed_dim=128,
-                           depth=2, num_heads=4, num_registers=4,
-                           extract_heads=4, pos_grid=4,
-                           attn_impl="fusedqkv_proj")
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        a = vit.vit_forward(pq, x, cfg_fp)["x_norm_patchtokens"]
-    assert any("fusedqkv_proj" in str(m.message) for m in w)
-    b = vit.vit_forward(pq, x, cfg)["x_norm_patchtokens"]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=2e-5, atol=2e-5)
+    for bad in ("", "qk", "qkvv", "qxv"):
+        with pytest.raises(ValueError, match="attention_type"):
+            vit.reorder_qkv_params(p, bad)
+    out = vit.reorder_qkv_params(p, "kkv")  # valid rewiring still works
+    assert out["blocks"][-1]["qkv"]["w"].shape == p["blocks"][-1]["qkv"]["w"].shape
