@@ -217,7 +217,10 @@ def evaluate(
                     {
                         "id": annotation_id,
                         "image_id": ann["image_id"],
-                        "bbox": ann["bbox"],
+                        # COCO records are xywh (the reference converts its
+                        # stored-xyxy at eval_densecap.py:303-310); the mAP
+                        # evaluator (densecap_map.iou_xywh) expects xywh too
+                        "bbox": _normalize_xyxy(ann["bbox"], ann["image_id"]),
                         "caption": capts[j].strip(" ."),
                         "score": float(scores[j]) if scores else 1.0,
                         "category_id": 1,

@@ -95,11 +95,14 @@ def ref_pac_score(
         idxs.extend([i] * len(refs))
     ref_feats = _norm(scorer.encode_texts(flat))
     cand = _norm(np.asarray(candidate_features))
-    per = np.zeros(len(candidate_features))
-    sims = np.sum(ref_feats * cand[np.asarray(idxs)], axis=1)
-    for i in range(len(per)):
-        mask = np.asarray(idxs) == i
-        per[i] = np.max(sims[mask]) if mask.any() else 0.0
+    idx_arr = np.asarray(idxs, np.int64)
+    sims = np.sum(ref_feats * cand[idx_arr], axis=1)
+    # segment max per candidate — references are grouped contiguously, so
+    # one np.maximum.at pass replaces the O(N^2) per-candidate mask scan
+    # (a 25k-caption eval has ~125k flat refs)
+    per = np.full(len(candidate_features), -np.inf)
+    np.maximum.at(per, idx_arr, sims)
+    per[~np.isfinite(per)] = 0.0  # candidates with zero references
     return float(np.mean(per)), per
 
 

@@ -89,7 +89,7 @@ def main(argv=None):
             [{"image_id": a["image_id"], "bbox": a["bbox"],
               "caption": a.get("gt_caption") or ""} for a in anns],
         )
-        scores = {"map": scores["map"]}
+        scores = {"map_score": scores["map"]}  # reference CSV column name
     else:
         from patchioner_tpu.eval import region_set_captioning as t
 

@@ -27,17 +27,43 @@ from patchioner_tpu.eval import harness
 __all__ = ["TASK_REGISTRY", "ExperimentRunner"]
 
 
+def _eval_kwargs(evaluate_fn, settings):
+    """Merge the nested `evaluate:` block with top-level scalar settings —
+    grid configs put expanded variant axes (e.g. `use_gaussian_weighting:
+    [true, false]` -> one scalar per variant, run_tasks.py:179-223) and
+    flat reference-style keys at the TOP level of the task dict. Keys the
+    evaluate() signature doesn't accept are logged and skipped so grid
+    bookkeeping fields don't TypeError."""
+    import inspect
+
+    kw = dict(settings.get("evaluate", {}))
+    params = set(inspect.signature(evaluate_fn).parameters) - {"model"}
+    dropped = []
+    for k, v in settings.items():
+        if k in ("evaluate", "score") or isinstance(v, dict):
+            continue
+        if k in params:
+            kw.setdefault(k, v)
+        else:
+            dropped.append(k)
+    if dropped:
+        logging.getLogger("patchioner_tpu.runner").info(
+            "task settings not consumed by evaluate(): %s", dropped
+        )
+    return kw
+
+
 def _trace_task(model, settings):
     from patchioner_tpu.eval import trace_captioning as t
 
-    result = t.evaluate(model, **settings.get("evaluate", {}))
+    result = t.evaluate(model, **_eval_kwargs(t.evaluate, settings))
     return t.compute_scores(result, **settings.get("score", {}))
 
 
 def _image_task(model, settings):
     from patchioner_tpu.eval import image_captioning as t
 
-    result = t.evaluate(model, **settings.get("evaluate", {}))
+    result = t.evaluate(model, **_eval_kwargs(t.evaluate, settings))
     return t.compute_scores(result, **settings.get("score", {}))
 
 
@@ -45,7 +71,7 @@ def _dense_task(model, settings):
     from patchioner_tpu.eval import dense_captioning as t
     from patchioner_tpu.eval.densecap_map import densecap_map
 
-    result = t.evaluate(model, **settings.get("evaluate", {}))
+    result = t.evaluate(model, **_eval_kwargs(t.evaluate, settings))
     anns = result["predictions"]["annotations"]
     gts = [
         {"image_id": a["image_id"], "bbox": a["bbox"], "caption": a.get("gt_caption") or ""}
@@ -60,13 +86,14 @@ def _dense_task(model, settings):
         }
         for a in anns
     ]
-    return {"map": densecap_map(preds, gts)["map"]}
+    # reference CSV column name (evaluation/collect_results.py:124)
+    return {"map_score": densecap_map(preds, gts)["map"]}
 
 
 def _region_set_task(model, settings):
     from patchioner_tpu.eval import region_set_captioning as t
 
-    result = t.evaluate(model, **settings.get("evaluate", {}))
+    result = t.evaluate(model, **_eval_kwargs(t.evaluate, settings))
     return t.compute_scores(result, **settings.get("score", {}))
 
 

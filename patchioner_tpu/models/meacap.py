@@ -240,7 +240,10 @@ class MeaCap(viecap_mod.VieCap):
             token_rows = []
             for i in range(idx.shape[0]):
                 caps = [self.memory_captions[j] for j in idx[i]]
-                concepts = self.concept_extractor(caps, image_embeds=f)
+                # per-sample call gets THIS sample's embedding (an extractor
+                # that ranks concepts by image similarity would otherwise
+                # see the whole batch for every row)
+                concepts = self.concept_extractor(caps, image_embeds=f[i])
                 token_rows.append(
                     self.tokenizer.encode(
                         viecap_mod.compose_discrete_prompt(concepts)

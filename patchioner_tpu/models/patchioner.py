@@ -934,9 +934,28 @@ class Patchioner:
                 mapper = ported_cc["mapper"]
                 gpt2_params_cc = ported_cc.get("gpt2")
             elif allow_missing_weights:
-                mapper = clipcap_mod.init_mlp_mapper(
-                    k_cc, cc_feature_dim, ccfg.prefix_length, g_cfg.n_embd
-                )
+                if ccfg.mapping_type == "transformer":
+                    # random init must match the params the transformer
+                    # forward consumes (ClipCap._project builds this same
+                    # ViecapConfig), not the MLP layout
+                    from patchioner_tpu.models import viecap as viecap_mod
+
+                    vcfg_cc = viecap_mod.ViecapConfig(
+                        continuous_prompt_length=ccfg.prefix_length,
+                        clip_project_length=ccfg.clip_length,
+                        clip_hidden_size=cc_feature_dim,
+                        num_layers=ccfg.num_layers,
+                        num_heads=ccfg.num_heads,
+                        mlp_ratio=ccfg.mlp_ratio,
+                    )
+                    mapper = viecap_mod.init_mapping_network(
+                        k_cc, vcfg_cc, g_cfg.n_embd
+                    )
+                else:
+                    mapper = clipcap_mod.init_mlp_mapper(
+                        k_cc, cc_feature_dim, ccfg.prefix_length,
+                        g_cfg.n_embd
+                    )
             else:
                 raise FileNotFoundError(f"ClipCap weights not found: {wp}")
             if gpt2_params_cc is None:

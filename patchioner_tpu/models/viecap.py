@@ -203,30 +203,56 @@ def mapping_network_forward(
 # -------------------------------------------------------- entity retrieval
 
 
+def _finish_entities(raw, all_entities: bool) -> List[str]:
+    """Reference postprocess applied to every vocabulary
+    (load_annotations.py:84-87,98-101,133-136,146-149): lower+strip, the
+    optional single-word filter, then SORT. The sort is load-bearing —
+    the shipped `*_embeddings_*.pickle` matrices were encoded over the
+    sorted order, so an unsorted list misnames every retrieved entity."""
+    ents = [str(e).lower().strip() for e in raw]
+    if not all_entities:
+        ents = [e for e in ents if len(e.split()) == 1]
+    ents.sort()
+    return ents
+
+
 def load_entities_text(name: str, path: str, all_entities: bool = True) -> List[str]:
     """Entity vocabularies (reference: src/viecap/load_annotations.py).
     Supported: coco_entities (json list of 80 categories), vinvl_vgoi_entities
-    (json class2ind dict), visual_genome_entities (pickle), open_image
-    (csv)."""
+    (json class2ind dict), visual_genome_entities (pickle, the 'joint'
+    object set), open_image (csv DisplayName column), vinvl_vg_entities
+    (json object_count keys)."""
     if name == "coco_entities":
         with open(path) as f:
-            return [e.lower() for e in json.load(f)]
+            return _finish_entities(json.load(f), all_entities)
     if name == "vinvl_vgoi_entities":
         with open(path) as f:
-            return [e.lower() for e in json.load(f).keys()]
+            return _finish_entities(json.load(f).keys(), all_entities)
     if name == "visual_genome_entities":
         with open(path, "rb") as f:
             data = pickle.load(f)
+        # {'objects': {'gqa': set, 'vg': set, 'joint': set}} — the
+        # reference reads the joint set (load_annotations.py:80)
         ents = data["objects"] if isinstance(data, dict) and "objects" in data else data
-        return [str(e).lower() for e in ents]
+        if isinstance(ents, dict):
+            ents = ents["joint"]
+        return _finish_entities(ents, all_entities)
     if name == "open_image_entities":
         import csv
 
         with open(path) as f:
-            return [row[1].lower() for row in csv.reader(f)][0:]
+            rows = list(csv.reader(f))
+        # header row + DisplayName column; "(...)"-qualified names keep
+        # only the base name (load_annotations.py:108-114)
+        names = [r[1] for r in rows[1:]]
+        names = [n[: n.find("(")].strip() if "(" in n else n for n in names]
+        return _finish_entities(names, all_entities)
     if name == "vinvl_vg_entities":
         with open(path) as f:
-            return [e.lower() for e in json.load(f)["idx_to_label"].values()]
+            # object_count keys, NOT idx_to_label values — the shipped
+            # vg embedding pickle rows follow the former
+            return _finish_entities(json.load(f)["object_count"].keys(),
+                                    all_entities)
     raise ValueError(f"unknown entity vocabulary: {name}")
 
 

@@ -408,3 +408,70 @@ def test_region_set_and_image_fused_match_forward_branch(
             == [r["pred"] for r in ref["predictions"]])
     assert ([r["pred"] for r in fused_img["predictions"]]
             == [r["pred"] for r in ref_img["predictions"]])
+
+
+def test_runner_variant_axes_reach_evaluate(tiny_model, tmp_path, monkeypatch):
+    """Grid-expanded variant axes live at the TOP level of the task dict
+    (run_tasks.py:179-223) — each variant must actually change the
+    evaluate() call, not just the CSV row key."""
+    from patchioner_tpu.eval import image_captioning
+
+    p = make_coco_json(tmp_path)
+    seen = []
+    orig = image_captioning.evaluate
+    import functools
+
+    @functools.wraps(orig)  # keep the signature: the runner merges
+    def spy(model, *a, **kw):  # top-level keys by inspecting it
+        seen.append(kw.get("caption_from"))
+        return orig(model, *a, **kw)
+
+    monkeypatch.setattr(image_captioning, "evaluate", spy)
+    grid = {
+        "output_directory": str(tmp_path / "res"),
+        "experiments": [{
+            "model": "tiny",
+            "tasks": {"image_captioning": {
+                "caption_from": ["cls", "avg_self_attn"],  # grid axis
+                "evaluate": {
+                    "annotations_path": p,
+                    "image_roots": str(tmp_path),
+                    "batch_size": 2,
+                    "loader": fake_loader_plain,
+                },
+            }},
+        }],
+    }
+    logs = ExperimentRunner(grid, model_builder=lambda n, s: tiny_model).run()
+    assert len(logs) == 2
+    assert seen == ["cls", "avg_self_attn"]
+
+
+def test_from_config_clipcap_transformer_random_init(monkeypatch):
+    """allow_missing_weights + mapping_type='transformer' must random-init
+    the TRANSFORMER mapper layout (the MLP layout KeyErrors inside
+    mapping_network_forward on first use)."""
+    import jax.numpy as jnp
+
+    from patchioner_tpu.models import vit
+
+    small = dict(vit.VARIANTS["dinov2_vitb14_reg"], depth=2)
+    monkeypatch.setitem(vit.VARIANTS, "dinov2_vitb14_reg", small)
+    m = Patchioner.from_config(
+        {
+            "prefix_size": 512,
+            "support_memory_size": 0,
+            "dino_model": "dinov2_vitb14_reg",
+            "crop_dim": 56,
+            "normalize": True,
+            "projection_type": "coco",
+            "clipcap": {"mapping_type": "transformer", "prefix_length": 4,
+                        "clip_length": 4, "num_layers": 1},
+        },
+        allow_missing_weights=True,
+    )
+    # ClipCap consumes the BACKBONE dim (768 for vitb), not prefix_size
+    soft = m.clipcap._project(
+        jnp.ones((2, 768), jnp.float32) / 768**0.5)
+    assert soft.shape == (2, 4, m.clipcap.gpt2_cfg.n_embd)
+    assert np.isfinite(np.asarray(soft)).all()

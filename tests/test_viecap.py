@@ -402,3 +402,45 @@ def test_build_entity_embeddings_projected():
     )
     assert got.shape == (2, 8)
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+
+def test_entity_vocabularies_align_with_vendored_embeddings():
+    """Every entity loader must reproduce the reference's postprocess
+    (lower/strip, sort — load_annotations.py:84-149): the vendored
+    `*_embeddings_*.pickle` matrices were encoded over the SORTED
+    vocabulary, so row i of the matrix must name entities[i]. Unsorted or
+    mis-parsed vocabularies silently misname every retrieved entity."""
+    import os
+    import pickle
+
+    from patchioner_tpu.models.viecap import VOCAB_DIR, load_entities_text
+
+    cases = [
+        ("coco_entities", "coco_categories.json",
+         "coco_embeddings_ViT-B32.pickle"),
+        ("vinvl_vgoi_entities", "vgcocooiobjects_v1_class2ind.json",
+         "vgoi_embeddings_ViT-B32.pickle"),
+        ("open_image_entities", "oidv7-class-descriptions-boxable.csv",
+         "open_image_embeddings_ViT-B32.pickle"),
+        ("vinvl_vg_entities", "VG-SGG-dicts-vgoi6-clipped.json",
+         "vg_embeddings_ViT-B32.pickle"),
+        ("visual_genome_entities", "all_objects_attributes_relationships.pickle",
+         None),
+    ]
+    for name, vocab, emb in cases:
+        vpath = os.path.join(VOCAB_DIR, vocab)
+        if not os.path.exists(vpath):
+            continue
+        ents = load_entities_text(name, vpath)
+        assert ents == sorted(ents), name
+        assert all(e == e.lower().strip() for e in ents), name
+        if name == "open_image_entities":
+            assert "displayname" not in ents  # header row consumed
+            assert not any("(" in e for e in ents)  # "(...)" stripped
+        if name == "visual_genome_entities":
+            assert len(ents) > 10_000  # the joint set, not 3 dict keys
+        if emb and os.path.exists(os.path.join(VOCAB_DIR, emb)):
+            with open(os.path.join(VOCAB_DIR, emb), "rb") as f:
+                mat = pickle.load(f)
+            n = mat.shape[0] if hasattr(mat, "shape") else len(mat)
+            assert n == len(ents), (name, n, len(ents))
