@@ -7,8 +7,11 @@ CSV scraping + table assembly) and evaluation/utils.py:28-100
 Reference semantics reproduced: per-task score-column sets with the
 x100 scaling rules (collect_results.py:28-33 — narratives /
 image_captioning / dense_captioning scores x100, controllable unscaled),
-config-JSON-driven row assembly with graceful missing-result rows
-(:388-470), and the found/missing summary report (:542-600). The
+settings-criteria row matching with best-primary dedup of distinct
+duplicates (:241-355), config-JSON-driven row assembly with graceful
+missing-result rows + config columns carried onto every row (:388-540),
+the found/missing summary report (:542-600), and the script surface
+(--config/--results-dir/--output/--format, :652-699). The
 screen-session liveness column is meaningless off the reference's
 screen-based launcher and is omitted.
 """
@@ -130,7 +133,15 @@ class ResultsCollector:
         schema) -> {task: rows}. One row per (experiment, task variant);
         configurations whose results are absent from the task CSV still get
         a row (`found=False`, empty scores — reference :388-470), and the
-        x100 scaling is applied per TASK_SCORE_COLUMNS."""
+        x100 scaling is applied per TASK_SCORE_COLUMNS.
+
+        Rows are matched by the variant's OWN settings as search criteria
+        (reference collect_results.py:241-288 builds search_criteria from
+        model_name + task settings), not by position — a CSV whose rows
+        arrived in a different order than the config's variant list can
+        never mis-attribute scores. When several distinct-score rows match
+        one variant, the best primary-metric row wins (reference :320-350's
+        dedup, CIDEr-first)."""
         with open(config_path) as f:
             grid = json.load(f)
         out: Dict[str, List[dict]] = {}
@@ -148,8 +159,15 @@ class ResultsCollector:
                 if task_name not in task_rows:
                     task_rows[task_name] = self.load_task(task_name)
                 rows = task_rows[task_name]
-                for vi, _variant in enumerate(variants):
-                    match = self._match_row(rows, model_name, vi)
+                for vi, variant in enumerate(variants):
+                    criteria = {
+                        k: v for k, v in (variant or {}).items()
+                        if not isinstance(v, (dict, list))
+                    }
+                    match = self._match_row(
+                        rows, model_name, criteria,
+                        primary_metrics=task_cfg["main_scores"],
+                    )
                     row = {
                         "model_name": model_name,
                         "variant_index": vi,
@@ -158,6 +176,9 @@ class ResultsCollector:
                     method, grid_sz, backbone = get_model_infos(model_name)
                     row.update({"model": method, "n_patches": grid_sz,
                                 "backbone": backbone})
+                    # config columns ride along on found AND missing rows
+                    # (reference :505-527 fills them from merged settings)
+                    row.update(criteria)
                     for col in task_cfg["main_scores"]:
                         row[col] = self._scaled(
                             (match or {}).get(col)
@@ -187,16 +208,51 @@ class ResultsCollector:
         return round(v * 100, 4) if multiply_by_100 else v
 
     @staticmethod
-    def _match_row(rows: List[dict], model_name: str,
-                   variant_index: int) -> Optional[dict]:
-        matches = [r for r in rows if r.get("model") == model_name
-                   or r.get("model_name") == model_name]
-        if variant_index >= len(matches):
-            # a variant with no CSV row is MISSING (found=False, empty
-            # scores — reference :388-470); clamping would duplicate
-            # another variant's scores into a fabricated result
+    def _match_row(rows: List[dict], model_name: str, criteria: dict,
+                   primary_metrics: Sequence[str] = ("CIDEr",),
+                   ) -> Optional[dict]:
+        """Find the CSV row matching model_name + the variant's settings.
+
+        Values compare as strings because eval/runner.py:166-173 stringifies
+        every scalar setting into the row. A criterion column absent from
+        the CSV means NO run ever carried that setting (append_results_csv
+        grows columns monotonically), so the variant is missing — stricter
+        than the reference, which skips unknown columns (:290-291), but our
+        writer guarantees the column exists for any run that used the key;
+        skipping would let a variant silently inherit another variant's
+        scores."""
+        columns = set().union(*(r.keys() for r in rows)) if rows else set()
+        matches = []
+        for r in rows:
+            if r.get("model") != model_name and r.get(
+                    "model_name") != model_name:
+                continue
+            ok = True
+            for k, v in criteria.items():
+                if k not in columns:
+                    ok = False
+                    break
+                if str(r.get(k, "")) != str(v):
+                    ok = False
+                    break
+            if ok:
+                matches.append(r)
+        if not matches:
             return None
-        return matches[variant_index]
+        if len(matches) == 1:
+            return matches[0]
+        # multiple matches: prefer the best primary metric among rows that
+        # actually carry scores (reference :320-350 drops all-NaN rows then
+        # sorts by CIDEr descending)
+        def score(r):
+            for m in ("CIDEr", *primary_metrics):
+                try:
+                    return float(r.get(m, ""))
+                except (TypeError, ValueError):
+                    continue
+            return float("-inf")
+
+        return max(matches, key=score)
 
     def summary_report(self, results: Dict[str, List[dict]]) -> str:
         """Found/missing counts per task (reference :542-600)."""
@@ -227,3 +283,61 @@ class ResultsCollector:
         for r in rows:
             lines.append("| " + " | ".join(str(r.get(h, "")) for h in header) + " |")
         return "\n".join(lines)
+
+
+def main(argv=None):
+    """Script surface mirroring the reference's collect_results.py:652-699:
+    load an experiment-grid JSON, assemble per-task tables, print the
+    found/missing summary, optionally save (json/pickle/markdown)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Collect experiment results from per-task CSV files"
+    )
+    p.add_argument("--config", required=True,
+                   help="experiment-grid JSON (configs/evaluation schema)")
+    p.add_argument("--results-dir", default="./results",
+                   help="directory holding the per-task CSVs")
+    p.add_argument("--output", help="optional output file")
+    p.add_argument("--format", choices=["json", "pickle", "markdown"],
+                   default="json")
+    args = p.parse_args(argv)
+
+    rc = ResultsCollector(args.results_dir)
+    results = rc.collect_from_config(args.config)
+    print(rc.summary_report(results))
+    if args.output:
+        if args.format == "json":
+            with open(args.output, "w") as f:
+                json.dump(results, f, indent=2, default=str)
+        elif args.format == "pickle":
+            import pickle
+
+            with open(args.output, "wb") as f:
+                pickle.dump(results, f)
+        else:  # markdown: one section per task from the assembled rows
+            sections = []
+            for task, rows in results.items():
+                cols = TASK_SCORE_COLUMNS.get(
+                    task, {"main_scores": _CAPTION_SCORES}
+                )["main_scores"]
+                marker_cols = sorted(
+                    {k for r in rows for k in r if k.endswith("_variant")}
+                )
+                header = ["model_name", "model", "n_patches", "backbone",
+                          "found", *cols, *marker_cols]
+                lines = [f"## {task}", "",
+                         "| " + " | ".join(header) + " |",
+                         "|" + "---|" * len(header)]
+                for r in rows:
+                    lines.append("| " + " | ".join(
+                        str(r.get(h, "")) for h in header) + " |")
+                sections.append("\n".join(lines))
+            with open(args.output, "w") as f:
+                f.write("\n\n".join(sections) + "\n")
+        print(f"results saved to: {args.output}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

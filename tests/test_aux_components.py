@@ -396,6 +396,106 @@ def test_collect_variant_without_row_is_missing(tmp_path):
     )
 
 
+def test_collect_matches_by_settings_not_position(tmp_path):
+    """Variant rows are matched by their settings as search criteria
+    (reference collect_results.py:241-288), so a CSV whose rows arrived in
+    a different order than the config's variant list still attributes each
+    variant its own scores."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    csv_path = str(tmp_path / "narratives.csv")
+    # CSV order: avg_self_attn first, cls second
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "caption_from": "avg_self_attn",
+                   "CIDEr": "0.3"}, ["model", "caption_from"])
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "caption_from": "cls",
+                   "CIDEr": "0.7"}, ["model", "caption_from"])
+    # config order: cls FIRST — positional matching would swap the scores
+    grid = {"experiments": [
+        {"model_name": "mlp.k",
+         "tasks": {"narratives": [{"caption_from": "cls"},
+                                  {"caption_from": "avg_self_attn"}]}},
+    ]}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rows = ResultsCollector(str(tmp_path)).collect_from_config(
+        str(cfg_path))["narratives"]
+    assert rows[0]["caption_from"] == "cls" and rows[0]["CIDEr"] == 70.0
+    assert rows[1]["caption_from"] == "avg_self_attn"
+    assert rows[1]["CIDEr"] == 30.0
+    # boolean criteria stringify the way the runner writes them
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "caption_from": "cls",
+                   "use_gaussian_weighting": "True", "CIDEr": "0.9"},
+        ["model", "caption_from", "use_gaussian_weighting"])
+    grid["experiments"][0]["tasks"]["narratives"] = [
+        {"caption_from": "cls", "use_gaussian_weighting": True}]
+    cfg_path.write_text(json.dumps(grid))
+    rows = ResultsCollector(str(tmp_path)).collect_from_config(
+        str(cfg_path))["narratives"]
+    assert rows[0]["found"] and rows[0]["CIDEr"] == 90.0
+
+
+def test_collect_dedups_duplicate_matches_by_best_primary(tmp_path):
+    """Several distinct-score rows matching one variant keep the best
+    CIDEr row (reference collect_results.py:320-350)."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    csv_path = str(tmp_path / "narratives.csv")
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "run": "a", "CIDEr": "0.4"},
+        ["model", "run"])
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "run": "b", "CIDEr": "0.6"},
+        ["model", "run"])
+    grid = {"experiments": [
+        {"model_name": "mlp.k", "tasks": {"narratives": {}}},
+    ]}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rows = ResultsCollector(str(tmp_path)).collect_from_config(
+        str(cfg_path))["narratives"]
+    assert rows[0]["CIDEr"] == 60.0
+
+
+def test_collect_results_cli(tmp_path, capsys):
+    """The script surface (reference collect_results.py:652-699): summary
+    to stdout, json + markdown artifacts on disk."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import main
+
+    harness.append_results_csv(
+        str(tmp_path / "narratives.csv"),
+        {"model": "mlp.k", "CIDEr": "0.8"}, ["model"])
+    grid = {"experiments": [
+        {"model_name": "mlp.k", "tasks": {"narratives": {}}},
+        {"model_name": "ghost.k", "tasks": {"narratives": {}}},
+    ]}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    out_json = tmp_path / "out.json"
+    main(["--config", str(cfg_path), "--results-dir", str(tmp_path),
+          "--output", str(out_json), "--format", "json"])
+    printed = capsys.readouterr().out
+    assert "1/2 configurations" in printed and "ghost.k" in printed
+    saved = json.loads(out_json.read_text())
+    assert saved["narratives"][0]["CIDEr"] == 80.0
+    out_md = tmp_path / "out.md"
+    main(["--config", str(cfg_path), "--results-dir", str(tmp_path),
+          "--output", str(out_md), "--format", "markdown"])
+    md = out_md.read_text()
+    assert "## narratives" in md and "| mlp.k |" in md
+
+
 def test_compile_cache_enable(tmp_path, monkeypatch):
     """enable_compile_cache points JAX's persistent cache at the requested
     dir (creating it), honors the kill switch, and is idempotent."""
