@@ -23,7 +23,8 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence
 
-__all__ = ["get_model_infos", "ResultsCollector", "TASK_SCORE_COLUMNS"]
+__all__ = ["get_model_infos", "ResultsCollector", "TASK_SCORE_COLUMNS",
+           "format_rows_with_std", "latex_table"]
 
 # Task -> (main score columns, multiply_by_100) — reference
 # collect_results.py:28-33 and its task_score_columns table.
@@ -43,30 +44,86 @@ TASK_SCORE_COLUMNS = {
     },
 }
 
-# config-name fragments -> (method, grid, backbone) display metadata,
-# mirroring evaluation/utils.py:28-100's mapping for the main-table models.
+# config name -> (display name, n_patches, backbone) — the reference's
+# exact display-metadata table, evaluation/utils.py:28-100 (models_dict).
 _MODEL_INFOS = {
-    "mlp.k": ("Patch-ioner (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
-    "mlp_noise.k": ("Patch-ioner (Talk2DINO+noise)", "37x37", "DINOv2-B/14-reg"),
-    "decap_B16": ("DeCap", "14x14", "CLIP-B/16"),
-    "decap_B32": ("DeCap", "7x7", "CLIP-B/32"),
-    "viecap": ("ViECap", "14x14", "CLIP-B/16"),
-    "mlp.viecap.k": ("ViECap (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
-    "mlp.meacap.k": ("MeaCap (Talk2DINO)", "37x37", "DINOv2-B/14-reg"),
-    "meacap_invlm": ("MeaCap", "14x14", "CLIP-B/16"),
-    "proxyclip": ("ProxyCLIP", "37x37", "CLIP+DINOv2"),
-    "alphaclip": ("AlphaCLIP", "14x14", "AlphaCLIP-B/16"),
-    "regionclip": ("RegionCLIP", "7x7", "RN50"),
-    "denseclip": ("DenseCLIP", "40x40", "CLIP-B/16"),
-    "INViTE": ("INViTE", "14x14", "CLIP-B/16"),
-    "dinotxt": ("DINO.txt", "37x37", "DINOv2-L/14-reg"),
+    "viecap_b16_14patches": ("ViECap@224", 14, "CLIP B16"),
+    "meacap_invlm_b16_14patches": ("MeaCap@224", 14, "CLIP B16"),
+    "viecap": ("ViECap@224", 7, "CLIP B32"),
+    "meacap_invlm": ("MeaCap@224", 7, "CLIP B32"),
+    "viecap_b16_37patches": ("ViECap@592", 37, "CLIP B16"),
+    "meacap_invlm_b16_37patches": ("MeaCap@592", 37, "CLIP B16"),
+    "openclip_H14_noise_0_016": ("Noise@224 0.016", 7, "OpenCLIP H14"),
+    "openclip_H14_noise_0_14_epoch20":
+        ("Noise@224 0.14 Epoch 20", 7, "OpenCLIP H14"),
+    "openclip_H14_mix_noise_0_04_epoch20":
+        ("Mix-Noise@224 0.04 Epoch 20", 7, "OpenCLIP H14"),
+    "original_decap": ("DeCap@224", 7, "CLIP B32"),
+    "original_decap_B16": ("DeCap@224", 14, "CLIP B16"),
+    "original_decap_big_resize_B16": ("DeCap@592", 37, "CLIP B16"),
+    "INViTE_B16_1layer": ("DeCap@224", 14, "INViTE B16 1 Layer"),
+    "INViTE_B16_2layer": ("DeCap@224", 14, "INViTE B16 2 Layers"),
+    "INViTE_B16_3layer": ("DeCap@224", 14, "INViTE B16 3 Layers"),
+    "INViTE_B32_1layer": ("DeCap@224", 7, "INViTE B32 1 Layer"),
+    "INViTE_B32_2layer": ("DeCap@224", 7, "INViTE B32 2 Layers"),
+    "INViTE_B32_3layer": ("DeCap@224", 7, "INViTE B32 3 Layers"),
+    "INViTE_B16_1layer_bigResize": ("DeCap@592", 37, "INViTE B16 1 Layer"),
+    "INViTE_B16_2layer_bigResize": ("DeCap@592", 37, "INViTE B16 2 Layers"),
+    "INViTE_B16_3layer_bigResize": ("DeCap@592", 37, "INViTE B16 3 Layers"),
+    "regionclip_resnet50x4_p32": ("DeCap@288", 9, "RegionCLIP ResNet50x4"),
+    "regionclip_resnet50_p32": ("DeCap@224", 7, "RegionCLIP ResNet50"),
+    "dinotxt": ("Patchioner@518", 37, "DINOv2 B14 DINO.txt"),
+    "mlp": ("Patchioner@518", 37, "DINOv2 B14 T2D"),
+    "mlp.viecap": ("ViECap@518", 37, "DINOv2 B14 T2D"),
+    "mlp.meacap": ("MeaCap@518", 37, "DINOv2 B14 T2D"),
+    "mlp_noise": ("Patchioner-Noise@518", 37, "DINOv2 B14 T2D"),
+    "mlp_noproj": ("Patchioner-NoProj@518", 37, "DINOv2 B14 T2D"),
+    "proxyclip_b16_dinov2": ("DeCap@518", 14, "ProxyCLIP B16 DINOv2 B14"),
+    "proxyclip_b16": ("DeCap@296", 8, "ProxyCLIP B16 DINOv1 B8"),
+    "denseclip_B16_seg_40patches": ("DeCap@640", 40, "DenseCLIP B16"),
+    "alphaclip_B16": ("DeCap@224", 7, "AlphaCLIP B16"),
+    "alphaclip_B16_CLS": ("DeCap@224", 7, "AlphaCLIP B16 CLS"),
+    "clipcap_dino_vitb14": ("ClipCap@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_trf": ("ClipCap-Trf@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_trfGPT": ("ClipCap-TrfGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_GPT": ("ClipCap-GPT@518", 37, "DINOv2 B14"),
+    "clipcap_clip_vitb32.paper": ("ClipCap.orig@224", 7, "CLIP B32"),
+    "clipcap_dino_vitb14_avgpatch_trfGPT":
+        ("ClipCap-AvgPatchTrfGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_avgpatch_GPT":
+        ("ClipCap-AvgPatchGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_avgpatch": ("ClipCap-AvgPatch@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_avgpatch_trf":
+        ("ClipCap-AvgPatchTrf@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_attn_trfGPT":
+        ("ClipCap-AttnTrfGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_attn_GPT": ("ClipCap-AttnGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_attn": ("ClipCap-Attn@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_attn_trf": ("ClipCap-AttnTrf@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_patch_most_attended_GPT":
+        ("ClipCap-Patch-MostAttendedGPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_patch_near_CLS_GPT":
+        ("ClipCap-Patch-NearCLS-GPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitb14_patch_near_capt_t2d_GPT":
+        ("ClipCap-Patch-NearCaption-T2D-GPT@518", 37, "DINOv2 B14"),
+    "clipcap_dino_vitl14_patch_near_capt_DINOtxt_GPT":
+        ("ClipCap-Patch-NearCaption-DINOtxt-GPT@518", 37, "DINOv2 L14"),
 }
 
 
 def get_model_infos(model_name: str):
-    """(method, grid, backbone) display metadata for a config name."""
-    for frag, info in sorted(_MODEL_INFOS.items(), key=lambda kv: -len(kv[0])):
-        if frag in model_name:
+    """(display name, n_patches, backbone) for a config name.
+
+    The reference strips `.karpathy`/`.k` suffixes then indexes models_dict
+    (evaluation/utils.py:32, raising KeyError on unknown names); we fall
+    back first to the longest table key contained in the name (so derived
+    config names still get metadata), then to (name, "?", "?") so report
+    assembly never dies on a user's custom config."""
+    stripped = model_name.replace(".karpathy", "").replace(".k", "")
+    if stripped in _MODEL_INFOS:
+        return _MODEL_INFOS[stripped]
+    for key, info in sorted(_MODEL_INFOS.items(), key=lambda kv: -len(kv[0])):
+        if key in stripped:
             return info
     return (model_name, "?", "?")
 
@@ -283,6 +340,101 @@ class ResultsCollector:
         for r in rows:
             lines.append("| " + " | ".join(str(r.get(h, "")) for h in header) + " |")
         return "\n".join(lines)
+
+
+# column orders for the formatted/LaTeX report tables
+# (evaluation/utils.py:188-199 and :293-296)
+_BASE_COLUMNS = ["model", "n_patches", "backbone", "input", "weighting"]
+_STD_SCORE_ORDER = ["Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE",
+                    "RefPAC-S", "CLIP-S", "PAC-S"]
+_DENSE_SCORE_ORDER = ["map_score", "METEOR", "Bleu_4", "ROUGE_L", "CIDEr",
+                      "SPICE", "RefPAC-S", "CLIP-S", "PAC-S"]
+_STD_PAIRED = _STD_SCORE_ORDER + ["CLIP-S_cropped", "PAC-S_cropped"]
+
+
+def _format_with_std(value, std_value, digits: int,
+                     show_stddev: bool = True) -> str:
+    """`v±s` cell text (evaluation/utils.py:110-120's format_with_std)."""
+    if value in (None, ""):
+        return ""
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return str(value)
+    if not show_stddev or std_value in (None, ""):
+        return f"{v:.{digits}f}"
+    try:
+        s = float(std_value)
+    except (TypeError, ValueError):
+        return f"{v:.{digits}f}"
+    return f"{v:.{digits}f}±{s:.{digits}f}"
+
+
+def format_rows_with_std(rows: List[dict], num_digits: int = 1,
+                         is_dense_capt: bool = False,
+                         show_stddev: bool = True) -> List[dict]:
+    """Combine each score column with its `_std` counterpart into `v±s`
+    cells, drop the std columns, and reorder columns to the report layout
+    (reference evaluation/utils.py:97-209 format_dataframe_with_std;
+    inference time keeps 3 digits, dense map_score keeps 2)."""
+    out = []
+    for r in rows:
+        fr = dict(r)
+        for col in _STD_PAIRED:
+            if col in fr:
+                fr[col] = _format_with_std(
+                    r.get(col), r.get(f"{col}_std"), num_digits, show_stddev
+                )
+        if "avg_inference_time_per_image" in fr:
+            fr["avg_inference_time_per_image"] = _format_with_std(
+                r.get("avg_inference_time_per_image"),
+                r.get("std_inference_time_per_image"), 3, show_stddev)
+        if is_dense_capt and fr.get("map_score") not in (None, ""):
+            try:
+                fr["map_score"] = f"{float(r['map_score']):.2f}"
+            except (TypeError, ValueError):
+                pass
+        for k in list(fr):
+            if k.endswith("_std"):
+                del fr[k]
+        score_order = _DENSE_SCORE_ORDER if is_dense_capt else _STD_SCORE_ORDER
+        ordered = [c for c in _BASE_COLUMNS + score_order
+                   + ["avg_inference_time_per_image"] if c in fr]
+        ordered += [c for c in fr if c not in ordered]
+        out.append({c: fr[c] for c in ordered})
+    return out
+
+
+def latex_table(rows: List[dict], num_digits: int = 1,
+                is_dense_capt: bool = False) -> str:
+    """Render report rows as the reference's paper table (evaluation/
+    utils.py:212-316 print_latex_table): booktabs table* with a \\midrule
+    between model groups, B/M/R/C/S/P + CLIP-S/PAC-S/time columns (mAP
+    leading for dense captioning). Returns the LaTeX instead of printing."""
+    formatted = format_rows_with_std(rows, num_digits=num_digits,
+                                     is_dense_capt=is_dense_capt)
+    score_cols = (_DENSE_SCORE_ORDER if is_dense_capt else _STD_SCORE_ORDER)
+    body = []
+    prev_model = None
+    for r in formatted:
+        model = r.get("model", "")
+        if prev_model is not None and prev_model != model:
+            body.append(r"\midrule")
+        prev_model = model
+        cells = [str(r.get(c, "")) for c in _BASE_COLUMNS]
+        cells += [str(r.get(c, "")) for c in score_cols]
+        cells.append(str(r.get("avg_inference_time_per_image", "")))
+        body.append(" & ".join(cells) + r" \\")
+    colspec = "{lclcc*9r}" if is_dense_capt else "{lclcc*8r}"
+    header = (r"Model & \# Patches & Backbone & Input & Weighting & "
+              + ("mAP & M & B & R & C & S & P" if is_dense_capt
+                 else "B & M & R & C & S & P")
+              + r" & CLIP-S & PAC-S & Time (s) \\")
+    lines = [r"\begin{table*}", r"\centering",
+             r"\resizebox{\textwidth}{!}{",
+             r"\begin{tabular}" + colspec, r"\toprule", header, r"\midrule",
+             *body, r"\bottomrule", r"\end{tabular}}", r"\end{table*}"]
+    return "\n".join(lines)
 
 
 def main(argv=None):

@@ -40,10 +40,15 @@ def test_results_collector(tmp_path):
     table = rc.table("trace_captioning", metrics=("CIDEr", "METEOR"))
     assert len(table) == 2
     row = next(r for r in table if r["model"] == "mlp.k")
-    assert row["method"].startswith("Patch-ioner")
+    # display names are the reference's exact models_dict values
+    # (evaluation/utils.py:28-100)
+    assert row["method"] == "Patchioner@518"
     md = rc.markdown("trace_captioning", metrics=("CIDEr",))
     assert "| mlp.k |" in md
-    assert get_model_infos("viecap.k")[0] == "ViECap"
+    assert get_model_infos("viecap.k") == ("ViECap@224", 7, "CLIP B32")
+    assert get_model_infos("mlp.karpathy") == (
+        "Patchioner@518", 37, "DINOv2 B14 T2D")
+    assert get_model_infos("totally-unknown")[1] == "?"
 
 
 def test_results_collector_surfaces_variant_markers(tmp_path):
@@ -463,6 +468,50 @@ def test_collect_dedups_duplicate_matches_by_best_primary(tmp_path):
     rows = ResultsCollector(str(tmp_path)).collect_from_config(
         str(cfg_path))["narratives"]
     assert rows[0]["CIDEr"] == 60.0
+
+
+def test_format_rows_with_std_and_latex():
+    """score±std cell assembly, std-column drop, report column order, and
+    the LaTeX table shape (reference evaluation/utils.py:97-316)."""
+    from patchioner_tpu.eval.collect_results import (format_rows_with_std,
+                                                     latex_table)
+
+    rows = [
+        {"model": "Patchioner@518", "n_patches": 37,
+         "backbone": "DINOv2 B14 T2D", "input": "trace",
+         "weighting": "gaussian", "CIDEr": 32.157, "CIDEr_std": 0.42,
+         "METEOR": 11.5, "Bleu_4": "", "avg_inference_time_per_image": 0.0123,
+         "std_inference_time_per_image": 0.002},
+        {"model": "DeCap@224", "n_patches": 7, "backbone": "CLIP B32",
+         "input": "trace", "weighting": "none", "CIDEr": 20.0},
+    ]
+    out = format_rows_with_std(rows, num_digits=1)
+    assert out[0]["CIDEr"] == "32.2±0.4"
+    assert out[0]["METEOR"] == "11.5"          # no std column -> plain value
+    assert out[0]["Bleu_4"] == ""               # missing score stays empty
+    # inference time always formats with 3 digits (utils.py:125,171)
+    assert out[0]["avg_inference_time_per_image"] == "0.012±0.002"
+    assert not any(k.endswith("_std") for k in out[0])
+    # column order: base columns, then B/M/R/C... score order
+    keys = list(out[0])
+    assert keys[:5] == ["model", "n_patches", "backbone", "input",
+                        "weighting"]
+    assert keys.index("Bleu_4") < keys.index("METEOR") < keys.index("CIDEr")
+    assert format_rows_with_std(rows, show_stddev=False)[0]["CIDEr"] == "32.2"
+
+    tex = latex_table(rows, num_digits=1)
+    assert tex.startswith("\\begin{table*}") and "\\bottomrule" in tex
+    # \midrule separates distinct model groups (utils.py:289-291)
+    body = tex.split("\\midrule")[2]
+    assert "Patchioner@518" in tex.split("\\midrule")[1]
+    assert "DeCap@224" in body
+    # dense variant leads with mAP and reorders M before B (utils.py:283-296)
+    dense = [{"model": "m", "n_patches": 1, "backbone": "b", "input": "box",
+              "weighting": "w", "map_score": 0.4567, "METEOR": 10.0,
+              "Bleu_4": 5.0}]
+    dtex = latex_table(dense, is_dense_capt=True)
+    assert "mAP & M & B" in dtex and "0.46 & 10.0 & 5.0" in dtex
+    assert "{lclcc*9r}" in dtex
 
 
 def test_collect_results_cli(tmp_path, capsys):

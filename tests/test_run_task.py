@@ -122,7 +122,8 @@ def test_dense_task_cli(tiny_config, tmp_path, capsys):
         "--allow-missing-weights",
     ], capsys)
     assert got["task"] == "dense"
-    assert 0.0 <= float(got["scores"]["map"]) <= 1.0
+    # run_task reports the reference CSV column name (map_score)
+    assert 0.0 <= float(got["scores"]["map_score"]) <= 1.0
 
 
 def test_region_set_task_cli(tiny_config, tmp_path, capsys):
