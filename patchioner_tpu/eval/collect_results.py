@@ -5,9 +5,10 @@ CSV scraping + table assembly) and evaluation/utils.py:28-100
 (get_model_infos: config name -> display metadata).
 
 Reference semantics reproduced: per-task score-column sets with the
-x100 scaling rules (collect_results.py:28-33 — narratives /
-image_captioning / dense_captioning scores x100, controllable unscaled),
-settings-criteria row matching with best-primary dedup of distinct
+x100 scaling rules (collect_results.py:101-130 — image_captioning /
+dense_captioning scores x100; narratives and controllable unscaled per
+the reference CODE's multiply_by_100 flags, whose :27 docstring claims
+otherwise), settings-criteria row matching with best-primary dedup of distinct
 duplicates (:241-355), config-JSON-driven row assembly with graceful
 missing-result rows + config columns carried onto every row (:388-540),
 the found/missing summary report (:542-600), and the script surface
@@ -24,14 +25,18 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 __all__ = ["get_model_infos", "ResultsCollector", "TASK_SCORE_COLUMNS",
-           "format_rows_with_std", "latex_table"]
+           "format_rows_with_std", "latex_table", "expand_grid"]
 
 # Task -> (main score columns, multiply_by_100) — reference
 # collect_results.py:28-33 and its task_score_columns table.
 _CAPTION_SCORES = ["METEOR", "CIDEr", "SPICE", "RefPAC-S", "Bleu_4",
                    "ROUGE_L", "CLIP-S", "PAC-S"]
+# narratives is multiply_by_100=False: the reference's CODE sets False
+# (collect_results.py:106) even though its own docstring/comment claims
+# x100 (:27, :106's trailing comment) — we reproduce the code's behavior
+# and note the contradiction rather than the comment's claim.
 TASK_SCORE_COLUMNS = {
-    "narratives": {"main_scores": _CAPTION_SCORES, "multiply_by_100": True},
+    "narratives": {"main_scores": _CAPTION_SCORES, "multiply_by_100": False},
     "image_captioning": {
         "main_scores": _CAPTION_SCORES, "multiply_by_100": True,
     },
@@ -45,7 +50,11 @@ TASK_SCORE_COLUMNS = {
 }
 
 # config name -> (display name, n_patches, backbone) — the reference's
-# exact display-metadata table, evaluation/utils.py:28-100 (models_dict).
+# display-metadata table, evaluation/utils.py:28-100 (models_dict). The
+# key/value strings are reproduced verbatim as DATA: like configs/*.yaml,
+# the display strings themselves are the parity surface — any
+# implementation that renders the reference's report tables must contain
+# exactly these strings.
 _MODEL_INFOS = {
     "viecap_b16_14patches": ("ViECap@224", 14, "CLIP B16"),
     "meacap_invlm_b16_14patches": ("MeaCap@224", 14, "CLIP B16"),
@@ -110,6 +119,14 @@ _MODEL_INFOS = {
         ("ClipCap-Patch-NearCaption-DINOtxt-GPT@518", 37, "DINOv2 L14"),
 }
 
+# aliases for this repo's shipped config names (configs/*.yaml) whose
+# reference-table keys differ — same display metadata, local spelling
+_MODEL_INFOS.update({
+    "decap_B16": _MODEL_INFOS["original_decap_B16"],
+    "decap_B16_resize": _MODEL_INFOS["original_decap_big_resize_B16"],
+    "decap_B32": _MODEL_INFOS["original_decap"],
+})
+
 
 def get_model_infos(model_name: str):
     """(display name, n_patches, backbone) for a config name.
@@ -126,6 +143,33 @@ def get_model_infos(model_name: str):
         if key in stripped:
             return info
     return (model_name, "?", "?")
+
+
+def expand_grid(task_settings: dict):
+    """Dict-of-lists -> cartesian grid of dicts (reference
+    run_tasks.py:179-223). Shared with eval/runner.py so the collector
+    enumerates exactly the variants the runner ran — a `caption_from:
+    [cls, avg_self_attn]` axis yields one collected row per expanded run,
+    not one collapsed row."""
+    import itertools
+
+    keys = [k for k, v in task_settings.items() if isinstance(v, list)]
+    if not keys:
+        yield dict(task_settings)
+        return
+    for combo in itertools.product(*(task_settings[k] for k in keys)):
+        out = dict(task_settings)
+        out.update(dict(zip(keys, combo)))
+        yield out
+
+
+def _markdown_table(header: Sequence[str], rows: List[dict]) -> str:
+    lines = ["| " + " | ".join(str(h) for h in header) + " |",
+             "|" + "---|" * len(header)]
+    for r in rows:
+        lines.append(
+            "| " + " | ".join(str(r.get(h, "")) for h in header) + " |")
+    return "\n".join(lines)
 
 
 class ResultsCollector:
@@ -206,23 +250,34 @@ class ResultsCollector:
         for exp in grid.get("experiments", []):
             model_name = exp.get("model_name") or exp.get("model")
             for task_name, settings in exp.get("tasks", {}).items():
-                variants = settings if isinstance(settings, list) else [
-                    settings
-                ]
+                # enumerate variants EXACTLY as the runner does, including
+                # dict-of-lists cartesian expansion (runner.py run();
+                # reference run_tasks.py:179-223) — otherwise an expanded
+                # axis's runs collapse into one collected row
+                variants = (settings if isinstance(settings, list)
+                            else list(expand_grid(settings or {})))
                 task_cfg = TASK_SCORE_COLUMNS.get(
                     task_name, {"main_scores": _CAPTION_SCORES,
                                 "multiply_by_100": False},
                 )
                 if task_name not in task_rows:
-                    task_rows[task_name] = self.load_task(task_name)
-                rows = task_rows[task_name]
+                    rows = self.load_task(task_name)
+                    # DictReader rows share the header's key set; compute
+                    # the column set once per task, not per variant
+                    task_rows[task_name] = (
+                        rows, set(rows[0].keys()) if rows else set()
+                    )
+                rows, columns = task_rows[task_name]
                 for vi, variant in enumerate(variants):
+                    # lists stay in the criteria: the runner stringifies
+                    # every non-dict setting into its CSV row
+                    # (runner.py:166-173), so str(list) compares correctly
                     criteria = {
                         k: v for k, v in (variant or {}).items()
-                        if not isinstance(v, (dict, list))
+                        if not isinstance(v, dict)
                     }
                     match = self._match_row(
-                        rows, model_name, criteria,
+                        rows, columns, model_name, criteria,
                         primary_metrics=task_cfg["main_scores"],
                     )
                     row = {
@@ -234,15 +289,17 @@ class ResultsCollector:
                     row.update({"model": method, "n_patches": grid_sz,
                                 "backbone": backbone})
                     # config columns ride along on found AND missing rows
-                    # (reference :505-527 fills them from merged settings)
-                    row.update(criteria)
+                    # (reference :505-527); setdefault so a pathological
+                    # setting named like a reserved column (found/model/...)
+                    # can't clobber the assembled bookkeeping
+                    for k, v in criteria.items():
+                        row.setdefault(k, v)
                     for col in task_cfg["main_scores"]:
                         row[col] = self._scaled(
-                            (match or {}).get(col)
-                            if match else None,
+                            match.get(col) if match else None,
                             task_cfg["multiply_by_100"],
                         )
-                        std = (match or {}).get(f"{col}_std") if match else None
+                        std = match.get(f"{col}_std") if match else None
                         if std not in (None, ""):
                             row[f"{col}_std"] = self._scaled(
                                 std, task_cfg["multiply_by_100"]
@@ -265,7 +322,8 @@ class ResultsCollector:
         return round(v * 100, 4) if multiply_by_100 else v
 
     @staticmethod
-    def _match_row(rows: List[dict], model_name: str, criteria: dict,
+    def _match_row(rows: List[dict], columns: set, model_name: str,
+                   criteria: dict,
                    primary_metrics: Sequence[str] = ("CIDEr",),
                    ) -> Optional[dict]:
         """Find the CSV row matching model_name + the variant's settings.
@@ -278,7 +336,6 @@ class ResultsCollector:
         writer guarantees the column exists for any run that used the key;
         skipping would let a variant silently inherit another variant's
         scores."""
-        columns = set().union(*(r.keys() for r in rows)) if rows else set()
         matches = []
         for r in rows:
             if r.get("model") != model_name and r.get(
@@ -298,16 +355,26 @@ class ResultsCollector:
             return None
         if len(matches) == 1:
             return matches[0]
-        # multiple matches: prefer the best primary metric among rows that
-        # actually carry scores (reference :320-350 drops all-NaN rows then
-        # sorts by CIDEr descending)
-        def score(r):
+        # multiple matches: sort by ONE column — CIDEr when any match
+        # carries it, else the first primary metric any match carries —
+        # missing-valued rows last (reference :341-350 sorts by CIDEr
+        # descending). Mixing columns per row could prefer a row whose
+        # primary metric is absent.
+        def pick_column():
             for m in ("CIDEr", *primary_metrics):
-                try:
-                    return float(r.get(m, ""))
-                except (TypeError, ValueError):
-                    continue
-            return float("-inf")
+                if any(r.get(m) not in (None, "") for r in matches):
+                    return m
+            return None
+
+        col = pick_column()
+        if col is None:
+            return matches[0]
+
+        def score(r):
+            try:
+                return float(r.get(col, ""))
+            except (TypeError, ValueError):
+                return float("-inf")
 
         return max(matches, key=score)
 
@@ -335,11 +402,7 @@ class ResultsCollector:
         )
         header = ["model", "method", "grid", "backbone", *metrics,
                   *marker_cols]
-        lines = ["| " + " | ".join(header) + " |",
-                 "|" + "---|" * len(header)]
-        for r in rows:
-            lines.append("| " + " | ".join(str(r.get(h, "")) for h in header) + " |")
-        return "\n".join(lines)
+        return _markdown_table(header, rows)
 
 
 # column orders for the formatted/LaTeX report tables
@@ -478,13 +541,8 @@ def main(argv=None):
                 )
                 header = ["model_name", "model", "n_patches", "backbone",
                           "found", *cols, *marker_cols]
-                lines = [f"## {task}", "",
-                         "| " + " | ".join(header) + " |",
-                         "|" + "---|" * len(header)]
-                for r in rows:
-                    lines.append("| " + " | ".join(
-                        str(r.get(h, "")) for h in header) + " |")
-                sections.append("\n".join(lines))
+                sections.append(
+                    f"## {task}\n\n" + _markdown_table(header, rows))
             with open(args.output, "w") as f:
                 f.write("\n\n".join(sections) + "\n")
         print(f"results saved to: {args.output}")

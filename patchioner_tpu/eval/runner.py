@@ -15,7 +15,6 @@ Grid config schema (evaluation/configs/*.json):
 
 from __future__ import annotations
 
-import itertools
 import json
 import logging
 import os
@@ -137,15 +136,12 @@ class ExperimentRunner:
         )
 
     def _expand(self, task_settings: dict):
-        """Dict-of-lists -> cartesian grid of dicts (run_tasks.py:179-223)."""
-        keys = [k for k, v in task_settings.items() if isinstance(v, list)]
-        if not keys:
-            yield dict(task_settings)
-            return
-        for combo in itertools.product(*(task_settings[k] for k in keys)):
-            out = dict(task_settings)
-            out.update(dict(zip(keys, combo)))
-            yield out
+        """Dict-of-lists -> cartesian grid of dicts (run_tasks.py:179-223).
+        Shared with collect_results.expand_grid so runner and collector
+        always enumerate the same variant set."""
+        from patchioner_tpu.eval.collect_results import expand_grid
+
+        yield from expand_grid(task_settings)
 
     def run(self, dry_run: bool = False) -> list:
         os.makedirs(self.output_dir, exist_ok=True)

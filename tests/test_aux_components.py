@@ -332,36 +332,47 @@ def test_hlo_collective_summary_parses_ops_and_bytes():
 
 
 def test_collect_from_config_assembly(tmp_path):
-    """Config-driven collection: found rows get x100-scaled scores +
-    variant markers; absent configurations still produce rows."""
+    """Config-driven collection: image_captioning rows get x100-scaled
+    scores + variant markers, narratives stays UNSCALED (the reference
+    code's multiply_by_100 flags, collect_results.py:101-130); absent
+    configurations still produce rows."""
     import json
 
     from patchioner_tpu.eval import harness
     from patchioner_tpu.eval.collect_results import ResultsCollector
 
     harness.append_results_csv(
-        str(tmp_path / "narratives.csv"),
-        {"model": "mlp.k", "task": "narratives", "CIDEr": "0.8123",
+        str(tmp_path / "image_captioning.csv"),
+        {"model": "mlp.k", "task": "image", "CIDEr": "0.8123",
          "METEOR": "0.2", "CIDEr_std": "0.01", "SPICE_variant": "lexicon"},
+        ["model", "task"],
+    )
+    harness.append_results_csv(
+        str(tmp_path / "narratives.csv"),
+        {"model": "mlp.k", "task": "narratives", "CIDEr": "0.8123"},
         ["model", "task"],
     )
     grid = {
         "experiments": [
-            {"model_name": "mlp.k", "tasks": {"narratives": {}}},
-            {"model_name": "ghost.k", "tasks": {"narratives": {}}},
+            {"model_name": "mlp.k",
+             "tasks": {"image_captioning": {}, "narratives": {}}},
+            {"model_name": "ghost.k", "tasks": {"image_captioning": {}}},
         ]
     }
     cfg_path = tmp_path / "grid.json"
     cfg_path.write_text(json.dumps(grid))
     rc = ResultsCollector(str(tmp_path))
     results = rc.collect_from_config(str(cfg_path))
-    rows = results["narratives"]
+    rows = results["image_captioning"]
     assert len(rows) == 2
     ok = next(r for r in rows if r["model_name"] == "mlp.k")
     assert ok["found"] and ok["CIDEr"] == 81.23 and ok["CIDEr_std"] == 1.0
     assert ok["SPICE_variant"] == "lexicon"
     ghost = next(r for r in rows if r["model_name"] == "ghost.k")
     assert not ghost["found"] and ghost["CIDEr"] == ""
+    # narratives: reference code does NOT x100 (its docstring claims
+    # otherwise; code wins)
+    assert results["narratives"][0]["CIDEr"] == 0.8123
     report = rc.summary_report(results)
     assert "1/2 configurations" in report and "ghost.k" in report
 
@@ -392,7 +403,7 @@ def test_collect_variant_without_row_is_missing(tmp_path):
     rc = ResultsCollector(str(tmp_path))
     rows = rc.collect_from_config(str(cfg_path))["narratives"]
     assert len(rows) == 3
-    assert rows[0]["found"] and rows[0]["CIDEr"] == 50.0
+    assert rows[0]["found"] and rows[0]["CIDEr"] == 0.5
     for r in rows[1:]:
         assert not r["found"], r
         assert r["CIDEr"] == ""
@@ -429,9 +440,9 @@ def test_collect_matches_by_settings_not_position(tmp_path):
     cfg_path.write_text(json.dumps(grid))
     rows = ResultsCollector(str(tmp_path)).collect_from_config(
         str(cfg_path))["narratives"]
-    assert rows[0]["caption_from"] == "cls" and rows[0]["CIDEr"] == 70.0
+    assert rows[0]["caption_from"] == "cls" and rows[0]["CIDEr"] == 0.7
     assert rows[1]["caption_from"] == "avg_self_attn"
-    assert rows[1]["CIDEr"] == 30.0
+    assert rows[1]["CIDEr"] == 0.3
     # boolean criteria stringify the way the runner writes them
     harness.append_results_csv(
         csv_path, {"model": "mlp.k", "caption_from": "cls",
@@ -442,7 +453,7 @@ def test_collect_matches_by_settings_not_position(tmp_path):
     cfg_path.write_text(json.dumps(grid))
     rows = ResultsCollector(str(tmp_path)).collect_from_config(
         str(cfg_path))["narratives"]
-    assert rows[0]["found"] and rows[0]["CIDEr"] == 90.0
+    assert rows[0]["found"] and rows[0]["CIDEr"] == 0.9
 
 
 def test_collect_dedups_duplicate_matches_by_best_primary(tmp_path):
@@ -467,7 +478,92 @@ def test_collect_dedups_duplicate_matches_by_best_primary(tmp_path):
     cfg_path.write_text(json.dumps(grid))
     rows = ResultsCollector(str(tmp_path)).collect_from_config(
         str(cfg_path))["narratives"]
-    assert rows[0]["CIDEr"] == 60.0
+    assert rows[0]["CIDEr"] == 0.6
+
+
+def test_collect_expands_grid_axes_and_list_criteria(tmp_path):
+    """Dict-of-lists task settings expand to one collected row per run
+    (same cartesian expansion as the runner), and list-valued settings
+    participate in row matching via the runner's str(list) spelling."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import (ResultsCollector,
+                                                     expand_grid)
+
+    assert list(expand_grid({"a": [1, 2], "b": "x"})) == [
+        {"a": 1, "b": "x"}, {"a": 2, "b": "x"}]
+
+    csv_path = str(tmp_path / "narratives.csv")
+    # the runner writes each expanded run with its scalar axis value, and
+    # list-valued settings stringified (runner.py:166-173)
+    for cf, cider in (("cls", "0.7"), ("avg_self_attn", "0.3")):
+        harness.append_results_csv(
+            csv_path, {"model": "mlp.k", "caption_from": cf,
+                       "datasets": str(["coco"]), "CIDEr": cider},
+            ["model", "caption_from", "datasets"])
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "caption_from": "cls",
+                   "datasets": str(["flickr"]), "CIDEr": "0.9"},
+        ["model", "caption_from", "datasets"])
+    grid = {"experiments": [
+        {"model_name": "mlp.k",
+         "tasks": {"narratives": {
+             "caption_from": ["cls", "avg_self_attn"],
+             "datasets": [["coco"]],  # one-combo axis: list VALUE survives
+         }}},
+    ]}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rows = ResultsCollector(str(tmp_path)).collect_from_config(
+        str(cfg_path))["narratives"]
+    # two rows (the expanded caption_from axis), each matched to the coco
+    # run — the flickr row must NOT win despite its higher CIDEr
+    assert len(rows) == 2
+    assert rows[0]["caption_from"] == "cls" and rows[0]["CIDEr"] == 0.7
+    assert rows[1]["caption_from"] == "avg_self_attn"
+    assert rows[1]["CIDEr"] == 0.3
+
+
+def test_collect_dedup_uses_single_column(tmp_path):
+    """Duplicate-match dedup compares ONE column across rows (reference
+    sorts all matches by CIDEr) — a row missing CIDEr can't beat a
+    CIDEr-carrying row on the strength of some other metric."""
+    import json
+
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    csv_path = str(tmp_path / "narratives.csv")
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "run": "a", "CIDEr": "",
+                   "METEOR": "0.5"}, ["model", "run"])
+    harness.append_results_csv(
+        csv_path, {"model": "mlp.k", "run": "b", "CIDEr": "0.3",
+                   "METEOR": "0.2"}, ["model", "run"])
+    grid = {"experiments": [
+        {"model_name": "mlp.k", "tasks": {"narratives": {}}},
+    ]}
+    cfg_path = tmp_path / "grid.json"
+    cfg_path.write_text(json.dumps(grid))
+    rows = ResultsCollector(str(tmp_path)).collect_from_config(
+        str(cfg_path))["narratives"]
+    assert rows[0]["CIDEr"] == 0.3 and rows[0]["METEOR"] == 0.2
+
+
+def test_model_infos_shipped_config_aliases():
+    """Every shipped configs/*.yaml name resolves to display metadata (the
+    repo spells some reference names differently, e.g. decap_B16)."""
+    import glob
+    import os
+
+    from patchioner_tpu.eval.collect_results import get_model_infos
+
+    for path in glob.glob(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "*.yaml")):
+        name = os.path.basename(path)[: -len(".yaml")]
+        info = get_model_infos(name)
+        assert info[1] != "?", f"{name} has no display metadata"
 
 
 def test_format_rows_with_std_and_latex():
@@ -537,7 +633,7 @@ def test_collect_results_cli(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "1/2 configurations" in printed and "ghost.k" in printed
     saved = json.loads(out_json.read_text())
-    assert saved["narratives"][0]["CIDEr"] == 80.0
+    assert saved["narratives"][0]["CIDEr"] == 0.8
     out_md = tmp_path / "out.md"
     main(["--config", str(cfg_path), "--results-dir", str(tmp_path),
           "--output", str(out_md), "--format", "markdown"])
