@@ -251,10 +251,10 @@ def quantize_vit_weights(
     full precision. Returns a new param tree; forwards route through
     the W8A8 path automatically when 'w_q' is present."""
 
+    from patchioner_tpu.ops.mlp import quantize_symmetric_int8
+
     def quant(p):
-        w = jnp.asarray(p["w"], jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12) / 127.0
-        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        w_q, scale = quantize_symmetric_int8(jnp.asarray(p["w"]), axis=0)
         return {"w_q": w_q, "w_scale": scale, "b": p["b"]}
 
     out = dict(params)
@@ -265,20 +265,65 @@ def quantize_vit_weights(
     return out
 
 
-def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_grid: int) -> jax.Array:
+def _torch_bicubic_matrix(src: int, dst: int, rscale: float):
+    """(dst, src) interpolation weights reproducing torch's bicubic
+    upsample exactly: Keys cubic convolution with A=-0.75
+    (jax.image.resize uses A=-0.5 — numerics differ in the 1e-3 range),
+    source coords ``rscale*(dst+0.5)-0.5``, edge taps clamped. rscale is
+    the src-pixels-per-dst-pixel ratio torch derives from the caller's
+    scale_factor (its reciprocal) or size (src/dst)."""
+    import numpy as np
+
+    A = -0.75
+
+    def conv1(x):  # |x| <= 1 branch of the Keys kernel
+        return ((A + 2) * x - (A + 3)) * x * x + 1
+
+    def conv2(x):  # 1 < |x| < 2 branch
+        return (((x - 5) * x + 8) * x - 4) * A
+
+    xs = rscale * (np.arange(dst, dtype=np.float64) + 0.5) - 0.5
+    x0 = np.floor(xs)
+    t = xs - x0
+    coeffs = [conv2(t + 1.0), conv1(t), conv1(1.0 - t), conv2(2.0 - t)]
+    w = np.zeros((dst, src), np.float64)
+    rows = np.arange(dst)
+    for k in range(4):
+        idx = np.clip(x0 + k - 1, 0, src - 1).astype(np.int64)
+        np.add.at(w, (rows, idx), coeffs[k])
+    return jnp.asarray(w, jnp.float32)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, src_grid: int, dst_grid: int,
+    *, interpolate_offset: float = 0.1,
+) -> jax.Array:
     """Bicubic pos-embed interpolation (CLS kept, patch grid resized) —
-    mirrors dinov2's interpolate_pos_encoding semantics."""
+    torch-exact replica of dinov2's interpolate_pos_encoding: the grid is
+    resized in f32 with torch's A=-0.75 bicubic kernel, and when
+    interpolate_offset is set (dinov2's default 0.1) torch receives
+    scale_factor=(dst+offset)/src and maps coordinates through its
+    reciprocal — NOT dst/src — so the resampling positions carry dinov2's
+    small-offset quirk. interpolate_offset=0 reproduces the size=(dst,dst)
+    call (coordinate scale src/dst)."""
     if src_grid == dst_grid:
         return pos_embed
     cls_pos = pos_embed[:, :1]
-    patch_pos = pos_embed[:, 1:].reshape(1, src_grid, src_grid, -1)
-    patch_pos = jax.image.resize(
-        patch_pos,
-        (1, dst_grid, dst_grid, patch_pos.shape[-1]),
-        method="bicubic",
+    dtype = pos_embed.dtype
+    patch_pos = pos_embed[:, 1:].astype(jnp.float32).reshape(
+        src_grid, src_grid, -1
     )
+    if interpolate_offset:
+        rscale = float(src_grid) / (dst_grid + interpolate_offset)
+    else:
+        rscale = float(src_grid) / dst_grid
+    w = _torch_bicubic_matrix(src_grid, dst_grid, rscale)
+    patch_pos = jnp.tensordot(w, patch_pos, axes=[[1], [0]])  # rows
+    patch_pos = jnp.tensordot(w, patch_pos, axes=[[1], [1]])  # cols
+    patch_pos = patch_pos.transpose(1, 0, 2)  # (dst_y, dst_x, D)
     return jnp.concatenate(
-        [cls_pos, patch_pos.reshape(1, dst_grid * dst_grid, -1)], axis=1
+        [cls_pos, patch_pos.reshape(1, dst_grid * dst_grid, -1).astype(dtype)],
+        axis=1,
     )
 
 

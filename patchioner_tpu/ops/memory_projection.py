@@ -237,12 +237,11 @@ def quantize_bank(
 
 @jax.jit
 def _quantize_chunk(b):
+    from patchioner_tpu.ops.mlp import quantize_symmetric_int8
+
     bf = b.astype(jnp.float32)
     inv = 1.0 / jnp.linalg.norm(bf, axis=-1, keepdims=True)
-    scale = jnp.maximum(
-        jnp.max(jnp.abs(bf), axis=-1, keepdims=True) / 127.0, 1e-12
-    )
-    rows = jnp.clip(jnp.round(bf / scale), -127, 127).astype(jnp.int8)
+    rows, scale = quantize_symmetric_int8(bf, axis=-1)
     return rows, scale, inv
 
 
@@ -382,6 +381,20 @@ def memory_project_int8(
     (1.82 GB -> 0.46 GB), freeing HBM for batch or multi-model serving.
     Quantization error: mean cosine vs f32 projection 0.9998."""
     block_b = min(block_b, max(8, features.shape[0]))
+    # Scoped-VMEM guard (mirrors memory_project_pallas): wider banks at the
+    # default block_m overflow the ~16 MB limit — the estimator below puts
+    # the measured-failing d=768/block_m=2048 point at 17.9 MB (Mosaic
+    # reported 16.73) and the measured-good d=768/block_m=1024 at 9.0 MB.
+    # Halving keeps mp % block_m == 0 because quantize_bank pads to the
+    # quantize-time block_m (a power-of-2 multiple of these).
+    d = qbank.rows.shape[-1]
+    while block_m > 256 and (
+        2 * block_m * d                   # double-buffered int8 bank tile
+        + 2 * block_m * d * 4             # in-kernel dequant f32 + scaled copy
+        + block_b * block_m * 4           # sim tile (f32)
+        + 3 * block_b * d * 4             # f/acc/out tiles
+    ) > 14_000_000:
+        block_m //= 2
     return _mem_proj_call_q(
         features, qbank.rows, qbank.scale, qbank.inv_norm,
         num_real=qbank.num_real, temperature=temperature, normalize=normalize,

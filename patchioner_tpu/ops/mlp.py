@@ -316,18 +316,24 @@ def fused_dense_residual(
 # ------------------------------------------------- int8 W8A8 variant
 
 
+def quantize_symmetric_int8(x, axis):
+    """Symmetric int8 quantization with a per-slice scale along `axis`:
+    scale = max(amax/127, 1e-12), q = clip(round(x/scale)). The ONE shared
+    helper for every load-time int8 path (MLP/ViT weights, memory-bank
+    rows) so the clip range and epsilon can't drift between copies."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=axis, keepdims=True) / 127.0, 1e-12
+    )
+    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
+
+
 def quantize_mlp_weights(w1, b1, w2, b2):
     """Per-output-channel symmetric int8 quantization of the two MLP weight
     matrices (done once at load, outside the hot path). Returns
     (w1q, w1s, b1, w2q, w2s, b2) with f32 scales/biases."""
-    def q(w):
-        w = w.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0,
-                        1e-12)
-        return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
-
-    w1q, w1s = q(w1)
-    w2q, w2s = q(w2)
+    w1q, w1s = quantize_symmetric_int8(w1, axis=0)
+    w2q, w2s = quantize_symmetric_int8(w2, axis=0)
     return w1q, w1s, b1.astype(jnp.float32), w2q, w2s, b2.astype(jnp.float32)
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "compute_region_means",
     "traces_to_grid",
     "trace_pool",
+    "boxes_to_pixel_masks",
     "ctx_cleaner",
 ]
 
@@ -84,15 +85,20 @@ def _gaussian_box_weights(
     """
     x1 = grid_boxes[..., 0]
     y1 = grid_boxes[..., 1]
-    wspan = grid_boxes[..., 2] + 1  # inclusive end -> span
-    hspan = grid_boxes[..., 3] + 1
+    # inclusive end -> span, CLIPPED at the grid edge: the reference slices
+    # region_patches with torch indexing (which clips at grid_size) and
+    # builds linspace/centers over region_patches.shape — the clipped span
+    # (src/bbox_utils.py:44,57-62). A box whose nominal end passes the last
+    # row must weight its rows over the clipped extent, not the nominal one.
+    wspan = jnp.minimum(grid_boxes[..., 2] + 1, grid_size - x1)
+    hspan = jnp.minimum(grid_boxes[..., 3] + 1, grid_size - y1)
     ys = jnp.arange(grid_size, dtype=jnp.float32)
     xs = jnp.arange(grid_size, dtype=jnp.float32)
     inside = _box_inside_mask(grid_boxes, grid_size)
 
     if variance == 0:
         # One-hot at the central patch.
-        def center(start, span):
+        def center(start, span, k):
             lo = start + span // 2 - 1
             hi = start + span // 2
             odd = start + (span - 1) // 2
@@ -101,14 +107,17 @@ def _gaussian_box_weights(
             elif even_center == "high":
                 even = hi
             else:
-                if key is None:
+                if k is None:
                     raise ValueError("even_center='random' requires a PRNG key")
-                pick = jax.random.bernoulli(key, 0.5, span.shape)
+                pick = jax.random.bernoulli(k, 0.5, span.shape)
                 even = jnp.where(pick, hi, lo)
             return jnp.where(span % 2 == 1, odd, even)
 
-        cy = center(y1, hspan)
-        cx = center(x1, wspan)
+        # independent per-axis picks (the reference calls random.choice
+        # once per axis, src/bbox_utils.py:70-71)
+        ky, kx = jax.random.split(key) if key is not None else (None, None)
+        cy = center(y1, hspan, ky)
+        cx = center(x1, wspan, kx)
         return (
             (ys[:, None] == cy[..., None, None]).astype(jnp.float32)
             * (xs[None, :] == cx[..., None, None]).astype(jnp.float32)

@@ -154,6 +154,44 @@ def test_bbox_features_parity(data, kwargs):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(),
+        dict(gaussian_avg=True, gaussian_bbox_variance=0.5),
+        dict(gaussian_avg=True, gaussian_bbox_variance=0.0),
+    ],
+)
+def test_bbox_features_parity_edge_clipped_boxes(kwargs):
+    """Boxes touching the image edge get their weight span CLIPPED at the
+    grid like the reference's torch slicing (src/bbox_utils.py:44 slices
+    region_patches, :57-62 builds linspace over the CLIPPED shape). The
+    reference's own adjust_bbox_for_transform clamps w = crop - x1, so
+    edge-touching boxes are common in real evals."""
+    rng = np.random.default_rng(7)
+    tokens = rng.standard_normal((2, G * G, D)).astype(np.float32)
+    img = G * PATCH
+    boxes = np.array(
+        [
+            # x1+w == img and y1+h == img: nominal grid span G+1, clipped G
+            [[0.0, 0.0, img, img],
+             [20.0, 30.0, img - 20.0, img - 30.0]],
+            # clip on one axis only; and a 1-patch sliver at the far edge
+            [[0.0, 14.0, img, 28.0],
+             [img - 14.0, img - 14.0, 14.0, 14.0]],
+        ],
+        dtype=np.float32,
+    )
+    want = oracle_bbox_feats(
+        torch.from_numpy(tokens), torch.from_numpy(boxes.copy()),
+        patch_size=PATCH, **kwargs
+    ).numpy()
+    got = rp.extract_bbox_features(
+        jnp.asarray(tokens), jnp.asarray(boxes), patch_size=PATCH, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 def test_bbox_features_attention_parity_with_overlap(data):
     tokens, boxes, attn = data
     # Force overlaps: duplicate box 0 into slot 1 so the in-place

@@ -82,6 +82,41 @@ def test_pos_embed_interpolation_changes_grid(ported):
     np.testing.assert_array_equal(np.asarray(same), np.asarray(pos))
 
 
+@pytest.mark.parametrize("src,dst", [(37, 16), (37, 40), (7, 14), (16, 37)])
+def test_pos_embed_interpolation_matches_torch_bicubic(src, dst):
+    """Oracle: dinov2's interpolate_pos_encoding — torch F.interpolate
+    bicubic (A=-0.75, antialias=False) called with the
+    scale_factor=(dst+0.1)/src quirk (hub dinov2 vision_transformer.py,
+    interpolate_offset=0.1). jax.image.resize (A=-0.5, no offset) fails
+    this test in the 1e-3 range."""
+    rng = np.random.default_rng(3)
+    dim = 24
+    pos = rng.standard_normal((1, 1 + src * src, dim)).astype(np.float32)
+
+    grid = torch.from_numpy(pos[:, 1:].reshape(1, src, src, dim))
+    sf = float(dst + 0.1) / src
+    want = torch.nn.functional.interpolate(
+        grid.permute(0, 3, 1, 2), mode="bicubic", antialias=False,
+        scale_factor=(sf, sf),
+    ).permute(0, 2, 3, 1).reshape(1, dst * dst, dim).numpy()
+
+    got = vit.interpolate_pos_embed(jnp.asarray(pos), src, dst)
+    assert got.shape == (1, 1 + dst * dst, dim)
+    np.testing.assert_array_equal(np.asarray(got[:, :1]), pos[:, :1])
+    np.testing.assert_allclose(np.asarray(got[:, 1:]), want,
+                               rtol=1e-4, atol=2e-5)
+
+    # interpolate_offset=0 reproduces torch's size=(dst,dst) call
+    want0 = torch.nn.functional.interpolate(
+        grid.permute(0, 3, 1, 2), mode="bicubic", antialias=False,
+        size=(dst, dst),
+    ).permute(0, 2, 3, 1).reshape(1, dst * dst, dim).numpy()
+    got0 = vit.interpolate_pos_embed(jnp.asarray(pos), src, dst,
+                                     interpolate_offset=0.0)
+    np.testing.assert_allclose(np.asarray(got0[:, 1:]), want0,
+                               rtol=1e-4, atol=2e-5)
+
+
 def test_process_self_attention_matches_reference_math(ported):
     """Oracle: the reference's exact quirk chain (src/dino_extraction.py:24-34)
     on a random fused-qkv activation."""
