@@ -151,7 +151,20 @@ def clip_visual_forward(
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(cfg.dtype), (b, 1, cfg.width)
     )
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(cfg.dtype)
+    pos = params["pos_embed"]
+    if pos.shape[1] != 1 + g * g:
+        # Ported checkpoints store the pretraining grid (e.g. 14x14 for
+        # B/16 at 224px); the bigResize configs run this tower at a larger
+        # grid. The reference interpolates the patch pos-embeds bicubic to
+        # the runtime grid (INViTE clipfolder/model.py:463 —
+        # F.interpolate(size=(new,new), mode='bicubic',
+        # align_corners=False); upscale-only here, so the timm path's
+        # antialias flag is moot). Torch-exact kernel, no dinov2 offset.
+        from patchioner_tpu.models.vit import interpolate_pos_embed
+
+        src = int(round((pos.shape[1] - 1) ** 0.5))
+        pos = interpolate_pos_embed(pos, src, g, interpolate_offset=0.0)
+    x = jnp.concatenate([cls, x], axis=1) + pos.astype(cfg.dtype)
     x = _ln(x, params["ln_pre"], cfg.ln_eps)
     qkv_last = None
     depth = len(params["blocks"]) - skip_last_layers

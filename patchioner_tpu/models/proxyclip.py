@@ -58,14 +58,13 @@ class ProxyClipConfig:
 
 
 def _interp_pos(pos, src_grid, dst_grid):
-    if src_grid == dst_grid:
-        return pos
-    cls_pos = pos[:, :1]
-    patch = pos[:, 1:].reshape(1, src_grid, src_grid, -1)
-    patch = jax.image.resize(
-        patch, (1, dst_grid, dst_grid, patch.shape[-1]), method="bicubic"
-    )
-    return jnp.concatenate([cls_pos, patch.reshape(1, dst_grid * dst_grid, -1)], 1)
+    # ProxyCLIP's CLIP fork interpolates its pos-embeds with the SAME
+    # dinov2-style quirk as the DINO tower — bicubic with
+    # scale_factor=(dst+0.1)/src (proxyclip.py:540-558) — so reuse the
+    # torch-exact kernel with its default 0.1 offset.
+    from patchioner_tpu.models.vit import interpolate_pos_embed
+
+    return interpolate_pos_embed(pos, src_grid, dst_grid)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

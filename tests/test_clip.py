@@ -57,6 +57,41 @@ def test_vision_parity(hf_clip):
     assert out["qkv_last"].shape == (2, 5, 3 * 64)
 
 
+def test_vision_pos_embed_adapts_to_larger_grid(hf_clip):
+    """A ported tower (pos-embed stored at the pretraining grid) run at a
+    bigger input grid must interpolate the patch pos-embeds exactly like
+    the reference's F.interpolate(size=(g,g), mode='bicubic',
+    align_corners=False) (INViTE clipfolder/model.py:463) — the bigResize
+    configs depend on this."""
+    cfg32 = clip_mod.ClipVisionConfig(
+        img_size=32, patch_size=16, width=64, depth=2, heads=4, proj_dim=48
+    )
+    cfg64 = clip_mod.ClipVisionConfig(
+        img_size=64, patch_size=16, width=64, depth=2, heads=4, proj_dim=48
+    )
+    params = clip_mod.port_hf_clip_vision(hf_clip.state_dict(), 2)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    out = clip_mod.clip_visual_forward(params, jnp.asarray(x), cfg64)
+    assert out["x_norm_patchtokens"].shape == (2, 16, 48)
+
+    # oracle: pre-interpolate with torch and run with matching shapes
+    pos = np.asarray(params["pos_embed"])  # (1, 1+4, 64)
+    grid = torch.from_numpy(pos[:, 1:].reshape(1, 2, 2, 64)).permute(0, 3, 1, 2)
+    up = torch.nn.functional.interpolate(
+        grid, size=(4, 4), mode="bicubic", align_corners=False
+    ).permute(0, 2, 3, 1).reshape(1, 16, 64).numpy()
+    params_pre = dict(params)
+    params_pre["pos_embed"] = jnp.asarray(
+        np.concatenate([pos[:, :1], up], axis=1)
+    )
+    want = clip_mod.clip_visual_forward(params_pre, jnp.asarray(x), cfg64)
+    np.testing.assert_allclose(
+        np.asarray(out["x_norm_clstoken"]),
+        np.asarray(want["x_norm_clstoken"]), rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_vision_skip_last_layers(hf_clip):
     """INViTE-style truncated forward: skipping the last block must equal
     running depth-1 blocks (ln_post+proj still applied)."""
