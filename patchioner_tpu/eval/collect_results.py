@@ -163,6 +163,16 @@ def expand_grid(task_settings: dict):
         yield out
 
 
+def _primary_score(row: dict, primary: str) -> float:
+    """Rank a CSV row by its primary metric; empty/unparseable/NaN cells
+    rank -inf so they lose to any real score."""
+    try:
+        v = float(row.get(primary, ""))
+    except (TypeError, ValueError):
+        return float("-inf")
+    return v if v == v else float("-inf")
+
+
 def _markdown_table(header: Sequence[str], rows: List[dict]) -> str:
     lines = ["| " + " | ".join(str(h) for h in header) + " |",
              "|" + "---|" * len(header)]
@@ -203,13 +213,11 @@ class ResultsCollector:
             if keep is None or not best_of_duplicates:
                 by_model[name] = r
             elif primary:
-                try:
-                    if float(r.get(primary, "nan")) > float(
-                        keep.get(primary, "nan")
-                    ):
-                        by_model[name] = r
-                except ValueError:
-                    pass
+                # Missing/empty/NaN primary scores rank below any real
+                # score, so a failed-run row can never shadow a scored one
+                # (and a scored row always replaces an empty keeper).
+                if _primary_score(r, primary) > _primary_score(keep, primary):
+                    by_model[name] = r
         out = []
         for name, r in by_model.items():
             method, grid, backbone = get_model_infos(name)
@@ -370,13 +378,7 @@ class ResultsCollector:
         if col is None:
             return matches[0]
 
-        def score(r):
-            try:
-                return float(r.get(col, ""))
-            except (TypeError, ValueError):
-                return float("-inf")
-
-        return max(matches, key=score)
+        return max(matches, key=lambda r: _primary_score(r, col))
 
     def summary_report(self, results: Dict[str, List[dict]]) -> str:
         """Found/missing counts per task (reference :542-600)."""

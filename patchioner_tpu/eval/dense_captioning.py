@@ -79,11 +79,7 @@ def evaluate(
     def open_rgb(info):
         from PIL import Image
 
-        path = next(
-            (c for root in image_roots
-             if os.path.exists(c := os.path.join(root, info["file_name"]))),
-            os.path.join(image_roots[0], info["file_name"]),
-        )
+        path = harness.resolve_image_path(image_roots, info["file_name"])
         img = Image.open(path)
         return img.convert("RGB") if img.mode != "RGB" else img
 

@@ -26,6 +26,8 @@ __all__ = [
     "append_results_csv",
     "result_exists",
     "batched",
+    "score_and_log",
+    "resolve_image_path",
 ]
 
 
@@ -115,6 +117,57 @@ def write_predictions(path: str, records) -> None:
         json.dump(records, f)
 
 
+def score_and_log(
+    cands: Sequence[str],
+    refs: Sequence[Sequence[str]],
+    *,
+    csv_path: Optional[str] = None,
+    config_row: Optional[dict] = None,
+    extra_scores: Optional[dict] = None,
+    extra_row: Optional[dict] = None,
+) -> dict:
+    """Shared scoring tail of every captioning task: corpus metrics +
+    per-metric std over instances (reference compute_scores.py:339-357),
+    merged with task-supplied extras (PAC-S family), then one config-keyed
+    CSV row carrying the METEOR/SPICE variant markers. One body so the
+    three task CSVs can never desynchronize on columns or markers."""
+    from patchioner_tpu.eval import metrics
+
+    per = metrics.compute_all_metrics(cands, refs)
+    scores = {k: v[0] for k, v in per.items()}
+    scores.update({f"{k}_std": float(np.std(v[1])) for k, v in per.items()})
+    if extra_scores:
+        scores.update(extra_scores)
+    if csv_path is not None:
+        row = dict(config_row or {})
+        row.update({k: f"{v:.4f}" for k, v in scores.items()})
+        # record which METEOR/SPICE variant ran (lexicon SPICE; synonym
+        # stages only when a WordNet corpus is installed) so result CSVs
+        # are never compared across machines unawares.
+        row.update(metrics.variant_markers())
+        if extra_row:
+            row.update(extra_row)
+        append_results_csv(
+            csv_path, row, key_fields=list((config_row or {}).keys())
+        )
+    return scores
+
+
+def resolve_image_path(image_roots, file_name: str) -> str:
+    """Resolve `file_name` against an ordered list of image roots: first
+    root that contains the file wins; otherwise fall back to roots[0] (the
+    reference evals' multi-root search, letting the downstream open() raise
+    the missing-file error with a concrete path). Accepts a single root
+    string. Shared by all four task loaders."""
+    if isinstance(image_roots, str):
+        image_roots = [image_roots]
+    for root in image_roots:
+        cand = os.path.join(root, file_name)
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(image_roots[0], file_name)
+
+
 def _row_key(row: dict, key_fields: Sequence[str]) -> tuple:
     return tuple(str(row.get(k, "")) for k in key_fields)
 
@@ -122,7 +175,10 @@ def _row_key(row: dict, key_fields: Sequence[str]) -> tuple:
 def result_exists(csv_path: str, row: dict, key_fields: Sequence[str]) -> bool:
     """Skip-if-done check, keyed by the full config combination
     (compute_scores.py:106-119; run_tasks.py:467-600)."""
-    if not os.path.exists(csv_path):
+    if not os.path.exists(csv_path) or not key_fields:
+        # With no key fields there is no config identity to match on —
+        # every row's key would be the empty tuple and the first row ever
+        # written would shadow all later appends.
         return False
     key = _row_key(row, key_fields)
     with open(csv_path, newline="") as f:

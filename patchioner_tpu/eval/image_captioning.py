@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.eval import harness
 from patchioner_tpu.io.coco import CocoAnnotations
 from patchioner_tpu.utils import transforms
 
@@ -52,11 +52,7 @@ def evaluate(
         from PIL import Image
 
         def _load_one(info):
-            path = next(
-                (c for root in image_roots
-                 if os.path.exists(c := os.path.join(root, info["file_name"]))),
-                os.path.join(image_roots[0], info["file_name"]),
-            )
+            path = harness.resolve_image_path(image_roots, info["file_name"])
             return transforms.preprocess_pil(
                 Image.open(path), model.resize_dim, model.crop_dim
             )
@@ -118,16 +114,6 @@ def evaluate(
 def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
     cands = [r["pred"] for r in result["predictions"]]
     refs = [r["refs"] for r in result["predictions"]]
-    per = metrics.compute_all_metrics(cands, refs)
-    scores = {k: v[0] for k, v in per.items()}
-    import numpy as _np
-
-    scores.update({f"{k}_std": float(_np.std(v[1])) for k, v in per.items()})
-    if csv_path is not None:
-        row = dict(config_row or {})
-        row.update({k: f"{v:.4f}" for k, v in scores.items()})
-        row.update(metrics.variant_markers())
-        harness.append_results_csv(
-            csv_path, row, key_fields=list((config_row or {}).keys())
-        )
-    return scores
+    return harness.score_and_log(
+        cands, refs, csv_path=csv_path, config_row=config_row
+    )

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.eval import harness
 from patchioner_tpu.utils import geometry, transforms
 
 __all__ = ["load_region_set_dataset", "evaluate", "compute_scores"]
@@ -33,13 +33,7 @@ def load_region_set_dataset(annotations_path: str, image_roots) -> dict:
     for img_id, obj in test_set.items():
         if "coco" in os.path.basename(annotations_path):
             img_id = img_id.zfill(12)
-        path = None
-        for root in image_roots:
-            cand = os.path.join(root, f"{img_id}.jpg")
-            if os.path.exists(cand):
-                path = cand
-                break
-        path = path or os.path.join(image_roots[0], f"{img_id}.jpg")
+        path = harness.resolve_image_path(image_roots, f"{img_id}.jpg")
         for caption, boxes in obj.items():
             xywh = [[b[0], b[1], b[2] - b[0], b[3] - b[1]] for b in boxes]
             samples["gt_captions"].append(caption)
@@ -63,6 +57,15 @@ def evaluate(
     out_path: Optional[str] = None,
     loader=None,
 ) -> dict:
+    # The reference supports exactly two values: 'patches' (controllable
+    # region-set caption) and 'cls' (whole-image baseline) — anything else
+    # sets get_cls_capt=False yet reads outs['cls_capt'], a latent KeyError
+    # (eval_region_set_captioning.py:287,345). Validate up front so the
+    # fused and fallback paths can't diverge on an unsupported value.
+    if caption_from not in ("patches", "cls"):
+        raise ValueError(
+            f"caption_from must be 'patches' or 'cls', got {caption_from!r}"
+        )
     samples = load_region_set_dataset(annotations_path, image_roots)
     n = len(samples["img_paths"])
     if limit:
@@ -181,16 +184,6 @@ def evaluate(
 def compute_scores(result: dict, *, csv_path=None, config_row=None) -> dict:
     cands = [r["pred"] for r in result["predictions"]]
     refs = [[r["gt"]] for r in result["predictions"]]
-    per = metrics.compute_all_metrics(cands, refs)
-    scores = {k: v[0] for k, v in per.items()}
-    import numpy as _np
-
-    scores.update({f"{k}_std": float(_np.std(v[1])) for k, v in per.items()})
-    if csv_path is not None:
-        row = dict(config_row or {})
-        row.update({k: f"{v:.4f}" for k, v in scores.items()})
-        row.update(metrics.variant_markers())
-        harness.append_results_csv(
-            csv_path, row, key_fields=list((config_row or {}).keys())
-        )
-    return scores
+    return harness.score_and_log(
+        cands, refs, csv_path=csv_path, config_row=config_row
+    )

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from patchioner_tpu.eval import harness, metrics
+from patchioner_tpu.eval import harness
 from patchioner_tpu.utils import transforms
 
 __all__ = ["merge_annotation_parts", "load_trace_dataset", "evaluate",
@@ -77,14 +77,7 @@ def load_trace_dataset(annotations_path, image_roots) -> dict:
     for img_id, obj in test_set.items():
         if "coco" in os.path.basename(annotations_path):
             img_id = img_id.zfill(12)
-        path = None
-        for root in image_roots:
-            cand = os.path.join(root, f"{img_id}.jpg")
-            if os.path.exists(cand):
-                path = cand
-                break
-        if path is None:
-            path = os.path.join(image_roots[0], f"{img_id}.jpg")
+        path = harness.resolve_image_path(image_roots, f"{img_id}.jpg")
         for capt, trace in zip(obj["captions"], obj["traces"]):
             samples["gt_captions"].append(capt)
             samples["img_paths"].append(path)
@@ -257,35 +250,23 @@ def compute_scores(
     """
     cands = [p["pred"] for p in result["predictions"]]
     refs = [[p["gt"]] for p in result["predictions"]]
-    per = metrics.compute_all_metrics(cands, refs)
-    scores = {k: v[0] for k, v in per.items()}
-    # per-metric std over instances (reference compute_scores.py:339-357)
-    import numpy as _np
-
-    scores.update({f"{k}_std": float(_np.std(v[1])) for k, v in per.items()})
+    extra_scores = {}
     if pac_scorer is not None and image_features is not None:
         from patchioner_tpu.eval import pac_score as ps
 
         mean_pac, _, cand_feats, lens = ps.pac_score(
             pac_scorer, image_features, cands, w=2.0
         )
-        scores["PAC-S"] = mean_pac
+        extra_scores["PAC-S"] = mean_pac
         mean_ref, _ = ps.ref_pac_score(pac_scorer, refs, cand_feats)
-        scores["RefPAC-S"] = mean_ref
-    if csv_path is not None:
-        row = dict(config_row or {})
-        row.update({k: f"{v:.4f}" for k, v in scores.items()})
-        if "SPICE" in scores:
-            # record which METEOR/SPICE variant ran (lexicon SPICE, and
-            # synonym stages only when a WordNet corpus is installed) so
-            # result CSVs are never compared across machines unawares.
-            row.update(metrics.variant_markers())
-        timing = result.get("timing") or {}
-        if timing.get("images_per_sec_inference"):
-            row["images_per_sec_inference"] = (
-                f"{timing['images_per_sec_inference']:.3f}"
-            )
-        harness.append_results_csv(
-            csv_path, row, key_fields=list((config_row or {}).keys())
+        extra_scores["RefPAC-S"] = mean_ref
+    timing = result.get("timing") or {}
+    extra_row = {}
+    if timing.get("images_per_sec_inference"):
+        extra_row["images_per_sec_inference"] = (
+            f"{timing['images_per_sec_inference']:.3f}"
         )
-    return scores
+    return harness.score_and_log(
+        cands, refs, csv_path=csv_path, config_row=config_row,
+        extra_scores=extra_scores, extra_row=extra_row,
+    )

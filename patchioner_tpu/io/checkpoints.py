@@ -109,6 +109,10 @@ def save_params_npz(path: str, params: Any) -> None:
         jax.tree_util.keystr(k): np.asarray(v) for k, v in flat
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # np.savez appends '.npz' to extension-less paths; normalize here so
+    # save/load round-trip on the same path string.
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez(path, **arrays)
 
 
@@ -116,6 +120,8 @@ def load_params_npz(path: str, template: Any) -> Any:
     import jax
     import numpy as np
 
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path += ".npz"
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = [data[jax.tree_util.keystr(k)] for k, _ in flat]

@@ -1231,6 +1231,18 @@ class Patchioner:
             return self.clipcap.forward(feats, compute_scores=compute_scores)
         if self.bank is None:
             project = False
+            # Bank-dependent outputs are undefined without a support memory;
+            # fail loudly up front instead of AttributeError-ing in
+            # _bank_real_rows after captions were already decoded. (The
+            # reference crashes too in this combination — its decoder path
+            # never returns sims so the caller's tuple unpack at
+            # src/model.py:1025,1034 fails — so there is no behavior to
+            # match, only a clearer error to raise.)
+            if return_n_best_sims is not None or self.calculate_argmax_text:
+                raise ValueError(
+                    "return_n_best_sims / calculate_argmax_text require a "
+                    "support memory bank (support_memory_size > 0)"
+                )
         if self.calculate_argmax_text:
             idx = np.asarray(memproj.memory_argmax(feats, self._bank_real_rows()))
             captions = [self.bank_texts[i] for i in idx]

@@ -47,9 +47,15 @@ def build_argparser():
     p.add_argument("--bs", type=int, default=80)  # viecap main.py default
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--warmup_steps", type=int, default=5000)
-    p.add_argument("--noise", type=float, default=0.016,
-                   help="feature noise variance (viecap main.py:48; use "
-                        "0.0 for clipcap image features)")
+    p.add_argument("--noise", type=float, default=None,
+                   help="feature noise VARIANCE (viecap main.py:122, "
+                        "applied as utils.noise_injection). Defaults per "
+                        "model: 0.016 for viecap, 0.0 for clipcap (the "
+                        "reference clipcapTraining has no noise)")
+    p.add_argument("--normalize_prefix", action="store_true",
+                   help="L2-normalize features once before training "
+                        "(clipcapTraining.py:44,350 ClipCocoDataset "
+                        "normalize_prefix)")
     p.add_argument("--max_seq_len", type=int, default=40)
     p.add_argument("--loss_chunk", type=int, default=0)
     # mapper geometry
@@ -152,6 +158,12 @@ def main(argv=None):
                 space.encode_texts(captions[i : i + 512], batch_size=512)
             ))
         features = np.concatenate(chunks)
+    if args.noise is None:
+        args.noise = 0.016 if args.model == "viecap" else 0.0
+    if args.normalize_prefix:
+        features = features / np.maximum(
+            np.linalg.norm(features, axis=-1, keepdims=True), 1e-12
+        )
     feat_dim = int(features.shape[1])
 
     key = jax.random.PRNGKey(args.seed)
@@ -236,6 +248,14 @@ def main(argv=None):
             in_shardings=(repl,) * 7 + (repl,),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
+        )
+    if n < args.bs:
+        # batch_iterator drops the remainder, so a corpus smaller than one
+        # batch trains ZERO steps per epoch — fail fast instead of logging
+        # NaN epochs and saving an untrained mapper that looks finished.
+        raise SystemExit(
+            f"corpus ({n} captions) is smaller than --bs {args.bs}: no "
+            f"full batch would ever run; lower --bs"
         )
     key = jax.random.PRNGKey(args.seed + 2)
     log_path = os.path.join(args.out_dir, "train_log.csv")

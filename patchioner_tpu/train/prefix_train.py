@@ -21,7 +21,12 @@ import optax
 
 from patchioner_tpu.models import gpt2 as gpt2_mod
 
-__all__ = ["PrefixTrainConfig", "prefix_loss", "make_prefix_train_step"]
+__all__ = [
+    "PrefixTrainConfig",
+    "noise_injection",
+    "prefix_loss",
+    "make_prefix_train_step",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +42,21 @@ class PrefixTrainConfig:
     # scripts/probe_prefix_train_tpu.py); chunking the head removes them.
     # 0 = plain full-logits loss.
     loss_chunk: int = 0
+
+
+def noise_injection(features: jax.Array, key, variance: float) -> jax.Array:
+    """ViECap feature-noise injection (viecap/training/utils.py:6-22):
+    L2-normalize, add sqrt(variance)·N(0,1), re-normalize. The CLI flag is
+    a VARIANCE (main.py:122 `--noise_variance`, default 0.016 → std ≈0.126)
+    and the perturbation is applied to the *unit-norm* feature — both
+    matter: this noise is what bridges the text→image modality gap at
+    inference. variance == 0 is the identity (utils.py:14-15)."""
+    if not variance:
+        return features
+    features = features / jnp.linalg.norm(features, axis=-1, keepdims=True)
+    eps = jax.random.normal(key, features.shape, features.dtype)
+    features = features + (variance ** 0.5) * eps
+    return features / jnp.linalg.norm(features, axis=-1, keepdims=True)
 
 
 def prefix_loss(
@@ -110,13 +130,7 @@ def make_prefix_train_step(
     semantics, clipcap/entrypoint.py:185-193)."""
 
     def step(mapper_params, opt_state, gpt2_params, features, tokens, mask, key):
-        if cfg.noise_variance:
-            features = features + cfg.noise_variance * jax.random.normal(
-                key, features.shape, features.dtype
-            )
-            features = features / jnp.linalg.norm(
-                features, axis=-1, keepdims=True
-            )
+        features = noise_injection(features, key, cfg.noise_variance)
 
         def loss_fn(p):
             return prefix_loss(

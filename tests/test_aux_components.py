@@ -101,6 +101,43 @@ def test_prefix_training_decreases_loss():
     assert float(m["loss"]) < first
 
 
+def test_noise_injection_matches_reference_transcription():
+    """ViECap noise_injection parity: the reference (viecap/training/
+    utils.py:6-22) L2-normalizes, adds sqrt(VARIANCE)·N(0,1), and
+    re-normalizes. Oracle: literal torch transcription of that function fed
+    the same gaussian draw. Round-3 review found the original port applied
+    `variance`·randn to UNNORMALIZED features — a 50-200× weaker
+    perturbation that silently disabled the modality-gap bridging."""
+    import math
+
+    import torch
+
+    from patchioner_tpu.train import prefix_train
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((4, 512)) * 7.0).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    variance = 0.016
+
+    out = np.asarray(
+        prefix_train.noise_injection(jnp.asarray(x), key, variance)
+    )
+    eps = np.asarray(jax.random.normal(key, x.shape, jnp.float32))
+
+    xt = torch.nn.functional.normalize(torch.from_numpy(x), dim=-1)
+    xt = xt + torch.from_numpy(eps) * math.sqrt(variance)
+    expected = torch.nn.functional.normalize(xt, dim=-1).numpy()
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+    # the perturbation must be material at the reference default
+    base = np.asarray(
+        torch.nn.functional.normalize(torch.from_numpy(x), dim=-1)
+    )
+    assert np.abs(out - base).max() > 1e-3
+    # variance == 0 is the identity (utils.py:14-15), NOT a normalize
+    same = np.asarray(prefix_train.noise_injection(jnp.asarray(x), key, 0.0))
+    np.testing.assert_array_equal(same, x)
+
+
 def test_prefix_loss_chunked_matches_plain():
     """PrefixTrainConfig.loss_chunk applies the lm head in position chunks —
     loss/acc (and therefore mapper grads) must match the full-logits path
@@ -479,6 +516,28 @@ def test_collect_dedups_duplicate_matches_by_best_primary(tmp_path):
     rows = ResultsCollector(str(tmp_path)).collect_from_config(
         str(cfg_path))["narratives"]
     assert rows[0]["CIDEr"] == 0.6
+
+
+def test_collect_empty_score_row_never_shadows_real_row(tmp_path):
+    """Round-3 review regression: a duplicate row whose primary metric is
+    EMPTY (failed/partial run) must lose the dedup to a scored row in both
+    orders — float('') used to raise and be swallowed, so whichever row
+    came first won regardless of score."""
+    from patchioner_tpu.eval import harness
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    for order, runs in (("empty_first", ("", "0.5")),
+                        ("real_first", ("0.5", ""))):
+        d = tmp_path / order
+        d.mkdir()
+        csv_path = str(d / "trace_captioning.csv")
+        for i, cider in enumerate(runs):
+            harness.append_results_csv(
+                csv_path, {"model": "mlp", "run": str(i), "CIDEr": cider},
+                ["model", "run"])
+        table = ResultsCollector(str(d)).table(
+            "trace_captioning", metrics=("CIDEr",))
+        assert table[0]["CIDEr"] == "0.5", (order, table)
 
 
 def test_collect_expands_grid_axes_and_list_criteria(tmp_path):
