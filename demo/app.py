@@ -29,6 +29,7 @@ import io
 import json
 import os
 import sys
+import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import numpy as np
@@ -90,7 +91,13 @@ def _decode_image(b64: str, model):
     from patchioner_tpu.utils import transforms
 
     img = Image.open(io.BytesIO(base64.b64decode(b64)))
-    return transforms.preprocess_pil(img, model.resize_dim, model.crop_dim)[None]
+    # uint8 contract: the model normalizes on device with ITS OWN
+    # image_mean/image_std (encode_images) — host-side preprocess_pil
+    # defaults would bake ImageNet stats into a model configured with CLIP
+    # stats, silently diverging from the batch-serve path.
+    return transforms.preprocess_pil_uint8(
+        img, model.resize_dim, model.crop_dim
+    )[None]
 
 
 def make_handler(model, config_dir=None, allow_missing_weights=False,
@@ -104,20 +111,26 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
     with more boxes than the server's fixed-shape `max_boxes` contract,
     keep the direct path."""
     models = {"default": model}
+    # under ThreadingHTTPServer (--batch-serve) handlers run concurrently:
+    # serialize cache mutation so two first requests for the same model
+    # don't both pay a multi-minute build, and so /models can snapshot the
+    # dict without racing an insert
+    models_lock = threading.Lock()
 
     def resolve(name):
         if name is None or name == "default":
             return models["default"]
-        if name not in models:
-            if config_dir is None:
-                raise KeyError(f"unknown model '{name}' (no --config-dir)")
-            import os as _os
+        with models_lock:
+            if name not in models:
+                if config_dir is None:
+                    raise KeyError(f"unknown model '{name}' (no --config-dir)")
+                import os as _os
 
-            path = _os.path.join(config_dir, f"{name}.yaml")
-            if not _os.path.exists(path):
-                raise KeyError(f"no config {path}")
-            models[name] = build_model(path, allow_missing_weights)
-        return models[name]
+                path = _os.path.join(config_dir, f"{name}.yaml")
+                if not _os.path.exists(path):
+                    raise KeyError(f"no config {path}")
+                models[name] = build_model(path, allow_missing_weights)
+            return models[name]
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -140,7 +153,9 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                     _os.path.splitext(_os.path.basename(c))[0]
                     for c in _glob.glob(_os.path.join(config_dir or "", "*.yaml"))
                 ) if config_dir else []
-                self._reply(200, {"loaded": sorted(models),
+                with models_lock:
+                    loaded = sorted(models)
+                self._reply(200, {"loaded": loaded,
                                   "available": available})
             elif self.path == "/stats" and batch_server is not None:
                 self._reply(200, batch_server.snapshot())
@@ -259,7 +274,8 @@ def main(argv=None):
                 from patchioner_tpu.utils import transforms
 
                 img = editor_data["background"]
-                x = transforms.preprocess_pil(
+                # uint8: device-side normalization with the model's stats
+                x = transforms.preprocess_pil_uint8(
                     img, model.resize_dim, model.crop_dim
                 )[None]
                 traces = strokes_to_traces(editor_data.get("layers") or [])

@@ -256,22 +256,27 @@ class ClipCap:
             stop_token=self.cfg.stop_token,
         )
         if compute_scores:
-            return captions, self.compute_perplexity(captions)
+            return captions, self.compute_perplexity_scores(captions)
         return captions
 
     __call__ = forward
 
-    def compute_perplexity(self, sentences: List[str]) -> List[float]:
+    def compute_perplexity_scores(self, sentences: List[str]) -> List[float]:
+        """ClipCap scores are 1/perplexity with a 1.0 fallback — NOT raw
+        perplexity like ViECap's (clipcap entrypoint.py:554-592: any
+        tokenize/forward failure falls back to 1.0, and the `perplexity > 0`
+        guard routes NaN — e.g. a <2-token caption, whose empty shifted CE
+        is NaN in torch — to 1.0 as well)."""
+        from patchioner_tpu.models import viecap as viecap_mod
+
         out = []
         for s in sentences:
-            ids = self.tokenizer.encode(s)
-            if len(ids) < 2:
-                out.append(float("inf"))
+            try:
+                pp = viecap_mod.sentence_perplexity(
+                    self.gpt2_params, self.gpt2_cfg, self.tokenizer.encode(s)
+                )
+            except Exception:
+                out.append(1.0)
                 continue
-            ids = jnp.asarray([ids], jnp.int32)
-            embeds = self.gpt2_params["wte"][ids]
-            logits = gpt2_mod.gpt2_forward(self.gpt2_params, embeds, self.gpt2_cfg)
-            lp = jax.nn.log_softmax(logits[0, :-1], axis=-1)
-            nll = -jnp.take_along_axis(lp, ids[0, 1:, None], axis=-1).mean()
-            out.append(float(jnp.exp(nll)))
+            out.append(1.0 / pp if pp > 0 else 1.0)
         return out

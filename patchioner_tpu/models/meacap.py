@@ -224,61 +224,23 @@ class MeaCap(viecap_mod.VieCap):
         ).float().numpy()
         return captions, clip_emb
 
-    def forward(self, image_features, compute_scores: bool = False):
-        cfg = self.cfg
-        f = jnp.asarray(image_features)
-        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
-        d_model = self.gpt2_cfg.n_embd
-        soft = viecap_mod.mapping_network_forward(
-            self.mapping_params, f, cfg, d_model
+    def _hard_prompt_token_rows(self, f):
+        """MeaCap's hard prompt: retrieve memory captions, extract concepts
+        per sample, compose the discrete prompt (entrypoint.py:120-180).
+        Prompt assembly / search / scoring are inherited from VieCap."""
+        idx = retrieve_memory_captions(
+            f, self.memory_clip_embeddings, self.memory_caption_num
         )
-
-        if cfg.using_hard_prompt:
-            idx = retrieve_memory_captions(
-                f, self.memory_clip_embeddings, self.memory_caption_num
-            )
-            token_rows = []
-            for i in range(idx.shape[0]):
-                caps = [self.memory_captions[j] for j in idx[i]]
-                # per-sample call gets THIS sample's embedding (an extractor
-                # that ranks concepts by image similarity would otherwise
-                # see the whole batch for every row)
-                concepts = self.concept_extractor(caps, image_embeds=f[i])
-                token_rows.append(
-                    self.tokenizer.encode(
-                        viecap_mod.compose_discrete_prompt(concepts)
-                    )
+        token_rows = []
+        for i in range(idx.shape[0]):
+            caps = [self.memory_captions[j] for j in idx[i]]
+            # per-sample call gets THIS sample's embedding (an extractor
+            # that ranks concepts by image similarity would otherwise
+            # see the whole batch for every row)
+            concepts = self.concept_extractor(caps, image_embeds=f[i])
+            token_rows.append(
+                self.tokenizer.encode(
+                    viecap_mod.compose_discrete_prompt(concepts)
                 )
-            maxlen = max(len(r) for r in token_rows)
-            padded = np.full((len(token_rows), maxlen), self._pad_id, np.int32)
-            for i, r in enumerate(token_rows):
-                padded[i, : len(r)] = r
-            hard = self.gpt2_params["wte"][jnp.asarray(padded)]
-            if cfg.only_hard_prompt:
-                embeds = hard
-            elif cfg.soft_prompt_first:
-                embeds = jnp.concatenate([soft, hard], axis=1)
-            else:
-                embeds = jnp.concatenate([hard, soft], axis=1)
-        else:
-            embeds = soft
-
-        if cfg.using_greedy_search:
-            sentences = viecap_mod.greedy_search(
-                self.gpt2_params, embeds, self.gpt2_cfg, self.tokenizer,
-                max_len=cfg.max_len,
             )
-        else:
-            sentences = [
-                viecap_mod.beam_search(
-                    self.gpt2_params, embeds[i : i + 1], self.gpt2_cfg,
-                    self.tokenizer, beam_width=cfg.beam_width,
-                    max_len=cfg.max_len,
-                )[0]
-                for i in range(embeds.shape[0])
-            ]
-        if compute_scores:
-            return sentences, self.compute_perplexity(sentences)
-        return sentences
-
-    __call__ = forward
+        return token_rows

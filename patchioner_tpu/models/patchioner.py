@@ -153,6 +153,9 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
             "name_of_entities_text", "vinvl_vgoi_entities"
         ),
         prompt_ensemble=vd.get("prompt_ensemble", False),
+        # serving lever, OFF = reference per-batch-max padding (see
+        # ViecapConfig.hard_prompt_pad_multiple)
+        hard_prompt_pad_multiple=vd.get("hard_prompt_pad_multiple", 0),
     )
     gpt2_cfg = gpt2_mod.GPT2_BASE_CONFIG
 

@@ -81,7 +81,6 @@ def _bottleneck(x, p, stride, eps):
     out = _frozen_bn(_conv(out, p["conv3"]), p["bn3"], eps)
     identity = x
     if "down_conv" in p:
-        identity = x
         if stride > 1:
             identity = _avgpool(identity, stride)
         identity = _frozen_bn(_conv(identity, p["down_conv"]), p["down_bn"], eps)

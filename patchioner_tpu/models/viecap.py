@@ -44,6 +44,9 @@ __all__ = [
     "greedy_search",
     "beam_search",
     "contrastive_search",
+    "assemble_prompt_embeds",
+    "run_search",
+    "sentence_perplexity",
     "VieCap",
     "load_entities_text",
 ]
@@ -74,6 +77,14 @@ class ViecapConfig:
     name_of_entities_text: str = "vinvl_vgoi_entities"
     prompt_ensemble: bool = False
     ln_eps: float = 1e-5
+    # Serving lever (OFF = reference parity): pad the hard prompt to the
+    # next multiple of this many tokens instead of the per-batch max, so
+    # the jitted prefill+search program compiles once per BUCKET instead of
+    # once per distinct prompt length (minutes per compile on a TPU).
+    # Pad tokens are attended either way (reference pad_sequence semantics,
+    # search.py prefixes carry no attention mask), so a bucket boundary
+    # changes numerics vs per-batch padding — deliberate opt-in divergence.
+    hard_prompt_pad_multiple: int = 0
 
 
 # ------------------------------------------------------- mapping network
@@ -242,10 +253,17 @@ def load_entities_text(name: str, path: str, all_entities: bool = True) -> List[
 
         with open(path) as f:
             rows = list(csv.reader(f))
-        # header row + DisplayName column; "(...)"-qualified names keep
-        # only the base name (load_annotations.py:108-114)
-        names = [r[1] for r in rows[1:]]
-        names = [n[: n.find("(")].strip() if "(" in n else n for n in names]
+        # header row + DisplayName column. The reference lower+strips
+        # FIRST and drops a "(...)" qualifier only when the name ENDS with
+        # ')' (load_annotations.py:111-115) — a mid-string paren like
+        # "foo (bar) baz" is kept whole; truncating it would shift the
+        # sorted order the shipped embedding pickle rows align to.
+        names = []
+        for r in rows[1:]:
+            n = r[1].lower().strip()
+            if n and n[-1] == ")":
+                n = n[: n.find("(")].strip()
+            names.append(n)
         return _finish_entities(names, all_entities)
     if name == "vinvl_vg_entities":
         with open(path) as f:
@@ -291,7 +309,8 @@ def build_entity_embeddings(
     batched so the text tower runs at MXU-friendly batch sizes.
 
     Returns (N, D) float32; when `out_path` is set, pickles the array in
-    the layout `VieCap.from_config`'s vocabulary loader reads.
+    the layout the captioner's `viecap:` config-block builder
+    (patchioner._build_viecap_family) reads.
     """
     t = len(templates)
     rows = []
@@ -552,11 +571,65 @@ def contrastive_search(
 # ------------------------------------------------------------------ model
 
 
+def assemble_prompt_embeds(
+    soft, token_rows, gpt2_params, pad_id: int, cfg: ViecapConfig
+):
+    """Pad hard-prompt token rows (reference pad_sequence semantics,
+    entrypoint.py:137-147), embed via wte, and order [hard ‖ soft] per the
+    only_hard_prompt / soft_prompt_first flags. Shared by VieCap and
+    MeaCap so the assembly can never drift between the two."""
+    maxlen = max(len(r) for r in token_rows)
+    m = cfg.hard_prompt_pad_multiple
+    if m:
+        maxlen = -(-maxlen // m) * m
+    padded = np.full((len(token_rows), maxlen), pad_id, np.int32)
+    for i, r in enumerate(token_rows):
+        padded[i, : len(r)] = r
+    hard = gpt2_params["wte"][jnp.asarray(padded)]
+    if cfg.only_hard_prompt:
+        return hard
+    if cfg.soft_prompt_first:
+        return jnp.concatenate([soft, hard], axis=1)
+    return jnp.concatenate([hard, soft], axis=1)
+
+
+def run_search(gpt2_params, embeds, gpt2_cfg, tokenizer, cfg: ViecapConfig):
+    """Greedy-vs-beam dispatch on `using_greedy_search`
+    (entrypoint.py:149-163)."""
+    if cfg.using_greedy_search:
+        return greedy_search(
+            gpt2_params, embeds, gpt2_cfg, tokenizer, max_len=cfg.max_len
+        )
+    return [
+        beam_search(
+            gpt2_params, embeds[i : i + 1], gpt2_cfg, tokenizer,
+            beam_width=cfg.beam_width, max_len=cfg.max_len,
+        )[0]
+        for i in range(embeds.shape[0])
+    ]
+
+
+def sentence_perplexity(gpt2_params, gpt2_cfg, ids) -> float:
+    """exp(mean shifted CE) of one tokenized sentence — HF
+    `model(input_ids, labels=input_ids)` semantics (viecap
+    entrypoint.py:164-177). Fewer than 2 tokens leaves zero shifted
+    targets; torch's empty cross-entropy is NaN, reproduced here."""
+    if len(ids) < 2:
+        return float("nan")
+    ids = jnp.asarray([ids], jnp.int32)
+    embeds = gpt2_params["wte"][ids]
+    logits = gpt2_mod.gpt2_forward(gpt2_params, embeds, gpt2_cfg)
+    lp = jax.nn.log_softmax(logits[0, :-1], axis=-1)
+    nll = -jnp.take_along_axis(lp, ids[0, 1:, None], axis=-1).mean()
+    return float(jnp.exp(nll))
+
+
 class VieCap:
     """Decoder-family entrypoint mirroring src/viecap/entrypoint.py.
 
-    Construct with explicit params (tests) or `from_config` (reference nested
-    `viecap:` config block).
+    Construct with explicit params (tests) or via the captioner's nested
+    `viecap:` config block (patchioner._build_viecap_family, mirroring the
+    reference's entrypoint wiring).
     """
 
     def __init__(
@@ -578,6 +651,23 @@ class VieCap:
         self.tokenizer = tokenizer
         self._pad_id = getattr(tokenizer, "pad_token_id", None) or 0
 
+    def _hard_prompt_token_rows(self, f) -> List[List[int]]:
+        """Per-image hard-prompt token ids. VieCap retrieves entities from
+        the text-embedding vocabulary (entrypoint.py:120-147); MeaCap
+        overrides this with memory-caption concept extraction."""
+        per_image = retrieve_entities(
+            f,
+            self.texts_embeddings,
+            self.entities,
+            top_k=self.cfg.top_k,
+            threshold=self.cfg.threshold,
+            temperature=self.cfg.temperature,
+        )
+        return [
+            self.tokenizer.encode(compose_discrete_prompt(ents))
+            for ents in per_image
+        ]
+
     def forward(self, image_features, compute_scores: bool = False):
         cfg = self.cfg
         f = jnp.asarray(image_features)
@@ -586,49 +676,16 @@ class VieCap:
         soft = mapping_network_forward(self.mapping_params, f, cfg, d_model)
 
         if cfg.using_hard_prompt:
-            per_image = retrieve_entities(
-                f,
-                self.texts_embeddings,
-                self.entities,
-                top_k=cfg.top_k,
-                threshold=cfg.threshold,
-                temperature=cfg.temperature,
+            embeds = assemble_prompt_embeds(
+                soft, self._hard_prompt_token_rows(f), self.gpt2_params,
+                self._pad_id, cfg,
             )
-            token_rows = [
-                self.tokenizer.encode(compose_discrete_prompt(ents))
-                for ents in per_image
-            ]
-            maxlen = max(len(r) for r in token_rows)
-            padded = np.full((len(token_rows), maxlen), self._pad_id, np.int32)
-            for i, r in enumerate(token_rows):
-                padded[i, : len(r)] = r
-            hard = self.gpt2_params["wte"][jnp.asarray(padded)]
-            if cfg.only_hard_prompt:
-                embeds = hard
-            elif cfg.soft_prompt_first:
-                embeds = jnp.concatenate([soft, hard], axis=1)
-            else:
-                embeds = jnp.concatenate([hard, soft], axis=1)
         else:
             embeds = soft
 
-        if cfg.using_greedy_search:
-            sentences = greedy_search(
-                self.gpt2_params, embeds, self.gpt2_cfg, self.tokenizer,
-                max_len=cfg.max_len,
-            )
-        else:
-            sentences = []
-            for i in range(embeds.shape[0]):
-                beams = beam_search(
-                    self.gpt2_params,
-                    embeds[i : i + 1],
-                    self.gpt2_cfg,
-                    self.tokenizer,
-                    beam_width=cfg.beam_width,
-                    max_len=cfg.max_len,
-                )
-                sentences.append(beams[0])
+        sentences = run_search(
+            self.gpt2_params, embeds, self.gpt2_cfg, self.tokenizer, cfg
+        )
         if compute_scores:
             return sentences, self.compute_perplexity(sentences)
         return sentences
@@ -637,12 +694,9 @@ class VieCap:
 
     def compute_perplexity(self, sentences: List[str]) -> List[float]:
         """exp(mean shifted CE) per sentence (entrypoint.py:164-177)."""
-        out = []
-        for s in sentences:
-            ids = jnp.asarray([self.tokenizer.encode(s)], jnp.int32)
-            embeds = self.gpt2_params["wte"][ids]
-            logits = gpt2_mod.gpt2_forward(self.gpt2_params, embeds, self.gpt2_cfg)
-            lp = jax.nn.log_softmax(logits[0, :-1], axis=-1)
-            nll = -jnp.take_along_axis(lp, ids[0, 1:, None], axis=-1).mean()
-            out.append(float(jnp.exp(nll)))
-        return out
+        return [
+            sentence_perplexity(
+                self.gpt2_params, self.gpt2_cfg, self.tokenizer.encode(s)
+            )
+            for s in sentences
+        ]

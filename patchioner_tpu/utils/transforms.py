@@ -120,10 +120,13 @@ def preprocess_jax(
 
     x = pixels.astype(jnp.float32) / 255.0
     b, h, w, c = x.shape
+    # int() truncation, NOT round: torchvision Resize (and the host
+    # preprocess_pil path) truncate the long side, so rounding here would
+    # shift the crop window by a pixel between the two paths
     if w < h:
-        nw, nh = resize_dim, int(round(resize_dim * h / w))
+        nw, nh = resize_dim, int(resize_dim * h / w)
     else:
-        nw, nh = int(round(resize_dim * w / h)), resize_dim
+        nw, nh = int(resize_dim * w / h), resize_dim
     x = jax.image.resize(x, (b, nh, nw, c), method="bicubic", antialias=True)
     top = int(round((nh - crop_dim) / 2.0))
     left = int(round((nw - crop_dim) / 2.0))

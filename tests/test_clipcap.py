@@ -137,6 +137,29 @@ def test_clipcap_end_to_end(small_model):
     assert all(c.endswith(".") for c in capts)
 
 
+def test_clipcap_scores_are_inverse_perplexity(small_model):
+    """ClipCap compute_scores returns 1/perplexity with a 1.0 fallback
+    (reference clipcap entrypoint.py:554-592) — NOT raw perplexity like
+    ViECap. Oracle: HF loss on the same tokens."""
+    hf, cfg, params = small_model
+    tok = WordTokenizer()
+    ccfg = clipcap.ClipCapConfig(prefix_length=3, entry_length=6, top_p=0.8)
+    mapper = clipcap.init_mlp_mapper(jax.random.PRNGKey(0), 16, 3, cfg.n_embd)
+    model = clipcap.ClipCap(ccfg, cfg, params, mapper, tok, prefix_size=16)
+
+    sent = tok.decode([5, 9, 2, 7])
+    (score,) = model.compute_perplexity_scores([sent])
+    ids = torch.tensor([tok.encode(sent)])
+    with torch.no_grad():
+        loss = hf(input_ids=ids, labels=ids).loss
+    want = 1.0 / float(torch.exp(loss))
+    assert abs(score - want) / want < 1e-4, (score, want)
+    # <2 tokens -> empty shifted CE (NaN in torch) -> reference's
+    # `perplexity > 0` guard falls back to 1.0
+    (short,) = model.compute_perplexity_scores([tok.decode([5])])
+    assert short == 1.0
+
+
 def test_clipcap_feature_dim_follows_dinov2_backbone():
     """The reference sizes ClipCap's input by the BACKBONE dim for dinov2
     names, not prefix_size (src/model.py:119-127) — a vits14 backbone with

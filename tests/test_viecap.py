@@ -327,6 +327,37 @@ def test_viecap_end_to_end(small_gpt2):
     assert all(p > 0 for p in ppl)
 
 
+def test_hard_prompt_pad_multiple_buckets_length(small_gpt2):
+    """hard_prompt_pad_multiple=m pads the hard prompt to the next multiple
+    of m (serving lever: one compile per BUCKET instead of per distinct
+    prompt length). Pads are attended either way, so bucketing is the
+    documented opt-in divergence — assert the geometry, and that m=0 keeps
+    reference per-batch-max padding."""
+    _, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    rng = np.random.default_rng(4)
+    import jax
+
+    base = dict(
+        continuous_prompt_length=3, clip_project_length=2,
+        clip_hidden_size=16, num_layers=1, num_heads=2,
+    )
+    soft = jnp.zeros((2, 3, cfg.n_embd), jnp.float32)
+    rows = [tok.encode("dog cat ."), tok.encode("car .")]
+    maxlen = max(len(r) for r in rows)
+
+    e0 = viecap.assemble_prompt_embeds(
+        soft, rows, params, 0, viecap.ViecapConfig(**base))
+    assert e0.shape[1] == maxlen + 3
+    e8 = viecap.assemble_prompt_embeds(
+        soft, rows, params, 0,
+        viecap.ViecapConfig(hard_prompt_pad_multiple=8, **base))
+    assert e8.shape[1] == 8 + 3
+    # the real token positions are identical; only pad length differs
+    np.testing.assert_allclose(
+        np.asarray(e8[:, :maxlen]), np.asarray(e0[:, :maxlen]), atol=0)
+
+
 def test_entity_retrieval_threshold():
     f = np.eye(3, 8, dtype=np.float32)
     t = np.eye(4, 8, dtype=np.float32)  # entity i aligned with feature i
@@ -349,6 +380,22 @@ def test_load_entities_vendored_vocab():
     path = os.path.join(viecap.VOCAB_DIR, "coco_categories.json")
     ents = viecap.load_entities_text("coco_entities", path)
     assert "person" in ents and len(ents) >= 80
+
+
+def test_open_image_paren_rule_matches_reference(tmp_path):
+    """load_annotations.py:111-115 lower+strips FIRST and drops the
+    '(...)' qualifier only when the name ENDS with ')' — a mid-string
+    paren is kept whole. (Round-3 review: truncating at any '(' would
+    shift the sorted order the shipped embedding pickles align to.)"""
+    csv_path = tmp_path / "oid.csv"
+    csv_path.write_text(
+        "LabelName,DisplayName\r\n"
+        "/m/1,Ball (Object)\r\n"          # qualifier -> 'ball'
+        "/m/2,Foo (bar) baz\r\n"          # mid-string paren -> kept whole
+        "/m/3,Plain\r\n"
+    )
+    ents = viecap.load_entities_text("open_image_entities", str(csv_path))
+    assert ents == sorted(["ball", "foo (bar) baz", "plain"])
 
 
 def test_build_entity_embeddings_reference_order(tmp_path):
