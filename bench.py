@@ -119,29 +119,40 @@ def _naive_reference_port(model, batch: int):
     # compiles). Compiling all 30 over this harness is wasteful, so we time
     # representative lengths and integrate the per-step cost curve (it's
     # linear in t for full-context attention at these sizes).
-    @jax.jit
-    def _step(gp, e):
-        return jnp.argmax(gpt2_mod.gpt2_forward(gp, e, gcfg)[:, -1], -1)
-
-    def step_at(tlen):
-        return lambda e: _step(decoder.gpt2, e)
-
+    #
+    # Each sampled length is timed with chain_bench.chain_time — the
+    # CLAUDE.md measurement rule: per-call host syncs carry the remote
+    # tunnel's ~30-50 ms dispatch floor, which at these step sizes would
+    # charge the baseline ~1 s/batch of pure RPC overhead the reference
+    # never pays on local hardware (and the fused side, one dispatch per
+    # batch, never pays either). On-chip per-step cost is what the
+    # algorithm-for-algorithm ratio needs.
     def naive_decode_time(prefix, iters):
         import numpy as np
-        import time as _t
+
+        from patchioner_tpu.eval import chain_bench
 
         b = prefix.shape[0]
         emb0 = decap_mod.decap_project_prefix(decoder, prefix)[:, None, :]
+
+        def step_op(e, gp):
+            # one reference decode step: full-context forward (HF computes
+            # the LM head over EVERY position). The feedback reduces over
+            # all positions and vocab columns so XLA cannot dead-code any
+            # part of the (B, T, V) head the reference pays for; the 1e-30
+            # scale keeps the chain links dependent without perturbing the
+            # activations.
+            logits = gpt2_mod.gpt2_forward(gp, e, gcfg)
+            return e + jnp.sum(logits, axis=-1, keepdims=True) * 1e-30
+
         sample_lens = [1, 15, decap_mod.ENTRY_LENGTH]
         costs = {}
         for tlen in sample_lens:
             e = jnp.broadcast_to(emb0, (b, tlen, emb0.shape[-1]))
-            f = step_at(tlen)
-            np.asarray(f(e))  # compile + sync
-            t0 = _t.perf_counter()
-            for _ in range(iters):
-                np.asarray(f(e))
-            costs[tlen] = (_t.perf_counter() - t0) / iters
+            r = chain_bench.chain_time(
+                step_op, e, decoder.gpt2, chain=8, reps=max(2, iters)
+            )
+            costs[tlen] = r["per_op_ms"] / 1000.0
         # Linear interpolation of per-step cost over all 30 lengths.
         xs = np.array(sample_lens, float)
         ys = np.array([costs[t] for t in sample_lens], float)
@@ -177,7 +188,10 @@ def _analytic_caption_flops(model, batch: int) -> float:
     enc = vit_cfg.depth * enc_layer + 2 * (n - vit_cfg.num_global_tokens) * (
         vit_cfg.patch_size**2 * 3
     ) * d
-    extract = 2 * n * n * d        # qkᵀ recompute for CLS attention
+    # process_self_attention computes ONLY the CLS query row (vit.py:858),
+    # not the NxN product — 2·n·d, not 2·n²·d (the latter overstated every
+    # reported MFU by ~1% at flagship n=1374 and grows with n)
+    extract = 2 * n * d
     proj = 2 * 2 * bank.num_real * d  # sim matmul + recombination
     t = decap_mod.ENTRY_LENGTH
     gd, gmlp = gcfg.n_embd, 4 * gcfg.n_embd
@@ -190,10 +204,13 @@ def _analytic_caption_flops(model, batch: int) -> float:
 
 
 def _sync(out):
-    """Force completion via a device->host copy of one small leaf —
-    block_until_ready is unreliable on the experimental remote-TPU backend."""
+    """Force completion via a device->host copy of ONE element —
+    block_until_ready is unreliable on the experimental remote-TPU backend,
+    and copying a whole leaf is asymmetric across pipelines (the baseline's
+    393 KB f32 prefix costs ~7-40 ms on the 10-55 MB/s tunnel where the
+    fused side's 15 KB token leaf costs ~1 ms, biasing the ratio)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
+    np.asarray(leaf.ravel()[0])
     return out
 
 

@@ -378,7 +378,11 @@ def meteor(
         p = wc / len(cand)
         r = wr / len(ref)
         fmean = p * r / (alpha * p + (1 - alpha) * r)
-        penalty = gamma * (chunks / cov) ** beta
+        # METEOR-1.5 fragmentation divides chunks by the AVERAGE of matched
+        # words on the two sides (Meteor Stats: (testMatches+refMatches)/2)
+        # — with exact/stem stages every match is 1:1 (cov == covr), but a
+        # paraphrase span match of unequal lengths makes the sides differ.
+        penalty = gamma * (chunks / ((cov + covr) / 2.0)) ** beta
         return fmean * (1 - penalty)
 
     scores = []

@@ -125,6 +125,9 @@ def cached_image_features(
     feats: dict = {}
     h5 = None
     if cache_path is not None:
+        # any cache problem (no h5py, corrupt/locked file) degrades to
+        # in-memory computation — the cache is an optimization, never a
+        # reason to abort a scoring run
         try:
             import h5py
 
@@ -132,16 +135,30 @@ def cached_image_features(
             for k in ids:
                 if k in h5:
                     feats[k] = np.asarray(h5[k])
-        except ImportError:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"image-feature cache {cache_path} unusable "
+                f"({type(e).__name__}: {e}); computing in memory",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             h5 = None
-    missing = [k for k in ids if k not in feats]
-    for i in range(0, len(missing), batch_size):
-        chunk = missing[i : i + batch_size]
-        out = scorer.encode_images(load_pixels(chunk), batch_size=batch_size)
-        for k, f in zip(chunk, out):
-            feats[k] = f
-            if h5 is not None and k not in h5:
-                h5.create_dataset(k, data=f)
-    if h5 is not None:
-        h5.close()
+    try:
+        missing = [k for k in ids if k not in feats]
+        for i in range(0, len(missing), batch_size):
+            chunk = missing[i : i + batch_size]
+            out = scorer.encode_images(
+                load_pixels(chunk), batch_size=batch_size
+            )
+            for k, f in zip(chunk, out):
+                feats[k] = f
+                if h5 is not None and k not in h5:
+                    h5.create_dataset(k, data=f)
+    finally:
+        # a mid-loop failure must still close the handle (an open 'a'-mode
+        # file with partial datasets corrupts the next run's cache)
+        if h5 is not None:
+            h5.close()
     return np.stack([feats[k] for k in ids])

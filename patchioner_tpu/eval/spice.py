@@ -70,19 +70,28 @@ _IRREGULAR = {
 }
 
 
-def _singular(w: str) -> str:
-    """Naive English plural -> singular (SPICE lemmatizes with WordNet)."""
+def _singular_candidates(w: str) -> list:
+    """Candidate singulars, most likely first — the CALLER picks the first
+    one present in its lexicon. Surface form alone cannot decide
+    '-es'-vs-'-s' stripping ('horses' -> horse by -s, 'buses' -> bus by
+    -es); SPICE's WordNet lemmatizer resolves this with dictionary lookups,
+    so the lexicon stands in for the dictionary here. (A fixed-rule
+    predecessor mapped horses/houses/noses -> hors/hous/nos and silently
+    dropped those objects.)"""
     if w in _IRREGULAR:
-        return _IRREGULAR[w]
+        return [_IRREGULAR[w]]
+    out = []
     if len(w) > 3 and w.endswith("ies"):
-        return w[:-3] + "y"
-    if len(w) > 3 and w.endswith("es") and w[-3] in "sxz":
-        return w[:-2]
-    if len(w) > 4 and (w.endswith("ches") or w.endswith("shes")):
-        return w[:-2]
+        out.append(w[:-3] + "y")
+    if len(w) > 4 and w.endswith(("sses", "ches", "shes", "xes", "zes")):
+        out.append(w[:-2])
     if len(w) > 2 and w.endswith("s") and not w.endswith("ss"):
-        return w[:-1]
-    return w
+        out.append(w[:-1])          # horses -> horse
+        if len(w) > 3 and w.endswith("es"):
+            out.append(w[:-2])      # buses -> bus
+    seen = set()
+    res = [c for c in out if not (c in seen or seen.add(c))]
+    return res or [w]
 
 
 class SpiceLexicon:
@@ -92,7 +101,15 @@ class SpiceLexicon:
         self.max_phrase = max_phrase
         self.objects = self._clean(objects)
         self.attributes = self._clean(attributes)
-        self.relations = {r for r in (str(s).strip() for s in relations) if r}
+        # relations keep stopwords ("on top of") so they skip _clean's
+        # stopword filter, but DO get its lowercase + whitespace collapse —
+        # the vendored VG relationship phrases include double-spaced entries
+        # ("putting  down") that could otherwise never match a candidate
+        # built by " ".join(tokens)
+        self.relations = {
+            r for r in (" ".join(str(s).lower().split()) for s in relations)
+            if r
+        }
 
     @staticmethod
     def _clean(phrases) -> Set[str]:
@@ -148,9 +165,10 @@ class SpiceLexicon:
         phrase = " ".join(words)
         if phrase in self.objects:
             return phrase
-        lemma = " ".join([*words[:-1], _singular(words[-1])])
-        if lemma in self.objects:
-            return lemma
+        for cand in _singular_candidates(words[-1]):
+            lemma = " ".join([*words[:-1], cand])
+            if lemma in self.objects:
+                return lemma
         return None
 
 
@@ -178,6 +196,11 @@ def parse_scene_graph(
     n = len(toks)
     mentions: List[Tuple[int, int, str]] = []  # (start, end_exclusive, head)
     extra_attrs: List[Tuple[str, str]] = []
+    # predicative attrs are recorded by MENTION INDEX and resolved after
+    # the fused-label decomposition pass: "the black dog is tall" must emit
+    # ('dog', 'tall'), not ('black dog', 'tall'), so it can match a
+    # reference "the dog is tall"
+    pred_attrs: List[Tuple[int, str]] = []
     i = 0
     while i < n:
         w = toks[i]
@@ -192,7 +215,7 @@ def parse_scene_graph(
             and mentions
             and lex.object_match([w]) is None
         ):
-            extra_attrs.append((mentions[-1][2], w))
+            pred_attrs.append((len(mentions) - 1, w))
             i += 1
             continue
         match = None
@@ -236,6 +259,7 @@ def parse_scene_graph(
                 break
         decomposed.append((s, e, head))
     mentions = decomposed
+    extra_attrs.extend((mentions[mi][2], a) for mi, a in pred_attrs)
 
     covered = [False] * n
     for s, e, _ in mentions:

@@ -587,7 +587,9 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         # (dinov2 SwiGLUFFNFused / HF Dinov2SwiGLUFFN semantics).
         hid = blk["w3"]["w"].shape[0] if "w" in blk.get("w3", {}) else 0
         bq = bh = None
-        if cfg.mlp_fused and "w" in blk["w12"] and hid % 128 == 0:
+        # hid == 0 means w3 lacks a plain 'w' (e.g. quantized) — it must
+        # take the fallback, not pass the % checks (0 % anything == 0)
+        if cfg.mlp_fused and "w" in blk["w12"] and hid and hid % 128 == 0:
             # streamed-weight kernel: pick the largest (block_q, block_h)
             # whose per-program footprint fits scoped VMEM (~16 MB with
             # Mosaic's ~1.5x accounting over a naive tile sum — same

@@ -154,9 +154,11 @@ def main():
         for p in pool_paths
     ]))
     t0 = time.time()
+    # slice to the request: a final partial batch (n_images % batch != 0)
+    # must get matching leading dims for pixels and traces
     result2 = trace_captioning.evaluate(
         model, ann_path, root, batch_size=batch,
-        loader=lambda paths: staged,
+        loader=lambda paths: staged[: len(paths)],
     )
     report("device_resident", result2, time.time() - t0)
 

@@ -10,6 +10,14 @@ through the tunnel can take many minutes each; partial output survives a
 timeout).
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 
@@ -23,14 +31,9 @@ from patchioner_tpu.ops.attention import (
 )
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 B, H, N, HD = 128, 12, 1374, 64
 SCALE = HD**-0.5

@@ -13,6 +13,14 @@ weight-independent.
 Usage: python scripts/probe_bankbuild_tpu.py [n_captions] [batch]
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys
@@ -20,7 +28,6 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -10,6 +10,14 @@ story actually ends on a 16 GB v5e. Bank rows are generated ON DEVICE
 intermediate.
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -1,6 +1,14 @@
 """TPU probe: 30-step KV-cached greedy decode on-chip cost (the last
 stage-table entry still quoted with the dispatch floor included)."""
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 
@@ -11,14 +19,9 @@ from patchioner_tpu.eval.chain_bench import chain_time
 from patchioner_tpu.models import decap, gpt2
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 B = 128
 

@@ -10,6 +10,14 @@ caption equality vs forward on one batch.
 Usage: python -m scripts.probe_densecap_fused_tpu [batch] [boxes_per_img]
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -5,6 +5,14 @@ The fused kernel reads q/k/v as column blocks of the qkv activation and
 writes merged-head output — no transposes. Also sweeps block_q.
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 
@@ -17,14 +25,9 @@ from patchioner_tpu.ops.attention import fused_qkv_attention
 from scripts.probe_layer_tpu import make_block
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 B, D, H, HD = 128, 768, 12, 64
 NREAL, NPAD = 1374, 1408

@@ -7,6 +7,14 @@ amortization beats per-program overhead at the flagship shape.
 Timing-only: an inline kernel variant, not the shipped one.
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import sys
@@ -19,14 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 from patchioner_tpu.eval.chain_bench import chain_time
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 B, H, HD, D = 128, 12, 64, 768
 NREAL, NPAD = 1374, 1408

@@ -13,6 +13,14 @@ this probe asks where the rest goes and whether two levers move it:
 Prints one JSON line per variant.
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import sys
@@ -24,14 +32,9 @@ from patchioner_tpu.eval.chain_bench import chain_time
 from patchioner_tpu.models import vit as V
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 B, D = 128, 768
 

@@ -9,6 +9,14 @@ LN+qkv, (c) the full-layer effect at the flagship batch.
 Usage: python scripts/probe_lnqkv_giant_tpu.py
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 
@@ -19,7 +27,7 @@ from patchioner_tpu.eval.chain_bench import chain_time
 from patchioner_tpu.models import vit as V
 from patchioner_tpu.ops.mlp import fused_ln_dense
 from patchioner_tpu.utils.compile_cache import enable_compile_cache
-from probe_swiglu_tpu import make_swiglu_block, D, NPAD
+from scripts.probe_swiglu_tpu import make_swiglu_block, D, NPAD
 
 
 def main():

@@ -12,12 +12,19 @@ features.
 Usage: python scripts/probe_prefix_train_tpu.py
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -40,7 +47,12 @@ def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def run(name, mapper_params, mapper_fn, batch, iters=20):
+def run(name, mapper_init, mapper_fn, batch, iters=20):
+    # mapper_init is a THUNK: the train step jits with donate_argnums=(0,1)
+    # and deletes the mapper/opt buffers on its first call, so every run
+    # needs its own fresh init (sharing one init across batch sizes crashed
+    # the second run of each variant)
+    mapper_params = mapper_init()
     gcfg = gpt2_mod.GPT2Config(dtype=jnp.bfloat16)  # 12L/768 GPT-2 base
     gpt2_params = jax.jit(
         lambda k: gpt2_mod.init_gpt2(k, gcfg)
@@ -92,18 +104,20 @@ def main():
     sys.stdout.flush()
 
     vcfg = viecap_mod.ViecapConfig()
-    vmap = viecap_mod.init_mapping_network(
+    vinit = lambda: viecap_mod.init_mapping_network(
         jax.random.PRNGKey(1), vcfg, D_MODEL
     )
     vfn = lambda p, x: viecap_mod.mapping_network_forward(p, x, vcfg, D_MODEL)
     for batch in (256, 1024):
-        run("viecap_mapping_network", vmap, vfn, batch)
+        run("viecap_mapping_network", vinit, vfn, batch)
 
     L = 10
-    cmap = clipcap_mod.init_mlp_mapper(jax.random.PRNGKey(2), 512, L, D_MODEL)
+    cinit = lambda: clipcap_mod.init_mlp_mapper(
+        jax.random.PRNGKey(2), 512, L, D_MODEL
+    )
     cfn = lambda p, x: clipcap_mod.mlp_mapper_forward(p, x, L, D_MODEL)
     for batch in (256, 1024):
-        run("clipcap_mlp_mapper", cmap, cfn, batch)
+        run("clipcap_mlp_mapper", cinit, cfn, batch)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,14 @@ device step 331 ms; on a real TPU VM the same bytes cross PCIe in ~7 ms).
 Usage: python -m scripts.probe_serve_tpu [bursts] [batch]
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import threading

@@ -10,6 +10,14 @@ the flagship batch 128 (the B the giant bench runs).
 Usage: python scripts/probe_swiglu2_tpu.py
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 
@@ -20,7 +28,7 @@ from patchioner_tpu.eval.chain_bench import chain_time
 from patchioner_tpu.models import vit as V
 from patchioner_tpu.ops.mlp import fused_ln_swiglu
 from patchioner_tpu.utils.compile_cache import enable_compile_cache
-from probe_swiglu_tpu import make_swiglu_block, D, H, NPAD
+from scripts.probe_swiglu_tpu import make_swiglu_block, D, H, NPAD
 
 
 def main():

@@ -12,6 +12,14 @@ Usage: python scripts/probe_swiglu_tpu.py [B] (default 32 — a giant FFN
 half at B=128 is ~7 TFLOP/link; 32 keeps chain links ~9 ms).
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

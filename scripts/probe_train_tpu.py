@@ -6,6 +6,14 @@ smoothed-CE -> AdamW update) at reference-like sizes: 4-layer GPT-2 d=768,
 CLIP-dim text features, batch sweep. Reports steps/s and captions/s.
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time
@@ -20,14 +28,9 @@ from patchioner_tpu.models import decap as decap_mod
 from patchioner_tpu.train import decoder_train as dt
 
 # persistent XLA cache: stop re-paying multi-minute tunnel compiles per process
-try:
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
-except ImportError:
-    import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    from patchioner_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def sync(x):
@@ -42,17 +45,20 @@ def main():
     tcfg = dt.TrainConfig(lr=2e-5, warmup_steps=10, total_steps=1000,
                           gaussian_noise=0.016)
     tx = dt.make_optimizer(tcfg)
-    params = jax.jit(
-        lambda k: decap_mod.init_decap(k, gcfg, prefix_size=768)
-    )(jax.random.PRNGKey(0))
-    opt_state = jax.jit(tx.init)(params)
     step = dt.make_train_step(gcfg, tcfg, tx)
 
     for batch in (256, 1024, 4096):
         feats = jax.random.normal(jax.random.PRNGKey(1), (batch, 768))
         toks = jax.random.randint(jax.random.PRNGKey(2), (batch, 40), 0, 49408)
         key = jax.random.PRNGKey(3)
-        p, o = params, opt_state
+        # fresh init per batch size: the train step jits with
+        # donate_argnums=(0,1), so the first call DELETES these buffers —
+        # reusing one init across the sweep crashes every run after the
+        # first (probe_train_chunked_tpu already does this)
+        p = jax.jit(
+            lambda k: decap_mod.init_decap(k, gcfg, prefix_size=768)
+        )(jax.random.PRNGKey(0))
+        o = jax.jit(tx.init)(p)
         t0 = time.perf_counter()
         p, o, m = step(p, o, feats, toks, key)
         sync(m)

@@ -13,6 +13,14 @@ This probe times the FULL flagship caption step both ways in one session
 Usage: python scripts/probe_unpad_tpu.py [iters=20] [batch=128]
 """
 
+import os as _os
+import sys as _sys
+
+# run as `python scripts/<probe>.py` OR `python -m scripts.<probe>`: put the
+# repo root on sys.path BEFORE any patchioner_tpu import (the old fallback
+# sat below the package imports and could never fire)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

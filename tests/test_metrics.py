@@ -185,7 +185,10 @@ def test_meteor_paraphrase_stage():
     wr = 3 + 0.6 * (1 + 1)
     p, r = wc / 6, wr / 5
     fmean = p * r / (0.9 * p + 0.1 * r)
-    m = 3 + 2 + 1  # matched cand words
+    # m: METEOR 1.3/1.5 fragmentation divides chunks by the AVERAGE of
+    # matched words over hypothesis and reference — the sides differ here
+    # because the "hot dog"(2w) span matches "frankfurter"(1w)
+    m = ((3 + 2 + 1) + (3 + 1 + 1)) / 2  # (cand 6 + ref 5) / 2
     # alignment: a | hot dog | on the | sofa -> 4 chunks? a..hot dog
     # contiguous on cand but ref jumps (a -> frankfurter): count explicitly
     # cand spans: (0,1)(1,2)(3,1)(4,1)(5,1); ref: (0,1)(1,1)(2,1)(3,1)(4,1)
