@@ -48,10 +48,10 @@ def sync(x):
 
 
 def run(name, mapper_init, mapper_fn, batch, iters=20):
-    # mapper_init is a THUNK: the train step jits with donate_argnums=(0,1)
-    # and deletes the mapper/opt buffers on its first call, so every run
-    # needs its own fresh init (sharing one init across batch sizes crashed
-    # the second run of each variant)
+    # mapper_init is a THUNK: every run gets an identical fresh starting
+    # state, and the sweep stays safe if the step is ever built over a
+    # mesh (the mesh path jits with donate_argnums=(0,1), deleting the
+    # mapper/opt buffers on the first call)
     mapper_params = mapper_init()
     gcfg = gpt2_mod.GPT2Config(dtype=jnp.bfloat16)  # 12L/768 GPT-2 base
     gpt2_params = jax.jit(

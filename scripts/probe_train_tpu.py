@@ -51,17 +51,24 @@ def main():
         feats = jax.random.normal(jax.random.PRNGKey(1), (batch, 768))
         toks = jax.random.randint(jax.random.PRNGKey(2), (batch, 40), 0, 49408)
         key = jax.random.PRNGKey(3)
-        # fresh init per batch size: the train step jits with
-        # donate_argnums=(0,1), so the first call DELETES these buffers —
-        # reusing one init across the sweep crashes every run after the
-        # first (probe_train_chunked_tpu already does this)
+        # fresh init per batch size: identical starting state for every
+        # row, and safe if the step is ever built over a mesh (the mesh
+        # path jits with donate_argnums=(0,1), which deletes these buffers
+        # on the first call)
         p = jax.jit(
             lambda k: decap_mod.init_decap(k, gcfg, prefix_size=768)
         )(jax.random.PRNGKey(0))
         o = jax.jit(tx.init)(p)
         t0 = time.perf_counter()
-        p, o, m = step(p, o, feats, toks, key)
-        sync(m)
+        try:
+            p, o, m = step(p, o, feats, toks, key)
+            sync(m)
+        except Exception as e:
+            # expected at 4096: the plain loss materializes (B, 40, 50257)
+            # f32 logits = 33 GB (use probe_train_chunked for loss_chunk)
+            print(json.dumps({"batch": batch, "error": str(e)[:200]}))
+            sys.stdout.flush()
+            continue
         compile_s = time.perf_counter() - t0
         iters = 20
         t0 = time.perf_counter()
