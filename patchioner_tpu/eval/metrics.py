@@ -65,6 +65,15 @@ def bleu(
     """Corpus BLEU-1..4. Returns ([bleu1..bleu4], per-instance sentence bleu
     computed with the same formula per image)."""
 
+    # The reference scores through speaksee's vendored pycocoevalcap
+    # bleu_scorer (eval_image_captioning_compute_scores.py:59): every
+    # precision ratio is smoothed as (correct + tiny)/(guess + small) with
+    # tiny=1e-15, small=1e-9 (so a zero-match order yields a tiny-positive
+    # score, not a hard 0), and brevity applies whenever
+    # (testlen + tiny)/(reflen + small) < 1 — which INCLUDES testlen ==
+    # reflen. Both quirks reproduced literally; 'closest' reflen option.
+    tiny, small = 1e-15, 1e-9
+
     def stats(cand, refs):
         clipped = []
         totals = []
@@ -82,6 +91,17 @@ def bleu(
         lr = min((abs(len(r) - lc), len(r)) for r in refs)[1] if refs else 0
         return clipped, totals, lc, lr
 
+    def smoothed(correct, guess, testlen, reflen):
+        out = []
+        b = 1.0
+        for n in range(max_n):
+            b *= (correct[n] + tiny) / (guess[n] + small)
+            out.append(b ** (1.0 / (n + 1)))
+        ratio = (testlen + tiny) / (reflen + small)
+        if ratio < 1:
+            out = [v * math.exp(1 - 1 / ratio) for v in out]
+        return out
+
     agg_c = [0] * max_n
     agg_t = [0] * max_n
     agg_lc = agg_lr = 0
@@ -93,25 +113,9 @@ def bleu(
             agg_t[n] += t[n]
         agg_lc += lc
         agg_lr += lr
-        inst = []
-        bp_i = 1.0 if lc > lr else math.exp(1 - lr / lc) if lc > 0 else 0.0
-        logp = 0.0
-        for n in range(max_n):
-            p = (c[n] / t[n]) if t[n] > 0 and c[n] > 0 else 0.0
-            logp += math.log(p) if p > 0 else -1e9
-            inst.append(bp_i * math.exp(logp / (n + 1)))
-        per_instance.append(inst)
+        per_instance.append(smoothed(c, t, lc, lr))
 
-    bp = 1.0 if agg_lc > agg_lr else (
-        math.exp(1 - agg_lr / agg_lc) if agg_lc > 0 else 0.0
-    )
-    corpus = []
-    logp = 0.0
-    for n in range(max_n):
-        p = (agg_c[n] / agg_t[n]) if agg_t[n] > 0 and agg_c[n] > 0 else 0.0
-        logp += math.log(p) if p > 0 else -1e9
-        corpus.append(bp * math.exp(logp / (n + 1)))
-    return corpus, per_instance
+    return smoothed(agg_c, agg_t, agg_lc, agg_lr), per_instance
 
 
 # ----------------------------------------------------------------- ROUGE-L
@@ -267,10 +271,12 @@ def meteor(
     exact, stem, synonym and paraphrase modules with weights
     (1.0, 0.6, 0.8, 0.6). The aligner here follows METEOR-1.5's own
     procedure: a beam search over match selections with the lexicographic
-    objective (maximize covered words, then minimize chunks, then maximize
-    weighted match mass); tests pin it against an exhaustive-search oracle
-    of the same objective (tests/test_metric_reference_parity.py — a
-    round-2 greedy aligner under-scored vs this objective).
+    objective (maximize covered words, then minimize chunks, then minimize
+    the total |i-j| distance between match start positions — the Java
+    aligner's published tie-break — then maximize weighted match mass for
+    determinism); tests pin it against an exhaustive-search oracle of the
+    same objective (tests/test_metric_reference_parity.py — a round-2
+    greedy aligner under-scored vs this objective).
 
       * exact / stem (Porter) / synonym: word-level. `synonyms` is a
         word -> frozenset-of-group-ids callable (see
@@ -334,19 +340,20 @@ def meteor(
                                     options[i][key] = paraphrase_weight
 
         # ---- beam search over candidate positions ----------------------
-        # state: (next_i, covered, -chunks, wmass_c, wmass_r, covered_r,
-        #         ref_used frozenset, last match end (i_end, j_end))
-        states = [(0, 0, 0, 0.0, 0.0, 0, frozenset(), None)]
+        # state: (next_i, covered, -chunks, -total |i-j| match-start
+        #         distance, wmass_c, wmass_r, covered_r, ref_used frozenset,
+        #         last match end (i_end, j_end))
+        states = [(0, 0, 0, 0, 0.0, 0.0, 0, frozenset(), None)]
         final = []
         while states:
             new = []
             for st in states:
-                ni, cov, nch, wc, wr, covr, used, last = st
+                ni, cov, nch, nd, wc, wr, covr, used, last = st
                 if ni >= len(cand):
                     final.append(st)
                     continue
                 # skip position ni
-                new.append((ni + 1, cov, nch, wc, wr, covr, used, last))
+                new.append((ni + 1, cov, nch, nd, wc, wr, covr, used, last))
                 for (lc, j, lr), w in options.get(ni, {}).items():
                     span = frozenset(range(j, j + lr))
                     if used & span:
@@ -356,22 +363,25 @@ def meteor(
                         ni + lc,
                         cov + lc,
                         nch - (0 if contiguous else 1),
+                        nd - abs(ni - j),
                         wc + w * lc,
                         wr + w * lr,
                         covr + lr,
                         used | span,
                         (ni + lc, j + lr),
                     ))
-            # prune
-            new.sort(key=lambda s: (s[1], s[2], s[3]), reverse=True)
+            # prune — METEOR's alignment objective: max covered words, min
+            # chunks, min total match-start distance (the Java aligner's
+            # published tie-break), then weighted mass for determinism
+            new.sort(key=lambda s: (s[1], s[2], s[3], s[4]), reverse=True)
             states = new[:beam_width]
             if all(s[0] >= len(cand) for s in states):
                 final.extend(states)
                 break
         if not final:
             return 0.0
-        best = max(final, key=lambda s: (s[1], s[2], s[3]))
-        _, cov, nch, wc, wr, covr, _, _ = best
+        best = max(final, key=lambda s: (s[1], s[2], s[3], s[4]))
+        _, cov, nch, nd, wc, wr, covr, _, _ = best
         if cov == 0:
             return 0.0
         chunks = -nch

@@ -130,15 +130,23 @@ def test_int8_quantized_bank_projection():
     assert q.rows.shape[0] == 384  # padded
 
     dequant = np.asarray(q.rows[:300], np.float32) * np.asarray(q.scale[:300])
-    # inv_norm belongs to the ORIGINAL rows; sims use original norms
-    want_dq = oracle(f, dequant.astype(np.float32), normalize=True)
     got = mp.memory_project_int8(
         jnp.asarray(f), q, normalize=True, block_b=8, block_m=128,
         interpret=True,
     )
-    # same math up to the inv-norm source (original vs dequantized row norm):
-    # row norms differ by <1% -> compare loosely vs dequantized oracle...
-    np.testing.assert_allclose(np.asarray(got), want_dq, rtol=0.05, atol=0.02)
+    # EXACT oracle of the kernel's math: sim uses the dequantized rows
+    # scaled by the ORIGINAL rows' inverse norms (q.inv_norm), softmax at
+    # 1/temperature, recombination over the raw dequantized rows. Tight
+    # tolerance — a kernel defect worth even ~1% (wrong scale placement,
+    # dequantized-row norms, etc.) must fail, not hide in slack.
+    f_n = f / np.linalg.norm(f, axis=-1, keepdims=True)
+    sim = (f_n @ (dequant * np.asarray(q.inv_norm[:300])).T) / 0.01
+    w = np.exp(sim - sim.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want_exact = w @ dequant
+    want_exact /= np.linalg.norm(want_exact, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(got), want_exact, rtol=2e-4,
+                               atol=2e-5)
     # and against the unquantized projection within quantization noise
     want_f32 = oracle(f, bank, normalize=True)
     np.testing.assert_allclose(np.asarray(got), want_f32, rtol=0.1, atol=0.05)

@@ -47,9 +47,13 @@ REFS = [
 
 
 def test_bleu_parity_vs_nltk():
-    """Corpus BLEU-1..4 must equal nltk's corpus_bleu (independent
-    implementation of the same Papineni definition: clipped counts summed
-    over the corpus, closest-reference brevity penalty)."""
+    """Corpus BLEU-1..4 vs nltk's corpus_bleu (independent implementation
+    of the same Papineni definition). Tolerance 1e-6, not exact: our bleu
+    reproduces the speaksee/pycocoevalcap scorer's tiny=1e-15/small=1e-9
+    ratio smoothing (the scorer the reference actually runs), which
+    perturbs non-degenerate values by ~1e-9 relative vs nltk's unsmoothed
+    ratios. The exact lock against that scorer's own formulas is
+    test_bleu_parity_vs_pycocoevalcap_transcription below."""
     nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
     cand_t = [metrics.ptb_tokenize(c) for c in CANDS]
     refs_t = [[metrics.ptb_tokenize(r) for r in refs] for refs in REFS]
@@ -57,7 +61,87 @@ def test_bleu_parity_vs_nltk():
     for n in range(1, 5):
         weights = tuple([1.0 / n] * n)
         want = nltk_bleu.corpus_bleu(refs_t, cand_t, weights=weights)
-        assert abs(ours[n - 1] - want) < 1e-12, (n, ours[n - 1], want)
+        assert abs(ours[n - 1] - want) < 1e-6, (n, ours[n - 1], want)
+
+
+def _pycoco_bleu(cand_t, refs_t, max_n=4):
+    """Literal transcription of pycocoevalcap bleu_scorer.py
+    compute_score(option='closest'): cook_test clipped counts, per-sentence
+    cumulative smoothed ratios with tiny/small, ratio-based brevity on both
+    the per-sentence and aggregated scores."""
+    import math as _m
+    from collections import Counter as _C
+
+    def ngrams(words, n):
+        return _C(tuple(words[i:i + n]) for i in range(len(words) - n + 1))
+
+    tiny, small = 1e-15, 1e-9
+    tot_guess = [0] * max_n
+    tot_correct = [0] * max_n
+    tot_testlen = tot_reflen = 0
+    bleu_list = [[] for _ in range(max_n)]
+    for test, refs in zip(cand_t, refs_t):
+        reflen = min((abs(len(r) - len(test)), len(r)) for r in refs)[1]
+        maxcounts = {}
+        for ref in refs:
+            for k in range(1, max_n + 1):
+                for g, c in ngrams(ref, k).items():
+                    maxcounts[g] = max(maxcounts.get(g, 0), c)
+        testlen = len(test)
+        guess = [max(0, testlen - k) for k in range(max_n)]
+        correct = [0] * max_n
+        for k in range(1, max_n + 1):
+            for g, c in ngrams(test, k).items():
+                correct[k - 1] += min(maxcounts.get(g, 0), c)
+        tot_testlen += testlen
+        tot_reflen += reflen
+        for k in range(max_n):
+            tot_guess[k] += guess[k]
+            tot_correct[k] += correct[k]
+        b = 1.0
+        for k in range(max_n):
+            b *= (float(correct[k]) + tiny) / (float(guess[k]) + small)
+            bleu_list[k].append(b ** (1.0 / (k + 1)))
+        ratio = (testlen + tiny) / (reflen + small)
+        if ratio < 1:
+            for k in range(max_n):
+                bleu_list[k][-1] *= _m.exp(1 - 1 / ratio)
+    bleus = []
+    b = 1.0
+    for k in range(max_n):
+        b *= (float(tot_correct[k]) + tiny) / (float(tot_guess[k]) + small)
+        bleus.append(b ** (1.0 / (k + 1)))
+    ratio = (tot_testlen + tiny) / (tot_reflen + small)
+    if ratio < 1:
+        bleus = [v * _m.exp(1 - 1 / ratio) for v in bleus]
+    return bleus, bleu_list
+
+
+def test_bleu_parity_vs_pycocoevalcap_transcription():
+    """Exact lock (1e-15) against a literal transcription of the
+    speaksee/pycocoevalcap bleu_scorer the reference runs — INCLUDING the
+    degenerate cases nltk and the scorer disagree on: zero n-gram matches
+    at some order (tiny-positive, not 0) and testlen == reflen (ratio
+    (L+tiny)/(L+small) < 1 applies a ~1e-9 brevity penalty)."""
+    cand_t, refs_t = _tokenized()
+    # add the degenerate cases on top of the shared corpus
+    cand_t = cand_t + [
+        ["completely", "different", "words", "here"],  # zero 2..4-gram hits
+        ["same", "length", "as", "ref"],               # testlen == reflen
+        ["one"],                                       # shorter than any ref
+    ]
+    refs_t = refs_t + [
+        [["nothing", "matches", "at", "all", "anywhere"]],
+        [["same", "size", "as", "cand"]],
+        [["a", "much", "longer", "reference", "sentence"]],
+    ]
+    want_corpus, want_inst = _pycoco_bleu(cand_t, refs_t)
+    ours, inst = metrics.bleu(cand_t, refs_t)
+    for n in range(4):
+        assert abs(ours[n] - want_corpus[n]) < 1e-15, (n, ours[n],
+                                                       want_corpus[n])
+        for i in range(len(cand_t)):
+            assert abs(inst[i][n] - want_inst[n][i]) < 1e-15, (n, i)
 
 
 def _tokenized():
@@ -164,9 +248,11 @@ def test_cider_d_parity_vs_pycocoevalcap_transcription():
 
 def test_meteor_exact_stem_vs_exhaustive_aligner():
     """METEOR's beam-search aligner must reach the true optimum of the
-    METEOR-1.5 objective (max covered words, then min chunks, then max
-    weighted mass) — verified against an independently-coded exhaustive
-    search over all non-conflicting match subsets."""
+    METEOR-1.5 objective (max covered words, then min chunks, then min
+    total |i-j| match-start distance — the Java aligner's published
+    tie-break — then max weighted mass) — verified against an
+    independently-coded exhaustive search over all non-conflicting match
+    subsets."""
     from patchioner_tpu.text.porter import stem
 
     cand_t, refs_t = _tokenized()
@@ -187,7 +273,7 @@ def test_meteor_exact_stem_vs_exhaustive_aligner():
         def rec(k, used_r, chosen):
             if k == len(idxs):
                 if not chosen:
-                    key = (0, 0, 0.0)
+                    key = (0, 0, 0, 0.0)
                 else:
                     cs = sorted(chosen)
                     chunks = 1
@@ -195,6 +281,7 @@ def test_meteor_exact_stem_vs_exhaustive_aligner():
                         if i2 != i1 + 1 or j2 != j1 + 1:
                             chunks += 1
                     key = (len(chosen), -chunks,
+                           -sum(abs(i - j) for i, j, _ in chosen),
                            sum(w for _, _, w in chosen))
                 if best[0] is None or key > best[0]:
                     best[0] = key
@@ -212,7 +299,7 @@ def test_meteor_exact_stem_vs_exhaustive_aligner():
         b = best_alignment(cand, ref)
         if b is None or b[0] == 0:
             return 0.0
-        count, negchunks, wmass = b
+        count, negchunks, _negdist, wmass = b
         p = wmass / len(cand)
         r = wmass / len(ref)
         fmean = p * r / (alpha * p + (1 - alpha) * r)

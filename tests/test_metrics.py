@@ -28,8 +28,11 @@ def test_bleu_hand_computed():
     # cand: "the the the", ref: "the cat" -> clipped unigram = 1/3,
     # bigram = 0; BP = exp(1 - 2/3)... lc=3 > lr=2 -> BP=1.
     corpus, _ = metrics.bleu([tok("the the the")], [[tok("the cat")]])
-    assert abs(corpus[0] - 1.0 / 3.0) < 1e-9
-    assert corpus[1] == 0.0
+    assert abs(corpus[0] - 1.0 / 3.0) < 1e-8
+    # zero bigram matches: the speaksee/pycocoevalcap scorer the reference
+    # runs smooths every ratio with tiny=1e-15/small=1e-9, so the result
+    # is tiny-positive (sqrt(1/3 * tiny/2)), NOT a hard 0
+    assert 0.0 < corpus[1] < 1e-7
 
 
 def test_bleu_brevity_penalty():

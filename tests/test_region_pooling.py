@@ -235,6 +235,90 @@ def test_bbox_single_embedding_parity(data, gaussian):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+def test_bbox_single_attention_parity_with_overlap_and_dummy(data):
+    """The single+attention path (forward(get_controllable_capts=True,
+    use_attn_map_for_bboxes=True) — bbox_utils.py's merged
+    total_patch_weights with attention weights) vs the literal oracle,
+    with a forced overlap (exercises the in-place per-box normalization
+    aliasing) and a trailing dummy row (must contribute nothing)."""
+    tokens, boxes, attn = data
+    boxes = boxes.copy()
+    boxes[:, 1] = boxes[:, 0]  # overlap: slot 1 duplicates slot 0
+    want = oracle_bbox_feats(
+        torch.from_numpy(tokens),
+        torch.from_numpy(boxes.copy()),
+        patch_size=PATCH,
+        single=True,
+        attention_map=torch.from_numpy(attn.copy()),
+    ).numpy()
+    got = rp.extract_bbox_features_single(
+        jnp.asarray(tokens), jnp.asarray(boxes), patch_size=PATCH,
+        attention_map=jnp.asarray(attn),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    # dummy padding row on top must not change the merged embedding
+    padded = np.concatenate(
+        [boxes, np.full((boxes.shape[0], 1, 4), -1.0, np.float32)], axis=1
+    )
+    got_pad = rp.extract_bbox_features_single(
+        jnp.asarray(tokens), jnp.asarray(padded), patch_size=PATCH,
+        attention_map=jnp.asarray(attn),
+    )
+    np.testing.assert_allclose(np.asarray(got_pad), want, rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_even_center_high_and_random_variants(data):
+    """even_center='high' picks the other central patch; 'random' draws the
+    two axes INDEPENDENTLY (reference random.choice per axis,
+    bbox_utils.py:70-71) — every draw must be one of the four (low/high ×
+    low/high) centers, and across keys both axes must vary."""
+    tokens, _, _ = data
+    # grid span = w//patch + 1 (inclusive slice), so w = 3·PATCH gives an
+    # EVEN span of 4: grid box y∈[2,5], x∈[1,4]; the two central candidates
+    # per axis are start+1 ('low') and start+2 ('high')
+    boxes = np.tile(
+        np.array([[14.0, 28.0, 3 * PATCH, 3 * PATCH]], np.float32),
+        (tokens.shape[0], 1, 1),
+    )
+    kwargs = dict(patch_size=PATCH, gaussian_avg=True,
+                  gaussian_bbox_variance=0.0)
+    lo = np.asarray(rp.extract_bbox_features(
+        jnp.asarray(tokens), jnp.asarray(boxes), even_center="low", **kwargs))
+    hi = np.asarray(rp.extract_bbox_features(
+        jnp.asarray(tokens), jnp.asarray(boxes), even_center="high", **kwargs))
+    pe = tokens.reshape(tokens.shape[0], G, G, -1)
+    y0, x0 = 28 // PATCH, 14 // PATCH  # grid starts: 2, 1
+    np.testing.assert_allclose(lo[:, 0], pe[:, y0 + 1, x0 + 1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hi[:, 0], pe[:, y0 + 2, x0 + 2],
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(lo - hi).max() > 1e-3  # the two centers genuinely differ
+    import jax as _jax
+
+    cands = {
+        (dy, dx): pe[:, y0 + 1 + dy, x0 + 1 + dx]
+        for dy in (0, 1) for dx in (0, 1)
+    }
+    seen = set()
+    for s in range(12):
+        r = np.asarray(rp.extract_bbox_features(
+            jnp.asarray(tokens), jnp.asarray(boxes), even_center="random",
+            key=_jax.random.PRNGKey(s), **kwargs))
+        # per-image draws may differ; check each image row independently
+        for i in range(tokens.shape[0]):
+            mi = next(
+                (k for k, v in cands.items()
+                 if np.allclose(r[i, 0], v[i], rtol=1e-5, atol=1e-6)),
+                None,
+            )
+            assert mi is not None, (s, i)
+            seen.add(mi)
+    # both axes vary across draws (independent per-axis choice)
+    assert {d for d, _ in seen} == {0, 1}, seen
+    assert {d for _, d in seen} == {0, 1}, seen
+
+
 @pytest.mark.parametrize("variance", [0.0, 1.0, 150.0, 0.5])
 def test_region_means_parity(data, variance):
     tokens, _, _ = data

@@ -36,6 +36,22 @@ class WordTokenizer:
         return " ".join(self.rev.get(int(i), f"<{int(i)}>") for i in ids)
 
 
+class DualEOSTokenizer(WordTokenizer):
+    """WordTokenizer whose ' .' encodes to its OWN id, like GPT-2 BPE
+    ('.' -> 13, ' .' -> 764) — lets tests exercise the reference's
+    dual-EOS stopping (search.py:135,225)."""
+
+    def __init__(self, eos2_id):
+        super().__init__()
+        self.eos2_id = eos2_id
+        self.rev[eos2_id] = " ."
+
+    def encode(self, text):
+        if text == " .":
+            return [self.eos2_id]
+        return super().encode(text)
+
+
 # ------------------------------------------------- mapping network oracle
 
 
@@ -179,6 +195,34 @@ def test_greedy_search_parity(small_gpt2):
     assert got == want_texts
 
 
+def test_greedy_search_parity_distinct_dual_eos(small_gpt2):
+    """The reference's two EOS strings tokenize to DISTINCT ids under GPT-2
+    BPE ('.' -> 13, ' .' -> 764; search.py:135). WordTokenizer collapses
+    them, so the plain parity test never exercises stopping on eos[1] — an
+    implementation that only honored eos[0] would pass it. Here ' .' is
+    remapped to a token the model actually emits mid-sequence, so
+    truncation must trigger via the SECOND eos id."""
+    hf, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    rng = np.random.default_rng(2)
+    embeds = rng.standard_normal((3, 5, 32)).astype(np.float32)
+    # observe the free-running token stream (no EOS can match)
+    free = oracle_greedy(hf, embeds, eos=[-1], max_len=10)
+    dot = tok.encode(".")[-1]
+    emitted = free[0][3]
+    assert emitted != dot
+    # remap ' .' to exactly that emitted token
+    tok = DualEOSTokenizer(emitted)
+    eos = [tok.encode(".")[-1], tok.encode(" .")[-1]]
+    assert eos[0] != eos[1], "dual EOS must be distinct for this test"
+    want = oracle_greedy(hf, embeds, eos, max_len=10)
+    assert len(want[0]) <= 4, "row 0 must stop early via eos[1]"
+    got = viecap.greedy_search(
+        params, jnp.asarray(embeds), cfg, tok, max_len=10
+    )
+    assert got == [tok.decode(w) for w in want]
+
+
 def oracle_beam(hf, embeds, eos, beam_width=3, max_len=8):
     """Literal reference beam loop (search.py:193-285), full re-forward."""
     generated = torch.from_numpy(embeds)
@@ -237,6 +281,27 @@ def test_beam_search_parity(small_gpt2):
     )
     want_texts = [tok.decode(w) for w in want]
     assert got == want_texts
+
+
+def test_beam_search_parity_distinct_dual_eos(small_gpt2):
+    """Beam stopping checks eq(eos[0]) | eq(eos[1]) (search.py:225,252);
+    exercise the second id with a distinct ' .' mapping (see the greedy
+    dual-EOS test)."""
+    hf, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    rng = np.random.default_rng(3)
+    embeds = rng.standard_normal((1, 4, 32)).astype(np.float32)
+    free = oracle_beam(hf, embeds, eos=[-1, -2], beam_width=3, max_len=8)
+    dot = tok.encode(".")[-1]
+    emitted = next(t for t in free[0][1:] if t != dot)
+    tok = DualEOSTokenizer(emitted)
+    eos = [tok.encode(".")[-1], tok.encode(" .")[-1]]
+    assert eos[0] != eos[1]
+    want = oracle_beam(hf, embeds, eos, beam_width=3, max_len=8)
+    got = viecap.beam_search(
+        params, jnp.asarray(embeds), cfg, tok, beam_width=3, max_len=8
+    )
+    assert got == [tok.decode(w) for w in want]
 
 
 def oracle_contrastive(hf, embeds, eos, alpha=0.1, top_k=8, max_len=10):
@@ -483,7 +548,11 @@ def test_entity_vocabularies_align_with_vendored_embeddings():
         assert all(e == e.lower().strip() for e in ents), name
         if name == "open_image_entities":
             assert "displayname" not in ents  # header row consumed
-            assert not any("(" in e for e in ents)  # "(...)" stripped
+            # the reference rule strips a qualifier only when the name
+            # ENDS with ')' (load_annotations.py:111-115) — a mid-string
+            # paren would legitimately survive, so assert the actual
+            # post-rule invariant
+            assert not any(e.endswith(")") for e in ents)
         if name == "visual_genome_entities":
             assert len(ents) > 10_000  # the joint set, not 3 dict keys
         if emb and os.path.exists(os.path.join(VOCAB_DIR, emb)):
