@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import warnings
 from typing import Any, Optional
 
@@ -343,6 +344,11 @@ class Patchioner:
         self.tokenizer = tokenizer or clip_bpe.get_tokenizer()
         self.entry_length = entry_length
         self.config = config or {}
+        # per-instance serving locks (class-level defaults cover snapshots
+        # restored without __init__): _compile_lock serializes fused-program
+        # cache builds, _placed_lock the one-time mesh state replication
+        self._compile_lock = threading.RLock()
+        self._placed_lock = threading.Lock()
         self.viecap = viecap  # VieCap or MeaCap instance (delegated decoding)
         self.clipcap = clipcap  # ClipCap instance
         # Normalization stats for the uint8 device-side input path
@@ -738,8 +744,23 @@ class Patchioner:
                 "(DINOv2 / OpenAI-CLIP / INViTE variants)"
             )
         vit_params = jax.tree_util.tree_map(jnp.asarray, vit_params)
-        if attention_type != "qkv" and backbone_type == "DINO":
-            vit_params = vit_mod.reorder_qkv_params(vit_params, attention_type)
+        if attention_type != "qkv":
+            # The reference rewires `self.dino.blocks[-1].attn.qkv`
+            # UNCONDITIONALLY (src/model.py:569-582): that works for any
+            # timm-style tower (DINOv2 hub, timm OpenAI CLIP, INViTE's
+            # fork once loaded) and crashes on towers without `.blocks`
+            # (OpenCLIP resblocks, ResNets). Match: reorder wherever the
+            # params carry a fused last-block qkv, raise clearly elsewhere.
+            blocks = vit_params.get("blocks") if isinstance(vit_params, dict) else None
+            if blocks and isinstance(blocks[-1], dict) and "qkv" in blocks[-1]:
+                vit_params = vit_mod.reorder_qkv_params(vit_params, attention_type)
+            else:
+                raise ValueError(
+                    f"attention_type={attention_type!r} needs a tower with "
+                    f"a fused last-block qkv; {backbone_type} has none "
+                    "(the reference's .blocks[-1].attn.qkv access crashes "
+                    "there too)"
+                )
 
         calculate_argmax_text = bool(config.get("calculate_argmax_text", False))
 
@@ -1307,11 +1328,20 @@ class Patchioner:
         `pool(outs, extract_attn, *args) -> (B', D)` reduces the encoder
         outputs to per-caption features; `extract_attn()` lazily computes
         the CLS->patch attention row (reference quirks included)."""
-        cached = getattr(self, "_fused_trace_cache", None)
-        if cached is None:
-            cached = self._fused_trace_cache = {}
-        if key in cached:
-            return cached[key]
+        # build under a lock: concurrent server workers racing the first
+        # dispatch must not each pay a multi-minute flagship compile (or
+        # clobber each other's lazily-created cache dict)
+        with self._compile_lock:
+            cached = getattr(self, "_fused_trace_cache", None)
+            if cached is None:
+                cached = self._fused_trace_cache = {}
+            if key in cached:
+                return cached[key]
+            step = self._build_fused_step(key, pool)
+            cached[key] = step
+            return step
+
+    def _build_fused_step(self, key, pool):
 
         vit_cfg, gcfg = self.vit_cfg, self.gpt2_cfg
         use_pallas = self._use_pallas
@@ -1331,6 +1361,22 @@ class Patchioner:
         n_real = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
 
         def step(state, pixels, *args):
+            # trace-time geometry check: the fused program bakes n_real and
+            # the pooling grid from the CONFIG resolution, while
+            # vit_forward itself adapts pos-embeds to the runtime grid — a
+            # different input resolution would silently leak fusedqkv pad
+            # keys into the extracted attention (or crash in trace_pool's
+            # reshape). forward() derives its grid from the actual patch
+            # count and handles any resolution; route there instead.
+            if pixels.shape[1] != vit_cfg.img_size or (
+                pixels.shape[2] != vit_cfg.img_size
+            ):
+                raise ValueError(
+                    f"fused caption paths require the config resolution "
+                    f"{vit_cfg.img_size}px, got "
+                    f"{pixels.shape[1]}x{pixels.shape[2]} — use forward() "
+                    f"for other resolutions"
+                )
             if pixels.dtype == jnp.uint8:
                 pixels = (pixels.astype(jnp.float32) / 255.0
                           - state["mean"]) / state["std"]
@@ -1365,8 +1411,7 @@ class Patchioner:
             )
             return tokens
 
-        cached[key] = jax.jit(step)
-        return cached[key]
+        return jax.jit(step)
 
     def _fused_state(self):
         state = {
@@ -1510,9 +1555,13 @@ class Patchioner:
     # ------------------------------------------------- multi-chip serving
 
     # class attrs so older pickles / subclasses get the single-device
-    # default without an __init__ change
+    # default without an __init__ change; the class-level locks are shared
+    # fallbacks for instances restored without __init__
     _serve_mesh = None
     _placed_state_cache = None
+    _placed_gen = 0
+    _placed_lock = threading.Lock()
+    _compile_lock = threading.RLock()
 
     # Assigning a new bank/decoder/vit_params (hot-swap) drops the placed
     # mesh state immediately: caching by id() risks address-reuse
@@ -1528,6 +1577,10 @@ class Patchioner:
         def fset(self, value):
             setattr(self, key, value)
             self._placed_state_cache = None
+            # generation bump: an in-flight _placed_fused_state transfer
+            # that snapshotted the OLD components must not publish its
+            # result over this invalidation (lost-update race)
+            self._placed_gen = self._placed_gen + 1
 
         return property(fget, fset)
 
@@ -1559,11 +1612,13 @@ class Patchioner:
             raise ValueError(
                 f"dp_axis={dp_axis!r} not in mesh axes {mesh.axis_names}"
             )
-        self._serve_mesh = (mesh, dp_axis) if mesh is not None else None
-        self._placed_state_cache = None
-        import threading
-
-        self._placed_lock = threading.Lock()
+        # under the placement lock: replacing the lock itself (an earlier
+        # version did) would let a worker inside the old lock's critical
+        # section run concurrently with one holding the new lock
+        with self._placed_lock:
+            self._serve_mesh = (mesh, dp_axis) if mesh is not None else None
+            self._placed_state_cache = None
+            self._placed_gen = self._placed_gen + 1
 
     def _placed_fused_state(self):
         """Replicate the fused-step state over the serving mesh once;
@@ -1579,12 +1634,21 @@ class Patchioner:
             cached = self._placed_state_cache
             if cached is not None:
                 return cached
-            mesh, _ = self._serve_mesh
+            gen = self._placed_gen
+            sm = self._serve_mesh
+            if sm is None:
+                # a concurrent place_on_mesh(None) won the race — the
+                # caller re-checks and dispatches single-device
+                return None
+            mesh, _ = sm
             state = jax.device_put(
                 self._fused_state(),
                 jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
             )
-            self._placed_state_cache = state
+            if self._placed_gen == gen:
+                # only publish if no hot-swap invalidated us mid-transfer;
+                # the current batch still uses the snapshot it paid for
+                self._placed_state_cache = state
             return state
 
     def _dispatch_fused(self, step, imgs, *args, rows_per_image: int = 1):
@@ -1597,9 +1661,17 @@ class Patchioner:
         placement `__graft_entry__.dryrun_multichip` validates at flagship
         geometry), and slice the padding rows back off.
         """
-        if self._serve_mesh is None:
+        # read the mesh tuple ONCE — a concurrent place_on_mesh between a
+        # None-check and an unpack would otherwise TypeError this batch
+        sm = self._serve_mesh
+        placed = None
+        if sm is not None:
+            placed = self._placed_fused_state()
+            if placed is None:  # mesh was torn down while we replicated
+                sm = None
+        if sm is None:
             return np.asarray(step(self._fused_state(), imgs, *args))
-        mesh, axis = self._serve_mesh
+        mesh, axis = sm
         ndp = mesh.shape[axis]
         b = int(imgs.shape[0])
         pad = (-b) % ndp
@@ -1615,7 +1687,7 @@ class Patchioner:
         )
         imgs = jax.device_put(imgs, sh)
         args = tuple(jax.device_put(a, sh) for a in args)
-        tokens = np.asarray(step(self._placed_fused_state(), imgs, *args))
+        tokens = np.asarray(step(placed, imgs, *args))
         return tokens[: b * rows_per_image]
 
     def _fused_trace_step(self, use_attention: bool):
@@ -1648,6 +1720,14 @@ class Patchioner:
         """`forward(bboxes=...)`'s dense-captioning math (src/model.py:
         980-1047 semantics) as one program — per-box weighted patch means
         feed one (B*NB)-row projection+decode."""
+        # normalize parameters the selected weight mode makes DEAD
+        # (rp mode priority: attention > gaussian > uniform) — otherwise an
+        # eval sweep over variance values with gaussian_avg=False pays a
+        # fresh multi-minute flagship compile per value for identical HLO
+        if use_attn_map:
+            gaussian_avg, gaussian_bbox_variance = False, 0.0
+        elif not gaussian_avg:
+            gaussian_bbox_variance = 0.0
         key = ("fused_bbox", bool(gaussian_avg),
                float(gaussian_bbox_variance), bool(use_attn_map),
                self.bank.num_real, type(self.bank).__name__,
@@ -1743,6 +1823,11 @@ class Patchioner:
         """Region-set captioning (`forward(get_controllable_capts=True)`
         semantics, src/model.py:1042-1047: one merged weight map over all
         boxes -> ONE caption per image) as one program."""
+        # same dead-parameter normalization as _fused_bbox_step
+        if use_attn_map:
+            gaussian_avg, gaussian_bbox_variance = False, 0.0
+        elif not gaussian_avg:
+            gaussian_bbox_variance = 0.0
         key = ("fused_controllable", bool(gaussian_avg),
                float(gaussian_bbox_variance), bool(use_attn_map),
                self.bank.num_real, type(self.bank).__name__,
@@ -1832,7 +1917,14 @@ class Patchioner:
         enc = self.encode_images(imgs)
         patch_tokens = enc["x_norm_patchtokens"]
         bs, n_patches, embed_dim = patch_tokens.shape
-        has_attention = "self_attn" in enc  # reference :863-866
+        # Reference :863-866 gates on the BACKBONE TYPE as well as the
+        # extracted tensor: the CLIP family (timm CLIP / OpenCLIP / INViTE)
+        # exposes self_attn in our encode_images, but the reference never
+        # consumes attention on those towers — bbox/trace pooling stays
+        # uniform and cleaning falls back to CLS there.
+        has_attention = (
+            "DINO" in self.backbone_type or self.backbone_type == "DenseClip"
+        ) and "self_attn" in enc
         self_attn = enc.get("self_attn")
         nh = self.extract_heads
 
@@ -1868,8 +1960,12 @@ class Patchioner:
                     x, self.bank, normalize=True, use_pallas=self._use_pallas
                 )
 
+            # clean_from='avg_self_attn' falls back to the CLS token when
+            # the backbone has no extractable attention (reference :883-888)
             clean_src = (
-                enc["x_norm_clstoken"] if clean_from == "cls" else avg_self_attn_token
+                avg_self_attn_token
+                if clean_from != "cls" and avg_self_attn_token is not None
+                else enc["x_norm_clstoken"]
             )
             if clean_after_projection:
                 proj_patch = proj_norm(patch_tokens.reshape(-1, embed_dim)).reshape(
@@ -2121,40 +2217,69 @@ class Patchioner:
         quadratic wall time. Here all (image, region) pairs batch into one
         forward: the alpha mask is just another conv input. Dummy boxes
         (negative coordinate sum) yield "" captions / 0.0 scores / [] sims,
-        matching the reference (:1193-1199). CLS pooling per region
-        (use_cls_for_localized_captions default True).
+        matching the reference (:1193-1199).
+
+        Mask resolutions match the reference exactly: the ENCODER mask is
+        pixel-resolution (grid_size = crop_dim, patch_size = 1 —
+        :1084-1086; trace points mark single pixels, NOT patch-sized
+        blocks), while `use_cls_for_localized_captions: false` aggregates
+        patch tokens weighted by a PATCH-grid mask (alpha_mask_patches at
+        the effective grid, extract_alphaclip_features :1092-1125).
         """
         from patchioner_tpu.models import clip as clip_mod
 
         pixels = _as_nhwc(imgs)
         bs = pixels.shape[0]
         hw = pixels.shape[1]
+        grid = self.vit_cfg.grid_size
+        use_cls = (self.config.get("alphaclip_config") or {}).get(
+            "use_cls_for_localized_captions", True
+        )
         outs: dict[str, Any] = {}
 
-        def encode_with_masks(px, masks):
-            return clip_mod.clip_visual_forward(
+        def encode_with_masks(px, masks, patch_masks=None):
+            out = clip_mod.clip_visual_forward(
                 self.vit_params, px, self.vit_cfg, alpha=masks[..., None]
-            )["x_norm_clstoken"]
+            )
+            if use_cls or patch_masks is None:
+                return out["x_norm_clstoken"]
+            # masked-patch aggregation (reference :1103-1122): weight patch
+            # tokens by the flattened patch-grid alpha, mean by mask sum
+            pt = out["x_norm_patchtokens"]
+            af = patch_masks.reshape(patch_masks.shape[0], -1)
+            return (pt * af[..., None]).sum(axis=1) / (
+                af.sum(axis=1, keepdims=True) + 1e-8
+            )
+
+        def trace_masks(traces, size):
+            pts, valid = (
+                _traces_to_arrays(traces)
+                if isinstance(traces, (list, tuple))
+                else traces
+            )
+            return (rp.traces_to_grid(pts, valid, size) > 0).astype(
+                jnp.float32
+            )
 
         if get_controllable_capts:
             # OR of all valid region masks per image -> one caption per image
             mask = jnp.zeros((bs, hw, hw), jnp.float32)
+            pmask = jnp.zeros((bs, grid, grid), jnp.float32)
             if bboxes is not None:
-                bm = rp.boxes_to_pixel_masks(jnp.asarray(bboxes, jnp.float32), hw)
+                bb = jnp.asarray(bboxes, jnp.float32)
+                bm = rp.boxes_to_pixel_masks(bb, hw)
                 mask = jnp.maximum(mask, jnp.max(bm, axis=1))
+                pmask = jnp.maximum(
+                    pmask,
+                    jnp.max(
+                        rp.boxes_to_pixel_masks(bb / self.patch_size, grid),
+                        axis=1,
+                    ),
+                )
             if traces is not None:
-                pts, valid = (
-                    _traces_to_arrays(traces)
-                    if isinstance(traces, (list, tuple))
-                    else traces
-                )
-                tg = rp.traces_to_grid(pts, valid, self.vit_cfg.grid_size)
-                tg = jnp.repeat(
-                    jnp.repeat((tg > 0).astype(jnp.float32), self.patch_size, 1),
-                    self.patch_size, 2,
-                )
-                mask = jnp.maximum(mask, tg)
-            feats = encode_with_masks(pixels, mask)
+                mask = jnp.maximum(mask, trace_masks(traces, hw))
+                pmask = jnp.maximum(pmask, trace_masks(traces, grid))
+            feats = encode_with_masks(pixels, mask, pmask)
             ret = self.caption_tokens(feats, compute_scores=compute_scores)
             outs["set_controllable_capts"] = ret[0] if compute_scores else ret
             return outs
@@ -2163,8 +2288,11 @@ class Patchioner:
             bboxes = jnp.asarray(bboxes, jnp.float32)
             n_boxes = bboxes.shape[1]
             masks = rp.boxes_to_pixel_masks(bboxes, hw)  # (B, NB, H, W)
+            pmasks = rp.boxes_to_pixel_masks(bboxes / self.patch_size, grid)
             px = jnp.repeat(pixels, n_boxes, axis=0)
-            feats = encode_with_masks(px, masks.reshape(-1, hw, hw))
+            feats = encode_with_masks(
+                px, masks.reshape(-1, hw, hw), pmasks.reshape(-1, grid, grid)
+            )
             ret = self.caption_tokens(
                 feats,
                 compute_scores=compute_scores,
@@ -2201,18 +2329,15 @@ class Patchioner:
                     outs["bbox_sims"].append(simrow)
 
         if traces is not None:
-            pts, valid = (
-                _traces_to_arrays(traces)
-                if isinstance(traces, (list, tuple))
-                else traces
+            feats = encode_with_masks(
+                pixels, trace_masks(traces, hw), trace_masks(traces, grid)
             )
-            tg = rp.traces_to_grid(pts, valid, self.vit_cfg.grid_size)
-            tg = jnp.repeat(
-                jnp.repeat((tg > 0).astype(jnp.float32), self.patch_size, 1),
-                self.patch_size, 2,
-            )
-            feats = encode_with_masks(pixels, tg)
-            outs["trace_capts"] = self.caption_tokens(feats)
+            ret = self.caption_tokens(feats, compute_scores=compute_scores)
+            if compute_scores:
+                # reference emits trace_scores alongside (:1270-1282)
+                outs["trace_capts"], outs["trace_scores"] = ret
+            else:
+                outs["trace_capts"] = ret
         return outs
 
     def caption_bboxes(

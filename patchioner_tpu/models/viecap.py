@@ -43,6 +43,7 @@ __all__ = [
     "compose_discrete_prompt",
     "greedy_search",
     "beam_search",
+    "beam_search_batched",
     "contrastive_search",
     "assemble_prompt_embeds",
     "run_search",
@@ -483,6 +484,52 @@ def beam_search(
     ]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len", "beam_width"))
+def _beam_tokens_batched(params, embeds, eos_pair,
+                         cfg: gpt2_mod.GPT2Config, max_len: int,
+                         beam_width: int):
+    """All images' beams in ONE program: vmap of the per-sample beam over
+    the image axis. Each image's math is exactly `_beam_tokens` — the
+    reference's per-sample loop (search.py:193) just batches."""
+    return jax.vmap(
+        lambda e: _beam_tokens(params, e[None], eos_pair, cfg, max_len,
+                               beam_width)
+    )(embeds)
+
+
+def beam_search_batched(
+    params: dict,
+    embeds: jax.Array,
+    cfg: gpt2_mod.GPT2Config,
+    tokenizer,
+    *,
+    beam_width: int = 5,
+    max_len: int = 64,
+    end_of_sentences: Sequence[str] = (".", " ."),
+) -> List[str]:
+    """Best beam per image, all images decoded in ONE device program.
+
+    TPU redesign of the reference entrypoint's `for feature in features:
+    beam_search(...)` loop (entrypoint.py:149-161): the per-image beam
+    searches are independent, so vmap batches them — B sequential
+    ~140 ms dispatches become one batched program (~B× eval speedup at
+    batch sizes that fill the chip). Token-exact per image vs
+    `beam_search` (parity-tested)."""
+    eos = jnp.asarray([tokenizer.encode(e)[-1] for e in end_of_sentences])
+    toks, lengths, norm_scores = _beam_tokens_batched(
+        params, embeds, eos, cfg, max_len, beam_width
+    )
+    toks, lengths = np.asarray(toks), np.asarray(lengths)
+    norm_scores = np.asarray(norm_scores)
+    outs = []
+    for b in range(toks.shape[0]):
+        best = int(np.argsort(-norm_scores[b])[0])
+        outs.append(
+            tokenizer.decode(toks[b, best, : int(lengths[b, best])].tolist())
+        )
+    return outs
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "max_len", "top_k", "alpha")
 )
@@ -595,18 +642,17 @@ def assemble_prompt_embeds(
 
 def run_search(gpt2_params, embeds, gpt2_cfg, tokenizer, cfg: ViecapConfig):
     """Greedy-vs-beam dispatch on `using_greedy_search`
-    (entrypoint.py:149-163)."""
+    (entrypoint.py:149-163). The beam branch runs every image's beam in
+    ONE vmapped program (`beam_search_batched`) — token-exact per image
+    vs the reference's sequential per-sample loop."""
     if cfg.using_greedy_search:
         return greedy_search(
             gpt2_params, embeds, gpt2_cfg, tokenizer, max_len=cfg.max_len
         )
-    return [
-        beam_search(
-            gpt2_params, embeds[i : i + 1], gpt2_cfg, tokenizer,
-            beam_width=cfg.beam_width, max_len=cfg.max_len,
-        )[0]
-        for i in range(embeds.shape[0])
-    ]
+    return beam_search_batched(
+        gpt2_params, embeds, gpt2_cfg, tokenizer,
+        beam_width=cfg.beam_width, max_len=cfg.max_len,
+    )
 
 
 def sentence_perplexity(gpt2_params, gpt2_cfg, ids) -> float:

@@ -466,7 +466,12 @@ class CaptionServer:
                         caps = self._run_group(group, mode)
                         t_done = time.perf_counter()
                         for r, c in zip(group, caps):
-                            r.future.set_result(c)
+                            # a client-cancelled (or already-resolved)
+                            # future must not abort delivery to the REST of
+                            # the co-batched group: set_result on it raises
+                            # InvalidStateError mid-loop
+                            if not r.future.done():
+                                r.future.set_result(c)
                         with self._stats_lock:
                             s = self.stats
                             for r in group:

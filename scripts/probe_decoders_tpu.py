@@ -85,6 +85,13 @@ def main():
           lambda: viecap.beam_search(
               params, np.asarray(embeds[:1], np.float32),
               cfg, tok, beam_width=5, max_len=30))
+    # ...and the vmapped all-images-in-one-program variant the captioner
+    # actually runs (token-exact per image; this row / B vs the row above
+    # is the batching win)
+    timed(f"viecap_beam5_30tok_batched_B{b}",
+          lambda: viecap.beam_search_batched(
+              params, np.asarray(embeds, np.float32),
+              cfg, tok, beam_width=5, max_len=30))
     timed("viecap_contrastive_a0.1_k5_30tok",
           lambda: viecap.contrastive_search(
               params, np.asarray(embeds, np.float32), cfg, tok,

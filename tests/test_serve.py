@@ -77,6 +77,25 @@ def test_cls_and_trace_requests_coexist(tiny_model):
     assert got[1] == direct_tr[0] and got[3] == direct_tr[1]
 
 
+def test_cancelled_future_does_not_poison_cobatched_requests(tiny_model):
+    """Round-3c review regression: set_result on a client-cancelled future
+    raises InvalidStateError, which used to abort delivery mid-loop and
+    set_exception on every later request in the same co-batched group —
+    the neighbors must still get their captions."""
+    imgs = [_img(20 + i) for i in range(3)]
+    direct = tiny_model.forward(np.stack(imgs), get_cls_capt=True)["cls_capt"]
+    with CaptionServer(tiny_model, max_batch=4, max_delay_ms=200,
+                       preprocess=False) as srv:
+        f0 = srv.submit(imgs[0])
+        f1 = srv.submit(imgs[1])
+        f2 = srv.submit(imgs[2])
+        cancelled = f0.cancel()  # pending future in the forming batch
+        assert f1.result(timeout=300) == direct[1]
+        assert f2.result(timeout=300) == direct[2]
+        if not cancelled:  # worker won the race — plain delivery then
+            assert f0.result(timeout=300) == direct[0]
+
+
 def test_batch_composition_independence(tiny_model):
     """The same request produces the same caption at batch 1 (bucket 1)
     and co-batched with others (bucket 4) — padding rows don't leak."""

@@ -304,6 +304,28 @@ def test_beam_search_parity_distinct_dual_eos(small_gpt2):
     assert got == [tok.decode(w) for w in want]
 
 
+def test_beam_search_batched_matches_per_image(small_gpt2):
+    """beam_search_batched (one vmapped program for all images — the TPU
+    replacement for the reference's sequential per-sample loop,
+    entrypoint.py:149-161) must return exactly beam_search(...)[0] for
+    every image."""
+    _, cfg, params = small_gpt2
+    tok = WordTokenizer()
+    rng = np.random.default_rng(9)
+    embeds = rng.standard_normal((4, 4, 32)).astype(np.float32)
+    want = [
+        viecap.beam_search(
+            params, jnp.asarray(embeds[i : i + 1]), cfg, tok,
+            beam_width=3, max_len=8,
+        )[0]
+        for i in range(4)
+    ]
+    got = viecap.beam_search_batched(
+        params, jnp.asarray(embeds), cfg, tok, beam_width=3, max_len=8
+    )
+    assert got == want
+
+
 def oracle_contrastive(hf, embeds, eos, alpha=0.1, top_k=8, max_len=10):
     """Literal reference contrastive loop (search.py:294-405 +
     ranking_and_selecting :640-683), with the KV-cache bookkeeping replaced
