@@ -76,7 +76,7 @@ def _dataset_name(projection_type: str) -> str:
 
 def bank_filename(
     projection_type: str,
-    clip_modelname: str = "ViT-B/32",
+    clip_modelname: Optional[str] = None,
     support_memory_size: int = 500000,
     *,
     use_talk2dino: bool = True,
@@ -84,7 +84,15 @@ def bank_filename(
     talk2dino_attn_type: str = "qkv",
     use_open_clip: bool = False,
 ) -> tuple[str, str]:
-    """Reproduce the reference filename scheme. Returns (filename, dataset)."""
+    """Reproduce the reference filename scheme. Returns (filename, dataset).
+
+    `clip_modelname=None` resolves like the reference
+    (im2txtprojection.py:284-295): 'ViT-B/16' under talk2dino, else
+    'ViT-B/32' — a fixed 'ViT-B/32' default would name talk2dino banks
+    '...-ViT-B.32-...' where the reference's drop-in files say
+    '...-ViT-B.16-...'."""
+    if clip_modelname is None:
+        clip_modelname = "ViT-B/16" if use_talk2dino else "ViT-B/32"
     if use_talk2dino:
         prefix = ""
         postfix = "-B16" if use_talk2dino is True else str(use_talk2dino)
@@ -106,14 +114,26 @@ def bank_filename(
 
 
 def load_bank(
-    path: str, dataset: str, *, dinotxt_slice: bool = False
+    path: str, dataset: Optional[str] = None, *, dinotxt_slice: bool = False
 ) -> Optional[MemoryBank]:
-    """Load `{dataset}-embeddings` / `{dataset}-text` from an HDF5 bank."""
+    """Load `{dataset}-embeddings` / `{dataset}-text` from an HDF5 bank.
+
+    `dataset=None` auto-detects the file's `*-embeddings` key, so a bank
+    built for any corpus (vg_captions, ms_marco_queries_a, ...) loads
+    without the caller hard-coding 'coco_captions'."""
     import h5py
 
     if not os.path.exists(path):
         return None
     with h5py.File(path, "r") as hf:
+        if dataset is None:
+            cands = sorted(
+                k[: -len("-embeddings")] for k in hf.keys()
+                if k.endswith("-embeddings")
+            )
+            if not cands:
+                return None
+            dataset = cands[0]
         ek, tk = f"{dataset}-embeddings", f"{dataset}-text"
         if ek not in hf:
             return None
@@ -123,7 +143,20 @@ def load_bank(
         ]
     if dinotxt_slice:
         emb = emb[:, 1024:]
-    return MemoryBank(np.asarray(emb, np.float32), texts)
+    emb = np.asarray(emb, np.float32)
+    # The reference filters zero-norm rows AT LOAD TIME
+    # (im2txtprojection.py:345: embs_dataset[norm != 0]) — its own bank
+    # builder pre-allocates SUPPORT_MEMORY_SIZE rows and fills only
+    # len(corpus), so a reference-built file can carry an all-zero tail
+    # that would 0/0-NaN the projection softmax. Texts are filtered in
+    # lockstep (the reference's text list silently desyncs here — its
+    # argmax-text mode indexes the UNfiltered list; we keep alignment,
+    # the documented deviation in COMPONENTS.md).
+    keep = np.linalg.norm(emb, axis=-1) != 0
+    if not keep.all():
+        emb = emb[keep]
+        texts = [t for t, k in zip(texts, keep) if k]
+    return MemoryBank(emb, texts)
 
 
 def save_bank(path: str, dataset: str, bank: MemoryBank) -> None:

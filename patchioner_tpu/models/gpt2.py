@@ -59,8 +59,20 @@ GPT2_BASE_CONFIG = GPT2Config()
 
 
 def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
+    """HF GPT2LMHeadModel init distribution — DeCap trains its decoder FROM
+    SCRATCH (decap.py: GPT2LMHeadModel(config)), so the init is part of the
+    training semantics: every weight ~N(0, initializer_range=0.02)
+    (embeddings included), EXCEPT the residual-output projections
+    (attn/mlp c_proj), which HF rescales to 0.02/sqrt(2*n_layer) per the
+    GPT-2 paper's residual-accumulation scheme (_init_weights).
+
+    Documented deviation: the reference's HF decoder also applies dropout
+    0.1 (decoder_config.pkl attn/embd/resid_pdrop, active in training since
+    decoderTraining.py never .eval()s the decoder); this functional rebuild
+    trains deterministically with no dropout."""
     keys = iter(jax.random.split(key, 2 + 4 * cfg.n_layer))
     d = cfg.n_embd
+    resid_std = 0.02 / (2 * cfg.n_layer) ** 0.5
 
     def dense(k, fi, fo, std=0.02):
         return {
@@ -73,7 +85,7 @@ def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
 
     params = {
         "wte": jax.random.normal(next(keys), (cfg.vocab_size, d), jnp.float32) * 0.02,
-        "wpe": jax.random.normal(next(keys), (cfg.n_positions, d), jnp.float32) * 0.01,
+        "wpe": jax.random.normal(next(keys), (cfg.n_positions, d), jnp.float32) * 0.02,
         "ln_f": ln(),
         "blocks": [],
     }
@@ -83,12 +95,12 @@ def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
                 "ln_1": ln(),
                 "attn": {
                     "c_attn": dense(next(keys), d, 3 * d),
-                    "c_proj": dense(next(keys), d, d),
+                    "c_proj": dense(next(keys), d, d, std=resid_std),
                 },
                 "ln_2": ln(),
                 "mlp": {
                     "c_fc": dense(next(keys), d, 4 * d),
-                    "c_proj": dense(next(keys), 4 * d, d),
+                    "c_proj": dense(next(keys), 4 * d, d, std=resid_std),
                 },
             }
         )

@@ -59,9 +59,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--bs", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-5)
-    p.add_argument("--warmup", type=int, default=5000)
+    p.add_argument("--warmup", type=int, default=1000,
+                   help="reference train_decoder default "
+                        "(decoderTraining.py:63)")
+    p.add_argument("--weight_decay", type=float, default=0.01,
+                   help="torch AdamW default, what the reference runs "
+                        "(decoderTraining.py:255)")
     p.add_argument("--prefix_size", type=int, default=768)
-    p.add_argument("--max_seq_len", type=int, default=77)
+    p.add_argument("--max_seq_len", type=int, default=20,
+                   help="reference max_seq_len (dataset.py:45); captions "
+                        "are RAW-sliced like pad_tokens, no EOT re-insert")
     p.add_argument("--gaussian_noise", type=float, default=0.0,
                    help="CapDec noise variance")
     p.add_argument("--im_proj", action="store_true",
@@ -88,7 +95,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pack_len", type=int, default=0,
                    help="pack captions into rows of this many positions with "
                         "segment-local attention (0 = off). COCO captions "
-                        "average ~11 tokens vs the 40-token pad, so packing "
+                        "average ~11 tokens vs the reference 20-token pad, so packing "
                         "~3x's the captions trained per step; --bs counts "
                         "packed ROWS in this mode (train/packing.py)")
     # decoder architecture (defaults = the DeCap decoder_config.pkl values)
@@ -202,6 +209,7 @@ def main(argv=None):
     tcfg = decoder_train.TrainConfig(
         lr=args.lr,
         warmup_steps=args.warmup,
+        weight_decay=args.weight_decay,
         total_steps=args.epochs * max(steps_per_epoch, 1),
         gaussian_noise=args.gaussian_noise,
         loss_chunk=args.loss_chunk,
@@ -219,10 +227,13 @@ def main(argv=None):
         # dinotxt banks store the full 2048-d embedding; training projects
         # through the patch-aligned [:, 1024:] half, applied at LOAD like
         # the reference (im2txtprojection.py:405-406)
+        # dataset key auto-detected from the file (banks built for VG /
+        # MSMarco / CC3M corpora load too, not just coco_captions)
         loaded = mb.load_bank(
-            args.bank, "coco_captions",
-            dinotxt_slice=args.text_encoder == "dinotxt",
+            args.bank, dinotxt_slice=args.text_encoder == "dinotxt",
         )
+        if loaded is None:
+            raise SystemExit(f"--bank {args.bank}: no *-embeddings dataset")
         bank_rows = jnp.asarray(loaded.embeddings)
 
     from patchioner_tpu.parallel import sharding
@@ -261,6 +272,42 @@ def main(argv=None):
         # seg_feature_idx gathers its captions from it on device.
         features_dev = jax.device_put(
             features, NamedSharding(mesh, PartitionSpec())
+        )
+
+    # Unpacked loop staging (same adaptive scheme as train/prefix_cli):
+    # when the whole corpus fits comfortably in HBM, stage features+tokens
+    # on device ONCE and gather each batch by index INSIDE the jitted step —
+    # per-step host slices stream ~3-13 MB over the link (0.2-1.3 s/step on
+    # the dev tunnel at bs=4096; CLAUDE.md: never stream big per-batch
+    # tensors in a timed phase). Falls back to host slices for
+    # bigger-than-HBM corpora.
+    stage_on_device = (not args.pack_len) and (
+        features.nbytes + ds.tokens.nbytes <= 1_000_000_000
+    )
+    if stage_on_device:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        feats_all = jax.device_put(jnp.asarray(features), repl)
+        toks_all = jax.device_put(jnp.asarray(np.asarray(ds.tokens)), repl)
+        base_step = step_fn
+        ga = args.grad_accum
+
+        def _staged(params, opt_state, f_all, t_all, fidx, tidx, k, *extra):
+            bf, bt = f_all[fidx], t_all[tidx]
+            if ga > 1:
+                bf = bf.reshape((ga, bf.shape[0] // ga) + bf.shape[1:])
+                bt = bt.reshape((ga, bt.shape[0] // ga) + bt.shape[1:])
+            return base_step(params, opt_state, bf, bt, k, *extra)
+
+        # everything enters replicated (the inner step re-shards its batch
+        # over dp internally); explicit shardings also place params on the
+        # mesh — without them the first call mixes single-device params
+        # with mesh-resident corpus arrays and jit rejects the computation
+        n_in = 7 + (1 if bank_rows is not None else 0)
+        staged_step = jax.jit(
+            _staged, in_shardings=(repl,) * n_in,
+            out_shardings=(repl, repl, repl), donate_argnums=(0, 1),
         )
 
     with mesh:
@@ -328,17 +375,22 @@ def main(argv=None):
                 n, args.bs, seed=args.seed + epoch
             ):
                 feat_idx = mix[idx] if mix is not None else idx
-                batch_feats = jnp.asarray(
-                    _microbatch(features[feat_idx], args.grad_accum)
-                )
-                batch_toks = jnp.asarray(
-                    _microbatch(ds.tokens[idx], args.grad_accum)
-                )
                 key, k = jax.random.split(key)
                 extra = (bank_rows,) if bank_rows is not None else ()
-                params, opt_state, metrics = step_fn(
-                    params, opt_state, batch_feats, batch_toks, k, *extra
-                )
+                if stage_on_device:
+                    params, opt_state, metrics = staged_step(
+                        params, opt_state, feats_all, toks_all,
+                        jnp.asarray(feat_idx), jnp.asarray(idx), k, *extra
+                    )
+                else:
+                    params, opt_state, metrics = step_fn(
+                        params, opt_state,
+                        jnp.asarray(_microbatch(features[feat_idx],
+                                                args.grad_accum)),
+                        jnp.asarray(_microbatch(ds.tokens[idx],
+                                                args.grad_accum)),
+                        k, *extra,
+                    )
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
                 step += 1

@@ -37,9 +37,14 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     lr: float = 1e-5  # reference CLI default (decoderTraining.py:418)
-    warmup_steps: int = 5000
+    # reference train_decoder default (decoderTraining.py:63; main() never
+    # overrides it)
+    warmup_steps: int = 1000
     total_steps: int = 100_000
-    weight_decay: float = 0.0
+    # the reference optimizer is torch AdamW(model.parameters(), lr)
+    # (decoderTraining.py:255) — torch's DEFAULT decoupled weight decay is
+    # 0.01, not 0
+    weight_decay: float = 0.01
     label_smoothing: float = 0.1  # :229
     gaussian_noise: float = 0.0  # CapDec variant (:314-316)
     grad_clip: Optional[float] = None

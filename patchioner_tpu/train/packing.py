@@ -1,8 +1,8 @@
 """Sequence packing for decoder training — a TPU-idiomatic upside feature.
 
-The reference pads every caption to a fixed max_seq_len (40,
-src/decap/decoderTraining.py via src/dataset.py); COCO captions average ~11
-tokens, so ~70% of every training batch is pad compute. Packing lays several
+The reference pads every caption to a fixed max_seq_len (20,
+src/dataset.py:45); COCO captions average ~11 tokens, so a large share of
+every training batch is pad compute. Packing lays several
 captions back to back in fixed-length rows with segment-local causal
 attention (`models/gpt2.gpt2_hidden_packed`), so a caption of l real tokens
 costs exactly l sequence positions:
@@ -57,8 +57,10 @@ def pack_captions(
     """Greedily pack captions (N, T) into rows of length `row_len`.
 
     tokens: 0-padded caption token ids — caption i is tokens[i][:l_i] where
-      l_i = count of nonzero entries (the CaptionDataset layout; 0 is both
-      pad and the CE ignore_index).
+      l_i = tokens up to and including the first EOT (falling back to the
+      full row for EOT-less truncated captions) — computed via
+      data.caption_lengths, NOT a nonzero count: a genuine interior token
+      id 0 (CLIP BPE '!') must not truncate the packed span.
     feature_indices: per-caption index into the features array the prefix
       embedding comes from (defaults to arange(N); the Mix dataset passes its
       shuffled same-image mapping here).
@@ -70,11 +72,13 @@ def pack_captions(
       maximum.
 
     Captions longer than row_len raise (choose row_len >= the dataset's max
-    caption length; the reference geometry is 40).
+    caption length; the reference pads to 20).
     """
+    from patchioner_tpu.train.data import caption_lengths
+
     tokens = np.asarray(tokens)
     n, t = tokens.shape
-    lengths = (tokens != 0).sum(axis=1).astype(np.int64)
+    lengths = caption_lengths(tokens)
     if feature_indices is None:
         feature_indices = np.arange(n, dtype=np.int64)
     if order is None:

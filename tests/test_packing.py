@@ -18,9 +18,16 @@ from patchioner_tpu.train import decoder_train, packing
 
 
 def _caption_batch(rng, n=8, t=10, vocab=101):
+    """Realistic CaptionDataset row layout: ids then EOT then 0-padding
+    (a full-length row keeps EOT as its last token; lengths are derived
+    from the EOT position like data.caption_lengths does — a genuine
+    interior token id 0 must not truncate the span)."""
+    from patchioner_tpu.text import clip_bpe
+
     toks = rng.integers(1, vocab, (n, t)).astype(np.int32)
     lengths = rng.integers(3, t + 1, n)
     for i, l in enumerate(lengths):
+        toks[i, l - 1] = clip_bpe.EOT_TOKEN
         toks[i, l:] = 0
     return toks
 
@@ -73,7 +80,8 @@ def test_pack_respects_order_and_segment_cap():
     np.testing.assert_array_equal(nonpad, order)
 
 
-def _tiny_setup(vocab=101, prefix=16):
+def _tiny_setup(vocab=49408, prefix=16):
+    # full CLIP vocab so the realistic EOT-terminated rows index wte in range
     cfg = gpt2.GPT2Config(vocab_size=vocab, n_positions=32, n_embd=32,
                           n_layer=2, n_head=2)
     params = decap.init_decap(jax.random.PRNGKey(0), cfg, prefix)

@@ -29,10 +29,15 @@ def test_caption_dataset_and_mix(tmp_path):
     assert ds.tokens.shape == (24, 16)
     assert ds.tokens[0, 0] == 49406  # SOT
     mix = ds.mix_indices(random.Random(0))
-    # every mixed index shares the image but differs from the original
+    # every mixed index shares the image; the draw is uniform over the
+    # image's captions INCLUDING the caption itself
+    # (datasetMix.py:49 random.choice(range(num_captions)), no
+    # self-exclusion) — with 24 captions at ~1/3 self-probability, both
+    # self and non-self pairings must appear
     for i, j in enumerate(mix):
         assert ds.image_ids[i] == ds.image_ids[j]
-        assert i != j  # all images have 3 captions here
+    pairs = [i == j for i, j in enumerate(mix)]
+    assert any(pairs) and not all(pairs)
 
 
 def test_batch_iterator_sharding():
