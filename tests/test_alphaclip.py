@@ -158,3 +158,40 @@ def test_alphaclip_whole_image(alphaclip_model):
         np.float32)
     outs = alphaclip_model.forward(imgs, get_cls_capt=True)
     assert len(outs["cls_capt"]) == 2
+
+
+def test_alphaclip_trace_scores_and_pixel_masks(alphaclip_model):
+    """Round-3c parity additions: the trace branch emits trace_scores
+    under compute_scores (reference src/model.py:1270-1282), and trace
+    alpha masks rasterize at PIXEL resolution (grid_size=crop_dim,
+    patch_size=1 — single-pixel dots, :1084-1086), so two traces landing
+    in the SAME patch but different pixels produce different captions'
+    features (the old patch-block masks couldn't tell them apart)."""
+    m = alphaclip_model
+    imgs = np.random.default_rng(2).standard_normal((1, 32, 32, 3)).astype(
+        np.float32)
+    tr_a = [[(0.10, 0.10), (0.20, 0.20)]]   # pixels (3,3)-(6,6), patch (0,0)
+    tr_b = [[(0.05, 0.05), (0.28, 0.28)]]   # same patches, other pixels
+    outs = m.forward(imgs, get_cls_capt=False, traces=tr_a,
+                     compute_scores=True)
+    assert len(outs["trace_capts"]) == 1
+    assert len(outs["trace_scores"]) == 1 and np.isfinite(
+        outs["trace_scores"][0])
+
+    from patchioner_tpu.models.patchioner import _traces_to_arrays
+    from patchioner_tpu.models import clip as clip_mod
+    from patchioner_tpu.ops import region_pooling as rp
+    import jax.numpy as jnp
+
+    def feats_for(tr):
+        pts, valid = _traces_to_arrays(tr)
+        mask = (rp.traces_to_grid(jnp.asarray(pts), jnp.asarray(valid), 32)
+                > 0).astype(jnp.float32)
+        return np.asarray(clip_mod.clip_visual_forward(
+            m.vit_params, jnp.asarray(imgs), m.vit_cfg,
+            alpha=mask[..., None])["x_norm_clstoken"])
+
+    fa, fb = feats_for(tr_a), feats_for(tr_b)
+    assert np.abs(fa - fb).max() > 1e-6, (
+        "pixel-resolution masks must distinguish same-patch traces"
+    )
