@@ -297,6 +297,59 @@ def test_build_save_load_bank_roundtrip(tmp_path):
     assert loaded.texts[idx] == texts[2]
 
 
+def test_load_bank_autodetect_and_zero_filter(tmp_path):
+    """Round-3 load semantics: `dataset=None` auto-detects the file's
+    `*-embeddings` key, and zero-norm rows are dropped at load with texts
+    kept in lockstep (im2txtprojection.py:345 filters `norm != 0` — its
+    builder preallocates SUPPORT_MEMORY_SIZE rows, so reference-built files
+    carry an all-zero tail that would 0/0-NaN the projection softmax)."""
+    pytest.importorskip("h5py")
+    from patchioner_tpu.io import memory_bank as mb
+
+    emb = np.zeros((5, 8), np.float32)
+    emb[0] = 1.0
+    emb[2] = 2.0
+    emb[3] = -1.0  # rows 1 and 4 are the zero tail
+    texts = [f"cap {i}" for i in range(5)]
+    path = str(tmp_path / "bank.h5")
+    mb.save_bank(path, "vg_captions", mb.MemoryBank(emb, texts))
+
+    loaded = mb.load_bank(path)  # no dataset key passed
+    assert loaded is not None
+    np.testing.assert_array_equal(loaded.embeddings, emb[[0, 2, 3]])
+    assert loaded.texts == ["cap 0", "cap 2", "cap 3"]
+
+    # explicit key still works and a wrong key declines
+    assert mb.load_bank(path, "vg_captions") is not None
+    assert mb.load_bank(path, "coco_captions") is None
+
+
+def test_bank_filename_default_modelname_tracks_talk2dino():
+    """clip_modelname=None resolves ViT-B/16 under talk2dino, ViT-B/32
+    otherwise (im2txtprojection.py:284-295)."""
+    from patchioner_tpu.io import memory_bank as mb
+
+    fn_t2d, _ = mb.bank_filename("coco_captions", use_talk2dino=True)
+    fn_clip, _ = mb.bank_filename("coco_captions", use_talk2dino=False)
+    assert "ViT-B.16" in fn_t2d or "B16" in fn_t2d
+    assert "ViT-B.32" in fn_clip
+
+
+def test_caption_lengths_eot_semantics():
+    """First-EOT-based lengths: interior token id 0 (CLIP BPE '!' without
+    </w>) must not truncate; EOT-less rows (truncated captions) count the
+    full row; all-pad rows count 0."""
+    from patchioner_tpu.text.clip_bpe import EOT_TOKEN
+    from patchioner_tpu.train.data import caption_lengths
+
+    rows = np.zeros((4, 6), np.int64)
+    rows[0, :4] = [49406, 11, EOT_TOKEN, 0][:4]          # normal: len 3
+    rows[1, :5] = [49406, 0, 12, EOT_TOKEN, 0][:5]       # interior 0: len 4
+    rows[2] = [49406, 7, 8, 9, 10, 11]                   # truncated: len 6
+    # rows[3] stays all-pad: len 0
+    np.testing.assert_array_equal(caption_lengths(rows), [3, 4, 6, 0])
+
+
 def test_chain_bench_times_op():
     import jax.numpy as jnp
 
