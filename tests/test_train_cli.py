@@ -40,6 +40,21 @@ def test_caption_dataset_and_mix(tmp_path):
     assert any(pairs) and not all(pairs)
 
 
+def test_caption_dataset_raw_slice_truncation():
+    """pad_tokens semantics (src/dataset.py:18-24): a too-long caption is
+    tokenized at the native 77 and RAW-sliced to max_seq_len — its last
+    kept token is whatever the BPE produced there, NO EOT re-insert."""
+    from patchioner_tpu.text import clip_bpe
+
+    long_cap = " ".join(["zebra"] * 30)  # >> 6 tokens
+    ds = data.CaptionDataset([long_cap], max_len=6)
+    tok = clip_bpe.get_tokenizer()
+    oracle = np.asarray(tok.tokenize([long_cap], 77))[:, :6]
+    np.testing.assert_array_equal(ds.tokens, oracle)
+    assert ds.tokens[0, -1] != clip_bpe.EOT_TOKEN
+    assert (ds.tokens[0] != 0).all()  # no pad inside a truncated caption
+
+
 def test_batch_iterator_sharding():
     batches = list(data.batch_iterator(100, 10, num_shards=2, shard_index=0))
     batches2 = list(data.batch_iterator(100, 10, num_shards=2, shard_index=1))
