@@ -61,6 +61,19 @@ def test_batch_iterator_sharding():
     flat = np.concatenate(batches + batches2)
     assert len(set(flat.tolist())) == 100  # disjoint cover
 
+    # n not divisible by num_shards: shards pad by wrapping to EQUAL batch
+    # counts (DistributedSampler semantics) — unequal counts would hang a
+    # multi-host SPMD loop on a collective one host never joins
+    for n, shards, bs in [(101, 2, 10), (7, 3, 2), (100, 3, 7)]:
+        per_shard = [
+            list(data.batch_iterator(n, bs, num_shards=shards, shard_index=s))
+            for s in range(shards)
+        ]
+        counts = {len(b) for b in per_shard}
+        assert len(counts) == 1, (n, shards, bs, counts)
+        covered = set(np.concatenate([np.concatenate(b) for b in per_shard if b]).tolist()) if any(per_shard) else set()
+        assert covered <= set(range(n))
+
 
 def test_cli_trains_and_resumes(tmp_path):
     p, fp = make_corpus(tmp_path)
