@@ -86,7 +86,9 @@ def evaluate(
     def _load_one(info):
         img = open_rgb(info)
         return (
-            transforms.preprocess_pil(
+            # uint8 to the device (4x less link traffic); normalized on
+            # device (Patchioner.encode_images)
+            transforms.preprocess_pil_uint8(
                 img, model.resize_dim, model.crop_dim, crop=keep_img_ratio
             ),
             img.size,

@@ -53,7 +53,9 @@ def evaluate(
 
         def _load_one(info):
             path = harness.resolve_image_path(image_roots, info["file_name"])
-            return transforms.preprocess_pil(
+            # uint8 to the device (4x less link traffic); the model
+            # normalizes on device (Patchioner.encode_images)
+            return transforms.preprocess_pil_uint8(
                 Image.open(path), model.resize_dim, model.crop_dim
             )
 

@@ -79,7 +79,9 @@ def evaluate(
         def _load_one(p):
             img = Image.open(p).convert("RGB")
             return (
-                transforms.preprocess_pil(
+                # uint8 to the device (4x less link traffic); normalized
+                # on device (Patchioner.encode_images)
+                transforms.preprocess_pil_uint8(
                     img, model.resize_dim, model.crop_dim,
                     crop=keep_img_ratio,
                 ),
