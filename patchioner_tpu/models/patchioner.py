@@ -2366,7 +2366,9 @@ class Patchioner:
             for x1, y1, w, h in img_boxes.tolist():
                 region = img.crop((x1, y1, x1 + w, y1 + h))
                 crops.append(
-                    T.preprocess_pil(
+                    # uint8: forward() normalizes on device (4x less
+                    # host->device traffic than f32 crops)
+                    T.preprocess_pil_uint8(
                         region, self.resize_dim, self.crop_dim, crop=crop_boxes
                     )
                 )

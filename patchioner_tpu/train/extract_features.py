@@ -141,7 +141,9 @@ def extract_image_features(args):
     out, names = [], []
     for i in range(0, len(paths), args.bs):
         batch = np.stack([
-            transforms.preprocess_pil(
+            # uint8: encode_images normalizes on device (4x less
+            # host->device traffic than f32 pixels)
+            transforms.preprocess_pil_uint8(
                 Image.open(p), model.resize_dim, model.crop_dim
             )
             for p in paths[i : i + args.bs]
