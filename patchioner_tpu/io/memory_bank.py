@@ -129,13 +129,13 @@ def load_bank(
         if dataset is None:
             cands = sorted(
                 k[: -len("-embeddings")] for k in hf.keys()
-                if k.endswith("-embeddings")
+                if k.endswith("-embeddings") and f"{k[: -len('-embeddings')]}-text" in hf
             )
             if not cands:
                 return None
             dataset = cands[0]
         ek, tk = f"{dataset}-embeddings", f"{dataset}-text"
-        if ek not in hf:
+        if ek not in hf or tk not in hf:
             return None
         emb = hf[ek][:]
         texts = [

@@ -871,13 +871,10 @@ class Patchioner:
                 )
 
             if loaded is not None:
+                # zero-norm rows already filtered (with texts in lockstep)
+                # by io.memory_bank.load_bank, which owns that invariant
                 emb = loaded.embeddings
-                # Reference filters zero-norm rows at load (:346); we filter
-                # texts too so argmax indices stay aligned.
-                norms = np.linalg.norm(emb, axis=-1)
-                keep = norms != 0
-                emb = emb[keep]
-                bank_texts = [t for t, k in zip(loaded.texts, keep) if k]
+                bank_texts = loaded.texts
                 if (dino_model is not None) and ("dinov2" not in dino_model):
                     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
                 bank = _make_bank(emb)
@@ -2229,6 +2226,13 @@ class Patchioner:
         from patchioner_tpu.models import clip as clip_mod
 
         pixels = _as_nhwc(imgs)
+        if pixels.dtype == jnp.uint8:
+            # Same uint8 device-side normalization contract as
+            # encode_images — the eval loaders ship un-normalized uint8
+            # (transforms.preprocess_pil_uint8) for 4x less link traffic,
+            # and this path bypasses encode_images entirely.
+            pixels = _normalize_uint8(pixels, self._image_mean,
+                                      self._image_std)
         bs = pixels.shape[0]
         hw = pixels.shape[1]
         grid = self.vit_cfg.grid_size

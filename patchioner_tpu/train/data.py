@@ -130,7 +130,9 @@ def batch_iterator(
         # batches and a multi-host SPMD loop hangs on a collective one
         # host never joins
         total = -(-len(order) // num_shards) * num_shards
-        order = np.concatenate([order, order[: total - len(order)]])
+        # np.resize repeats cyclically, so this also covers n < num_shards
+        # (a single slice could only supply len(order) extra elements)
+        order = np.resize(order, total)
         order = order[shard_index::num_shards]
     end = (len(order) // batch_size) * batch_size if drop_remainder else len(order)
     for i in range(0, end, batch_size):

@@ -153,6 +153,25 @@ def test_alphaclip_region_forward(alphaclip_model):
     assert len(outs3["trace_capts"]) == 2
 
 
+def test_alphaclip_region_uint8_matches_float(alphaclip_model):
+    """The AlphaCLIP region path bypasses encode_images, so it must apply
+    the same device-side uint8 normalization contract — the eval loaders
+    ship un-normalized uint8 (transforms.preprocess_pil_uint8) into
+    forward(bboxes=...)."""
+    from patchioner_tpu.utils import transforms as T
+
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0 - T.IMAGENET_MEAN)
+           / T.IMAGENET_STD).astype(np.float32)
+    boxes = np.asarray(
+        [[[0, 0, 16, 16], [-1, -1, -1, -1]],
+         [[8, 8, 16, 16], [0, 0, 32, 32]]], np.float32)
+    a = alphaclip_model.forward(f32, get_cls_capt=False, bboxes=boxes)
+    b = alphaclip_model.forward(u8, get_cls_capt=False, bboxes=boxes)
+    assert a["bbox_capts"] == b["bbox_capts"]
+
+
 def test_alphaclip_whole_image(alphaclip_model):
     imgs = np.random.default_rng(1).standard_normal((2, 32, 32, 3)).astype(
         np.float32)

@@ -324,6 +324,27 @@ def test_load_bank_autodetect_and_zero_filter(tmp_path):
     assert mb.load_bank(path, "coco_captions") is None
 
 
+def test_load_bank_autodetect_skips_textless_dataset(tmp_path):
+    """A `*-embeddings` key with no matching `*-text` dataset must not be
+    auto-detected (and an explicit request for it declines with None
+    instead of raising) — malformed banks follow the graceful-decline
+    contract everywhere."""
+    pytest.importorskip("h5py")
+    import h5py
+    from patchioner_tpu.io import memory_bank as mb
+
+    emb = np.ones((3, 8), np.float32)
+    path = str(tmp_path / "bank.h5")
+    mb.save_bank(path, "coco_captions", mb.MemoryBank(emb, ["a", "b", "c"]))
+    with h5py.File(path, "a") as hf:
+        # 'aux' sorts before 'coco_captions' but has no aux-text
+        hf.create_dataset("aux-embeddings", data=emb)
+
+    loaded = mb.load_bank(path)
+    assert loaded is not None and loaded.texts == ["a", "b", "c"]
+    assert mb.load_bank(path, "aux") is None
+
+
 def test_bank_filename_default_modelname_tracks_talk2dino():
     """clip_modelname=None resolves ViT-B/16 under talk2dino, ViT-B/32
     otherwise (im2txtprojection.py:284-295)."""

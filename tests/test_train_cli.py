@@ -64,7 +64,10 @@ def test_batch_iterator_sharding():
     # n not divisible by num_shards: shards pad by wrapping to EQUAL batch
     # counts (DistributedSampler semantics) — unequal counts would hang a
     # multi-host SPMD loop on a collective one host never joins
-    for n, shards, bs in [(101, 2, 10), (7, 3, 2), (100, 3, 7)]:
+    # incl. n < num_shards (a single wrap slice can only supply n extras;
+    # the pad must repeat cyclically like DistributedSampler)
+    for n, shards, bs in [(101, 2, 10), (7, 3, 2), (100, 3, 7),
+                          (1, 3, 1), (2, 5, 1), (3, 8, 1)]:
         per_shard = [
             list(data.batch_iterator(n, bs, num_shards=shards, shard_index=s))
             for s in range(shards)
