@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -31,26 +32,24 @@ def _build(batch: int, bank_size: int):
     import __graft_entry__ as ge
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
-        os.environ.get("PATCHIONER_BENCH_DTYPE", "bf16" if on_tpu else "f32")
-    ]
+    dt_name = os.environ.get(
+        "PATCHIONER_BENCH_DTYPE", "bf16" if on_tpu else "f32"
+    )
+    try:
+        dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dt_name]
+    except KeyError:
+        raise SystemExit(
+            f"PATCHIONER_BENCH_DTYPE={dt_name!r}: accepted values are "
+            f"'f32' or 'bf16'"
+        ) from None
     vit_cfg, vit_params, gcfg, decoder, bank = ge._flagship(bank_size, dtype=dtype)
     step = jax.jit(ge.make_caption_step(vit_cfg, gcfg, on_tpu, bank.num_real))
-    state = {
-        "vit": vit_params,
-        "decoder": decoder,
-        "bank_rows": bank.rows,
-        "bank_inv": bank.inv_norm,
-    }
+    state = ge.make_state(vit_params, decoder, bank)
 
     def fn(pixels, pts, valid):
         return step(state, pixels, pts, valid)
 
-    rng = np.random.default_rng(0)
-    pixels = jnp.asarray(rng.standard_normal((batch, 518, 518, 3)), jnp.float32)
-    pts = jnp.asarray(rng.uniform(0, 1, (batch, 64, 2)), jnp.float32)
-    valid = jnp.ones((batch, 64), jnp.float32)
-    args = (pixels, pts, valid)
+    args = ge.example_inputs(batch)
     return fn, args, (vit_cfg, vit_params, gcfg, decoder, bank), state, step
 
 
@@ -82,7 +81,7 @@ def _naive_reference_port(model, batch: int):
     # past ~14 GB that compile can only OOM (measured: giant at B=128
     # needs 11.1 GB for the logits alone and XLA dies at 16.2/15.75 GB).
     # Fail fast with the reason instead of a multi-minute compile spiral.
-    n_tok = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
+    n_tok = vit_cfg.num_tokens
     # bytes-per-logit follows the compute dtype (f32 runs materialize
     # 4-byte logits; the measured 11.1 GB giant calibration is bf16, where
     # XLA fuses the f32-softmax upcast instead of materializing it)
@@ -172,7 +171,7 @@ def _analytic_caption_flops(model, batch: int) -> float:
     from patchioner_tpu.models import decap as decap_mod
 
     vit_cfg, _, gcfg, _, bank = model
-    n = vit_cfg.num_global_tokens + vit_cfg.grid_size**2
+    n = vit_cfg.num_tokens
     d = vit_cfg.embed_dim
     h = vit_cfg.ffn_hidden
     if vit_cfg.ffn == "swiglu":
@@ -254,6 +253,8 @@ def _apply_platform_override():
 
 
 def _wait_for_backend():
+    if os.environ.get("PATCHIONER_PLATFORM") == "cpu":
+        return  # local CPU backend cannot flake; skip the probe subprocess
     """Ride out a flaky TPU tunnel instead of crashing the round's bench.
 
     The axon backend intermittently fails to initialize for minutes at a
@@ -265,7 +266,6 @@ def _wait_for_backend():
     let the real init proceed in this process.
     """
     import subprocess
-    import sys
 
     budget = float(os.environ.get("PATCHIONER_BENCH_RETRY_S", "900"))
     if budget <= 0:  # disabled: fail inside the real init with its error
@@ -281,7 +281,11 @@ def _wait_for_backend():
     while time.time() < deadline:
         attempt += 1
         # cap each probe so one hung attempt cannot overrun the budget
-        probe_timeout = min(300.0, max(30.0, deadline - time.time()))
+        # (no 30 s floor: small PATCHIONER_BENCH_RETRY_S budgets must not be
+        # overrun by up to 3x; a probe needs ~10 s to import jax + init)
+        probe_timeout = min(300.0, deadline - time.time())
+        if probe_timeout < 10.0:
+            break
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
@@ -352,8 +356,11 @@ def main():
         peak = float(os.environ.get("PATCHIONER_PEAK_TFLOPS", 197.0)) * 1e12
         if flops:
             mfu = round(flops / dt / peak, 4)
-    except Exception:
-        pass
+    except Exception as e:
+        # mfu stays null in the JSON, but never silently: a regression in
+        # the FLOP formula or a malformed PATCHIONER_PEAK_TFLOPS should be
+        # distinguishable from 'cost analysis unavailable'
+        print(f"MFU computation failed: {e!r}", file=sys.stderr)
 
     vs_baseline = None
     baseline_note = None
@@ -376,8 +383,6 @@ def main():
         except Exception as e:
             # a flaky transport must not cost the round's headline number —
             # report the measured throughput with vs_baseline unset
-            import sys
-
             baseline_note = str(e)[:300]
             print(f"baseline measurement failed: {e!r}", file=sys.stderr)
 
