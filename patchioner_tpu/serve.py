@@ -222,7 +222,7 @@ class CaptionServer:
             raise RuntimeError("CaptionServer is closed")
         if trace is not None and bboxes is not None:
             raise ValueError("a request is trace OR bboxes, not both")
-        if region_set and not bboxes:
+        if region_set and (bboxes is None or len(bboxes) == 0):
             # [] must not silently caption an all-zero merged weight map
             raise ValueError("region_set=True requires a non-empty bboxes")
         if trace is not None and len(trace) == 0:
@@ -237,14 +237,37 @@ class CaptionServer:
             raise ServerOverloaded(
                 f"request queue at max_queue={self.max_queue}; retry later"
             )
-        req = _Request(self._prep(image), self._norm_trace(trace),
+        px = self._prep(image)
+        hw = self.model.crop_dim
+        if px.ndim != 3 or px.shape[0] != hw or px.shape[1] != hw \
+                or px.shape[2] != 3:
+            # reject at admission: a malformed pixel array would make
+            # np.stack (or the model call) raise for the WHOLE co-batched
+            # group, failing every innocent neighbor's future
+            raise ValueError(
+                f"pixels must be ({hw}, {hw}, 3); got {tuple(px.shape)} "
+                f"(preprocess={self.preprocess} does not resize ndarray "
+                f"inputs)"
+            )
+        req = _Request(px, self._norm_trace(trace),
                        self._norm_bboxes(bboxes), region_set=region_set)
-        with self._stats_lock:
-            self.stats.requests += 1
         with self._lifecycle_lock:
             if self._closed:
                 raise RuntimeError("CaptionServer is closed")
+            # definitive admission check under the lock: the early qsize
+            # read above is unlocked, so concurrent submitters could all
+            # pass it and overshoot max_queue by the submitter concurrency
+            if (self.max_queue is not None
+                    and self._q.qsize() >= self.max_queue):
+                with self._stats_lock:
+                    self.stats.rejected += 1
+                raise ServerOverloaded(
+                    f"request queue at max_queue={self.max_queue}; "
+                    f"retry later"
+                )
             self._q.put(req)
+        with self._stats_lock:
+            self.stats.requests += 1
         return req.future
 
     def caption(self, images: Sequence, traces: Optional[Sequence] = None,
@@ -286,6 +309,13 @@ class CaptionServer:
         dummy_trace = self._norm_trace([(0.5, 0.5)])
         dummy_boxes = self._norm_bboxes([(0.1, 0.1, 0.9, 0.9)])
         for b in (buckets if buckets is not None else self.buckets):
+            if b > self.max_batch:
+                # _bucket() clamps pts/valid to max_batch rows, so a bigger
+                # dummy group would crash the fused call with a shape
+                # mismatch (and no live batch could ever use the program)
+                raise ValueError(
+                    f"warmup bucket {b} exceeds max_batch={self.max_batch}"
+                )
             # run the group path directly — a queue round-trip could split
             # the dummies into a different (already-compiled) bucket
             if trace:
@@ -464,6 +494,15 @@ class CaptionServer:
                     t_start = time.perf_counter()
                     try:
                         caps = self._run_group(group, mode)
+                        if len(caps) != len(group):
+                            # zip below would silently truncate, leaving
+                            # tail futures unresolved forever; raise into
+                            # the except-block so every future gets the
+                            # error instead
+                            raise RuntimeError(
+                                f"model returned {len(caps)} captions for "
+                                f"a group of {len(group)}"
+                            )
                         t_done = time.perf_counter()
                         for r, c in zip(group, caps):
                             # a client-cancelled (or already-resolved)
