@@ -253,8 +253,6 @@ def _apply_platform_override():
 
 
 def _wait_for_backend():
-    if os.environ.get("PATCHIONER_PLATFORM") == "cpu":
-        return  # local CPU backend cannot flake; skip the probe subprocess
     """Ride out a flaky TPU tunnel instead of crashing the round's bench.
 
     The axon backend intermittently fails to initialize for minutes at a
@@ -265,6 +263,8 @@ def _wait_for_backend():
     (PATCHIONER_BENCH_RETRY_S, default 900 s; 0 disables) runs out, then
     let the real init proceed in this process.
     """
+    if os.environ.get("PATCHIONER_PLATFORM") == "cpu":
+        return  # local CPU backend cannot flake; skip the probe subprocess
     import subprocess
 
     budget = float(os.environ.get("PATCHIONER_BENCH_RETRY_S", "900"))

@@ -138,15 +138,17 @@ def test_concurrent_submitters(tiny_model):
 
 
 def test_error_propagates_to_future_only(tiny_model):
-    """A bad request fails its own future; the server keeps serving."""
+    """A bad request fails ONLY itself; the server keeps serving. Since
+    round 3d malformed arrays are rejected synchronously at admission
+    (inside a co-batched group they would fail innocent neighbors'
+    futures), so the error arrives as a submit() raise, not via the
+    future."""
     with CaptionServer(tiny_model, max_batch=1, max_delay_ms=1,
                        preprocess=False) as srv:
-        bad = srv.submit(np.zeros((3, 3)), _trace(0))  # wrong image rank
-        with pytest.raises(Exception):
-            bad.result(timeout=300)
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((3, 3)), _trace(0))  # wrong image rank
         ok = srv.submit(_img(1), _trace(1)).result(timeout=300)
         assert isinstance(ok, str)
-        assert srv.stats.errors >= 1
 
 
 def test_submit_after_close_raises(tiny_model):
