@@ -8,12 +8,16 @@ cosine similarity of the image feature against a caption memory
 captions; a flan-T5 scene-graph parser + SentenceBERT merge distills them
 into at most 4 key concepts (utils/detect_utils.py:20-43).
 
-Host/device split: retrieval runs on-device (one matmul + top-k); the parser
-and SentenceBERT are host-side HF models behind the pluggable
-`concept_extractor` callable — `hf_concept_extractor` wires the real
-flan-T5/SBERT pipeline when those checkpoints are available locally;
-`frequency_concept_extractor` is a dependency-free fallback (NOT parity,
-clearly marked) so the pipeline stays runnable offline.
+Host/device split: retrieval runs on-device (one matmul + top-k); concept
+extraction is host-side behind the pluggable `concept_extractor` callable.
+The merge machinery itself (scene-graph strings -> merged/ordered concepts)
+is the model-free faithful port in `models/meacap_concepts.py`;
+`hf_concept_extractor` wires the real flan-T5 parser + SentenceBERT in
+front of it when those checkpoints are available locally,
+`build_concept_extractor` accepts arbitrary parse/encode callables (tests
+use stubs), and `frequency_concept_extractor` is a dependency-free
+fallback (NOT parity, clearly marked) so the pipeline stays runnable
+offline with zero extra models.
 """
 
 from __future__ import annotations
@@ -27,11 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from patchioner_tpu.models import meacap_concepts
 from patchioner_tpu.models import viecap as viecap_mod
 
 __all__ = [
     "retrieve_memory_captions",
     "frequency_concept_extractor",
+    "build_concept_extractor",
     "hf_concept_extractor",
     "MeaCap",
 ]
@@ -77,15 +83,36 @@ def frequency_concept_extractor(captions: Sequence[str], image_embeds=None,
     return ranked[:max_concepts]
 
 
+def build_concept_extractor(
+    parse_fn: Callable[[Sequence[str]], List[str]],
+    encode_fn: Callable[[Sequence[str]], "np.ndarray"],
+    max_concepts: int = 4,
+) -> Callable:
+    """Wrap the faithful merge pipeline (models/meacap_concepts.py — a port
+    of src/meacap/utils/parse_tool.py:114-430 + detect_utils.py:20-43) as a
+    per-sample concept_extractor. `parse_fn(captions)` returns one
+    scene-graph string per caption; `encode_fn(texts)` returns (N, D)
+    sentence embeddings. Model-free, so tests drive it with stubs."""
+
+    def extract(captions: Sequence[str], image_embeds=None) -> List[str]:
+        return meacap_concepts.retrieve_concepts(
+            captions, parse_fn, encode_fn, max_concepts
+        )
+
+    return extract
+
+
 def hf_concept_extractor(
     parser_checkpoint: str,
     wte_model_path: str,
     device: str = "cpu",
     max_concepts: int = 4,
 ) -> Callable:
-    """Build the reference concept pipeline (flan-T5 scene-graph parser +
-    SentenceBERT merge, src/meacap/utils/detect_utils.py:20-43) as a host
-    callable. Requires local HF checkpoints."""
+    """The reference concept pipeline (flan-T5 scene-graph parser +
+    SentenceBERT + the parse_tool merge machinery,
+    src/meacap/utils/detect_utils.py:20-43) as a host callable. Requires
+    local HF checkpoints; the merge logic itself is the checkpoint-free
+    `models/meacap_concepts.py` port, which is what tests cover."""
     from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(parser_checkpoint, local_files_only=True)
@@ -97,39 +124,41 @@ def hf_concept_extractor(
 
     wte = SentenceTransformer(wte_model_path, device=device)
 
-    def extract(captions: Sequence[str], image_embeds=None) -> List[str]:
+    def parse_fn(captions: Sequence[str]) -> List[str]:
+        # parse_tool.py:255-292: prompt prefix, batch generate, prefix strip,
+        # paren/comma re-spacing via format_scene_graph.
         import torch
 
-        prompts = [f"Generate Scene Graph: {c}" for c in captions]
-        enc = tok(prompts, return_tensors="pt", padding=True)
+        prompts = ["Generate Scene Graph: " + c for c in captions]
+        enc = tok(prompts, max_length=128, truncation=True, padding=True,
+                  return_tensors="pt")
         with torch.no_grad():
-            out = parser.generate(**enc, max_length=128)
-        graphs = tok.batch_decode(out, skip_special_tokens=True)
-        # Entities = first element of each (subject, relation, object) triple.
-        entities: List[str] = []
-        for g in graphs:
-            for triple in re.findall(r"\(([^)]*)\)", g):
-                parts = [p.strip() for p in triple.split(",")]
-                if parts and parts[0]:
-                    entities.append(parts[0])
-        if not entities:
-            return []
-        # SentenceBERT merge: cluster near-duplicate entities, keep the most
-        # frequent representative of each cluster.
-        embs = wte.encode(entities, convert_to_numpy=True)
-        embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
-        counts = Counter(entities)
-        uniq = list(dict.fromkeys(entities))
-        kept: List[str] = []
-        for e in sorted(uniq, key=lambda x: -counts[x]):
-            ei = embs[entities.index(e)]
-            if all(
-                float(ei @ embs[entities.index(k)]) < 0.9 for k in kept
-            ):
-                kept.append(e)
-        return kept[:max_concepts]
+            out = parser.generate(
+                enc["input_ids"].to(device),
+                attention_mask=enc["attention_mask"].to(device),
+                use_cache=True,
+                decoder_start_token_id=tok.pad_token_id,
+                num_beams=1,
+                max_length=128,
+                early_stopping=True,
+            )
+        texts = tok.batch_decode(
+            out, skip_special_tokens=True, clean_up_tokenization_spaces=True
+        )
+        return [
+            " ".join(
+                t.replace("Generate Scene Graph:", "").strip()
+                .replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
+                .split()
+            )
+            for t in texts
+        ]
 
-    return extract
+    def encode_fn(texts: Sequence[str]) -> "np.ndarray":
+        e = wte.encode(texts, convert_to_numpy=True)
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    return build_concept_extractor(parse_fn, encode_fn, max_concepts)
 
 
 class MeaCap(viecap_mod.VieCap):
