@@ -2,9 +2,11 @@
 locked against INDEPENDENTLY-WRITTEN code on a fixed synthetic split —
 BLEU vs nltk's corpus_bleu, ROUGE-L and CIDEr-D vs literal transcriptions
 of the pycocoevalcap formulas (rouge.py / cider_scorer.py — the scorers
-the reference runs through speaksee), and METEOR exact+stem vs an
+the reference runs through speaksee), METEOR exact+stem vs an
 exhaustive-search aligner implementing METEOR-1.5's lexicographic
-objective. Golden values additionally freeze the exact numbers so drift
+objective, and SPICE vs a re-coded lexicon parser + optimal-matching
+tuple-F1 scorer (round 4 — previously the one self-locked golden).
+Golden values additionally freeze the exact numbers so drift
 fails before it can skew a benchmark comparison.
 
 Round-3 note: transcribing the pycocoevalcap formulas exposed two real
@@ -309,6 +311,264 @@ def test_meteor_exact_stem_vs_exhaustive_aligner():
             for c, refs in zip(cand_t, refs_t)]
     corpus, inst = metrics.meteor(cand_t, refs_t)
     np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# SPICE oracle (VERDICT r3 #4): the SPICE golden was previously locked only
+# to itself. Like the four scorers above, back it with independently-written
+# code: (a) the scoring stage — duplicate-free tuple matching + P/R/F + mean
+# All-F corpus aggregation, the semantics of the Java scorer the reference
+# invokes (eval-trace-captioning/compute_scores.py:330-332) — implemented
+# here with OPTIMAL bipartite matching (Kuhn's augmenting paths) where the
+# package greedily scans in sorted order, and (b) the lexicon-parse rule set
+# documented in eval/spice.py, re-coded from the spec with a different
+# structure (explicit mention-record passes instead of the package's single
+# scan-and-mutate loop). The Stanford dependency parser itself cannot be
+# transcribed (JVM-bound); the lexicon variant is what the package documents
+# and its CSVs mark.
+
+
+def _oracle_spice_singulars(word):
+    irregular = {
+        "people": "person", "men": "man", "women": "woman",
+        "children": "child", "feet": "foot", "teeth": "tooth",
+        "geese": "goose", "mice": "mouse", "leaves": "leaf",
+        "shelves": "shelf", "knives": "knife", "wolves": "wolf",
+    }
+    if word in irregular:
+        return [irregular[word]]
+    cands = []
+    if word.endswith("ies") and len(word) > 3:
+        cands.append(word[:-3] + "y")
+    if len(word) > 4 and any(
+        word.endswith(suf) for suf in ("sses", "ches", "shes", "xes", "zes")
+    ):
+        cands.append(word[:-2])
+    if word.endswith("s") and not word.endswith("ss") and len(word) > 2:
+        cands.append(word[:-1])
+        if word.endswith("es") and len(word) > 3:
+            cands.append(word[:-2])
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+    return out if out else [word]
+
+
+def _oracle_parse(tokens, lex):
+    """Independent re-implementation of the eval/spice.py parse rules:
+    stopword skip, predicative attributes after is/are, greedy longest
+    object match with last-word lemmatization, single-word
+    attribute-preference deferral, fused-label decomposition, claimed
+    pre-nominal attributes (2-word span first), article/claimed-free
+    relation spans between consecutive mentions."""
+    stop = frozenset(
+        "a an the this that these those there is are was were be been being "
+        "with of in on at to from by for and or it its his her their as i "
+        "you he she we they".split()
+    )
+    articles = {"a", "an", "the"}
+    toks = [t.lower() for t in tokens]
+
+    def obj_lookup(span):
+        joined = " ".join(span)
+        if joined in lex.objects:
+            return joined
+        for sing in _oracle_spice_singulars(span[-1]):
+            alt = " ".join(list(span[:-1]) + [sing])
+            if alt in lex.objects:
+                return alt
+        return None
+
+    def longest_obj_at(pos):
+        for width in range(min(lex.max_phrase, len(toks) - pos), 0, -1):
+            head = obj_lookup(toks[pos:pos + width])
+            if head is not None:
+                return (pos, pos + width, head)
+        return None
+
+    # pass 1: mentions + predicative attributes
+    mentions, predicative = [], []
+    pos = 0
+    while pos < len(toks):
+        word = toks[pos]
+        if word in stop:
+            pos += 1
+            continue
+        if (
+            pos > 0
+            and toks[pos - 1] in ("is", "are")
+            and word in lex.attributes
+            and mentions
+            and obj_lookup([word]) is None
+        ):
+            predicative.append((len(mentions) - 1, word))
+            pos += 1
+            continue
+        hit = longest_obj_at(pos)
+        if hit is not None and hit[1] - hit[0] == 1 and word in lex.attributes:
+            # single-word object that also names an attribute: defer to a
+            # following object mention if one starts at the next token
+            if pos + 1 < len(toks) and longest_obj_at(pos + 1) is not None:
+                hit = None
+        if hit is None:
+            pos += 1
+            continue
+        mentions.append(hit)
+        pos = hit[1]
+
+    # pass 2: decompose attribute-fused lexicon heads
+    tuples = set()
+    final_mentions = []
+    for start, end, head in mentions:
+        parts = head.split()
+        while len(parts) > 1 and parts[0] in lex.attributes \
+                and " ".join(parts[1:]) in lex.objects:
+            tuples.add((" ".join(parts[1:]), parts[0]))
+            parts = parts[1:]
+        final_mentions.append((start, end, " ".join(parts)))
+    for mention_idx, attr in predicative:
+        tuples.add((final_mentions[mention_idx][2], attr))
+
+    # pass 3: objects + claimed pre-nominal attributes
+    covered = set()
+    for start, end, _ in final_mentions:
+        covered.update(range(start, end))
+    claimed = set()
+    for start, end, head in final_mentions:
+        tuples.add((head,))
+        for width in (2, 1):
+            lo = start - width
+            if lo < 0:
+                continue
+            idxs = range(lo, start)
+            if any(k in covered or k in claimed for k in idxs):
+                continue
+            words = toks[lo:start]
+            if any(w in articles for w in words):
+                continue
+            phrase = " ".join(words)
+            if phrase in lex.attributes:
+                tuples.add((head, phrase))
+                claimed.update(idxs)
+                break
+
+    # pass 4: relations between consecutive mentions
+    for (s1, e1, h1), (s2, e2, h2) in zip(final_mentions, final_mentions[1:]):
+        span = [
+            toks[k] for k in range(e1, s2)
+            if toks[k] not in articles and k not in claimed
+        ]
+        if span and len(span) <= lex.max_phrase \
+                and " ".join(span) in lex.relations:
+            tuples.add((h1, " ".join(span), h2))
+    return tuples
+
+
+def _oracle_tuple_match(a, b, syn):
+    if len(a) != len(b):
+        return False
+    return all(
+        x == y or (syn is not None and syn(x) & syn(y))
+        for x, y in zip(a, b)
+    )
+
+
+def _oracle_max_matching(cand_tuples, ref_tuples, syn):
+    """Maximum-cardinality duplicate-free matching (Kuhn's augmenting
+    paths) — an upper bound that the package's greedy-sorted scan must
+    attain for its scores to be order-independent."""
+    cand_list, ref_list = list(cand_tuples), list(ref_tuples)
+    match_of_ref = {}
+
+    def augment(ci, visited):
+        for ri, r in enumerate(ref_list):
+            if ri in visited or not _oracle_tuple_match(cand_list[ci], r, syn):
+                continue
+            visited.add(ri)
+            if ri not in match_of_ref or augment(match_of_ref[ri], visited):
+                match_of_ref[ri] = ci
+                return True
+        return False
+
+    total = 0
+    for ci in range(len(cand_list)):
+        if augment(ci, set()):
+            total += 1
+    return total
+
+
+def _oracle_spice_scores(cand_t, refs_t, lex, syn=None):
+    per_f = []
+    for cand, refs in zip(cand_t, refs_t):
+        ct = _oracle_parse(cand, lex)
+        rt = set()
+        for r in refs:
+            rt |= _oracle_parse(r, lex)
+        if not ct or not rt:
+            per_f.append(0.0)
+            continue
+        m = _oracle_max_matching(ct, rt, syn)
+        p, r = m / len(ct), m / len(rt)
+        per_f.append(2 * p * r / (p + r) if p + r else 0.0)
+    corpus = sum(per_f) / len(per_f) if per_f else 0.0
+    return corpus, per_f
+
+
+def test_spice_parity_vs_independent_oracle():
+    """Package SPICE == the independent oracle on the fixed split: identical
+    tuple sets from the re-coded parse rules, identical per-instance F from
+    optimal matching (exact matching makes greedy == optimal), and the
+    corpus value equals the committed golden — so the golden is now backed
+    by independent code, not by itself (VERDICT r3 #4)."""
+    from patchioner_tpu.eval import spice as spice_mod
+
+    lex = spice_mod.SpiceLexicon.vendored()
+    cand_t = [metrics.ptb_tokenize(c) for c in CANDS]
+    refs_t = [[metrics.ptb_tokenize(r) for r in refs] for refs in REFS]
+    # tuple-set level: the re-coded parser agrees caption by caption
+    for toks in cand_t + [r for refs in refs_t for r in refs]:
+        assert _oracle_parse(toks, lex) == \
+            spice_mod.parse_scene_graph(toks, lex), toks
+    want_corpus, want_f = _oracle_spice_scores(cand_t, refs_t, lex)
+    got_corpus, got_inst = spice_mod.spice(cand_t, refs_t, lexicon=lex)
+    got_f = [e["All"]["f"] for e in got_inst]
+    np.testing.assert_allclose(got_f, want_f, rtol=0, atol=1e-12)
+    assert abs(got_corpus - want_corpus) < 1e-12
+    assert abs(round(got_corpus, 6) - GOLDEN["SPICE"]) < 5e-7
+
+
+def test_spice_matching_is_duplicate_free_and_optimal_under_synonyms():
+    """The scoring stage in isolation, on hand-built tuple sets with a
+    synonym table that creates many-to-many match options: each reference
+    tuple may be consumed once (duplicate-free), and the greedy-sorted scan
+    attains the optimal matching cardinality."""
+    from patchioner_tpu.eval.spice import _prf
+
+    groups = {"dog": {1}, "puppy": {1}, "canine": {1}, "cat": {2},
+              "kitten": {2}, "small": {3}, "little": {3}}
+
+    def syn(w):
+        return frozenset(groups.get(w, set()))
+
+    # two candidate ('dog',)-alikes, ONE matching reference: duplicate-free
+    # matching must count 1, not 2
+    cand = {("dog",), ("puppy",)}
+    ref = {("canine",)}
+    out = _prf(cand, ref, syn)
+    assert out["p"] == 0.5 and out["r"] == 1.0
+    assert _oracle_max_matching(cand, ref, syn) == 1
+
+    # many-to-many: greedy in sorted order could strand a candidate if it
+    # consumed the wrong reference; optimal is 2 and _prf must reach it
+    cand = {("dog", "small"), ("puppy", "little"), ("cat",)}
+    ref = {("canine", "little"), ("dog", "small"), ("kitten",)}
+    out = _prf(cand, ref, syn)
+    assert out["p"] == 1.0 and out["r"] == 1.0
+    assert _oracle_max_matching(cand, ref, syn) == 3
+
+    # arity mismatch never matches
+    assert _prf({("dog",)}, {("dog", "small")}, syn)["f"] == 0.0
 
 
 # Golden values for the fixed split, generated by
