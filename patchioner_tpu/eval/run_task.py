@@ -34,13 +34,23 @@ def main(argv=None):
     p.add_argument("--attention-weighting", action="store_true")
     p.add_argument("--allow-missing-weights", action="store_true")
     p.add_argument("--compute-scores", action="store_true")
+    p.add_argument(
+        "--allow-tokenizer-fallback", action="store_true",
+        help="permit whitespace-fallback GPT-2 detokenization (NOT caption "
+             "parity); by default a result-producing run fails fast",
+    )
     args = p.parse_args(argv)
 
     load_dotenv()
-    from patchioner_tpu.models.patchioner import Patchioner
+    from patchioner_tpu.models.patchioner import (
+        Patchioner, require_parity_tokenizer,
+    )
 
     model = Patchioner.from_config(
         args.config, allow_missing_weights=args.allow_missing_weights
+    )
+    require_parity_tokenizer(
+        model, args.allow_tokenizer_fallback, f"run_task {args.task}"
     )
     row = {"model": args.config, "task": args.task}
 

@@ -115,14 +115,21 @@ class ExperimentRunner:
         *,
         model_builder: Optional[Callable] = None,
         logger: Optional[logging.Logger] = None,
+        allow_tokenizer_fallback: bool = False,
     ):
         """model_builder(model_name, model_settings) -> model. Defaults to
-        Patchioner.from_config on `configs_dir/{model}.yaml`."""
+        Patchioner.from_config on `configs_dir/{model}.yaml`.
+
+        `allow_tokenizer_fallback=False` (default) fails fast before the
+        first task when a built model would detokenize GPT-2 captions
+        through the whitespace fallback — grid CSVs must not silently carry
+        non-parity caption strings (VERDICT r3 #5)."""
         self.config = grid_config
         self.defaults = grid_config.get("global_defaults", {})
         self.output_dir = grid_config.get("output_directory", "./results")
         self.experiments = grid_config.get("experiments", [])
         self.model_builder = model_builder or self._default_builder
+        self.allow_tokenizer_fallback = allow_tokenizer_fallback
         self.log = logger or logging.getLogger("patchioner_tpu.runner")
 
     def _default_builder(self, model_name, settings):
@@ -176,6 +183,14 @@ class ExperimentRunner:
                         continue
                     if model is None:
                         model = self.model_builder(model_name, settings)
+                        from patchioner_tpu.models.patchioner import (
+                            require_parity_tokenizer,
+                        )
+
+                        require_parity_tokenizer(
+                            model, self.allow_tokenizer_fallback,
+                            f"runner model {model_name!r}",
+                        )
                     t0 = time.time()
                     scores = TASK_REGISTRY[task_name](model, variant)
                     row = dict(row_key)
@@ -195,11 +210,18 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("grid_config")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--allow-tokenizer-fallback", action="store_true",
+        help="permit whitespace-fallback GPT-2 detokenization (NOT caption "
+             "parity); by default a result-producing run fails fast",
+    )
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     with open(args.grid_config) as f:
         grid = json.load(f)
-    results = ExperimentRunner(grid).run(dry_run=args.dry_run)
+    results = ExperimentRunner(
+        grid, allow_tokenizer_fallback=args.allow_tokenizer_fallback
+    ).run(dry_run=args.dry_run)
     print(json.dumps(results, default=str))
 
 

@@ -124,6 +124,34 @@ def _get_gpt2_tokenizer(allow_fallback: bool):
     )
 
 
+def uses_fallback_tokenizer(model) -> bool:
+    """True when any GPT-2-decoding component of `model` (ViECap / MeaCap /
+    ClipCap) would detokenize through the whitespace fallback — i.e. its
+    caption STRINGS are not parity with the reference's GPT-2 BPE decode.
+    DeCap uses the self-contained CLIP BPE and never trips this."""
+    for comp in (getattr(model, "viecap", None), getattr(model, "clipcap", None)):
+        if isinstance(getattr(comp, "tokenizer", None), _FallbackWordTokenizer):
+            return True
+    return False
+
+
+def require_parity_tokenizer(model, allow_fallback: bool, context: str):
+    """Fail-fast policy for result-producing runs (VERDICT r3 #5): a CSV
+    must not be silently produced on whitespace-fallback tokenization. The
+    eval CLIs and ExperimentRunner call this after the model builds; the
+    interactive demo keeps the warn-once path instead."""
+    if allow_fallback or not uses_fallback_tokenizer(model):
+        return
+    raise RuntimeError(
+        f"{context}: this model decodes captions through GPT-2, but no "
+        "GPT-2 BPE vocab is available locally, so caption strings would "
+        "come from the whitespace FALLBACK tokenizer (not parity with the "
+        "reference). Set $GPT2_BPE_DIR to a directory containing "
+        "vocab.json + merges.txt (or populate the HF cache), or pass "
+        "--allow-tokenizer-fallback to run anyway."
+    )
+
+
 def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
                          allow_missing_weights: bool, gpt2_tokenizer,
                          concept_extractor):

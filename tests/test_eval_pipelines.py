@@ -263,6 +263,51 @@ def test_experiment_runner_grid_and_dedup(tiny_model, tmp_path):
     assert logs2 == []
 
 
+def test_runner_fails_fast_on_fallback_tokenizer(tmp_path, monkeypatch):
+    """VERDICT r3 #5: a grid run must not silently produce CSVs when GPT-2
+    captions would come from the whitespace fallback tokenizer."""
+    from types import SimpleNamespace
+
+    from patchioner_tpu.eval import runner as runner_mod
+    from patchioner_tpu.models import patchioner as pmod
+
+    fallback_model = SimpleNamespace(
+        viecap=SimpleNamespace(tokenizer=pmod._FallbackWordTokenizer()),
+        clipcap=None,
+    )
+    clean_model = SimpleNamespace(viecap=None, clipcap=None)
+    assert pmod.uses_fallback_tokenizer(fallback_model)
+    assert not pmod.uses_fallback_tokenizer(clean_model)
+    with pytest.raises(RuntimeError, match="GPT2_BPE_DIR"):
+        pmod.require_parity_tokenizer(fallback_model, False, "ctx")
+    pmod.require_parity_tokenizer(fallback_model, True, "ctx")  # explicit ok
+    pmod.require_parity_tokenizer(clean_model, False, "ctx")
+
+    ran = []
+    monkeypatch.setitem(
+        runner_mod.TASK_REGISTRY, "trace_captioning",
+        lambda model, variant: ran.append(1) or {"CIDEr": 1.0},
+    )
+    grid = {
+        "global_defaults": {},
+        "output_directory": str(tmp_path / "results"),
+        "experiments": [
+            {"model": "tiny",
+             "tasks": {"trace_captioning": [{"caption_mode": "trace"}]}}
+        ],
+    }
+    with pytest.raises(RuntimeError, match="GPT2_BPE_DIR"):
+        ExperimentRunner(
+            grid, model_builder=lambda n, s: fallback_model
+        ).run()
+    assert ran == []  # failed fast: no task executed, no CSV row written
+    logs = ExperimentRunner(
+        grid, model_builder=lambda n, s: fallback_model,
+        allow_tokenizer_fallback=True,
+    ).run()
+    assert ran == [1] and len(logs) == 1
+
+
 def test_xla_flops(tiny_model):
     import jax.numpy as jnp
 
