@@ -276,14 +276,20 @@ class ResultsCollector:
                         rows, set(rows[0].keys()) if rows else set()
                     )
                 rows, columns = task_rows[task_name]
+                # criteria are built EXACTLY like the runner's row keys:
+                # the union of the task's variant axes, absent axes as ''
+                # and ''-valued flags as True (runner.variant_key_settings)
+                # — per-variant-only criteria would let a subset variant
+                # match a superset variant's row. Lists stay in the
+                # criteria: the runner stringifies every scalar setting
+                # into its CSV row, so str(list) compares correctly.
+                from patchioner_tpu.eval.runner import (
+                    variant_axis_keys, variant_key_settings,
+                )
+
+                axis_keys = variant_axis_keys(variants)
                 for vi, variant in enumerate(variants):
-                    # lists stay in the criteria: the runner stringifies
-                    # every non-dict setting into its CSV row
-                    # (runner.py:166-173), so str(list) compares correctly
-                    criteria = {
-                        k: v for k, v in (variant or {}).items()
-                        if not isinstance(v, dict)
-                    }
+                    criteria = variant_key_settings(variant, axis_keys)
                     match = self._match_row(
                         rows, columns, model_name, criteria,
                         primary_metrics=task_cfg["main_scores"],
@@ -336,14 +342,14 @@ class ResultsCollector:
                    ) -> Optional[dict]:
         """Find the CSV row matching model_name + the variant's settings.
 
-        Values compare as strings because eval/runner.py:166-173 stringifies
-        every scalar setting into the row. A criterion column absent from
-        the CSV means NO run ever carried that setting (append_results_csv
-        grows columns monotonically), so the variant is missing — stricter
-        than the reference, which skips unknown columns (:290-291), but our
-        writer guarantees the column exists for any run that used the key;
-        skipping would let a variant silently inherit another variant's
-        scores."""
+        Values compare as strings because the runner stringifies every
+        scalar setting into the row. A criterion column absent from the CSV
+        means NO run ever carried that setting (append_results_csv grows
+        columns monotonically), so only the axis-not-set criterion ('')
+        matches it — stricter than the reference, which skips unknown
+        columns (:290-291), but our writer guarantees the column exists for
+        any run that used the key; skipping would let a variant silently
+        inherit another variant's scores."""
         matches = []
         for r in rows:
             if r.get("model") != model_name and r.get(
@@ -352,8 +358,12 @@ class ResultsCollector:
             ok = True
             for k, v in criteria.items():
                 if k not in columns:
-                    ok = False
-                    break
+                    # a column no run ever carried matches only the
+                    # axis-not-set criterion ('' from variant_key_settings)
+                    if str(v) != "":
+                        ok = False
+                        break
+                    continue
                 if str(r.get(k, "")) != str(v):
                     ok = False
                     break

@@ -23,7 +23,40 @@ from typing import Callable, Dict, Optional
 
 from patchioner_tpu.eval import harness
 
-__all__ = ["TASK_REGISTRY", "ExperimentRunner"]
+__all__ = ["TASK_REGISTRY", "ExperimentRunner", "variant_axis_keys",
+           "variant_key_settings"]
+
+
+def variant_axis_keys(variants) -> list:
+    """The UNION of scalar setting keys across a task's variant list.
+
+    Keying each CSV row by only its OWN settings lets a variant whose
+    settings are a subset of an earlier one's (`{caption_from: patches}`
+    after `{caption_from: patches, use_gaussian_weighting: ""}`) match that
+    earlier row and be dedup-skipped; keying by the union records an
+    explicit empty value for axes a variant does not set. The reference
+    avoids the collision by encoding every flag into its output FILENAME
+    (eval_trace_captioning.py:144-150); the union key is the CSV-shaped
+    equivalent."""
+    return sorted({
+        k for v in variants for k, val in (v or {}).items()
+        if not isinstance(val, dict)
+    })
+
+
+def variant_key_settings(variant, axis_keys) -> dict:
+    """One variant's row-key settings over the task's full axis union:
+    absent axes record '' and a PRESENT ''-valued setting records True —
+    the reference's flag semantics (run_tasks.py:395-399: value '' means
+    "pass the flag"), so flag-set and flag-absent rows cannot collide."""
+    out = {}
+    for k in axis_keys:
+        if k in (variant or {}):
+            val = variant[k]
+            out[k] = True if val == "" else val
+        else:
+            out[k] = ""
+    return out
 
 
 def _eval_kwargs(evaluate_fn, settings):
@@ -45,6 +78,11 @@ def _eval_kwargs(evaluate_fn, settings):
             kw.setdefault(k, v)
         else:
             dropped.append(k)
+    # reference flag semantics (run_tasks.py:395-404): a setting whose value
+    # is the empty string means "pass the flag", i.e. True — the grids write
+    # `"use_gaussian_weighting": ""`. Without this, "" is falsy and a
+    # gaussian-weighting variant would silently run unweighted.
+    kw = {k: (True if v == "" else v) for k, v in kw.items()}
     if dropped:
         logging.getLogger("patchioner_tpu.runner").info(
             "task settings not consumed by evaluate(): %s", dropped
@@ -154,7 +192,10 @@ class ExperimentRunner:
         os.makedirs(self.output_dir, exist_ok=True)
         results_log = []
         for exp in self.experiments:
-            model_name = exp["model"]
+            # reference schema uses "model_name" (evaluation/configs/*.json);
+            # "model" is the short form this runner documented first — accept
+            # both, like collect_results.collect_from_config does
+            model_name = exp.get("model") or exp["model_name"]
             settings = {**self.defaults, **exp.get("settings", {})}
             model = None
             for task_name, task_settings in exp.get("tasks", {}).items():
@@ -164,14 +205,15 @@ class ExperimentRunner:
                     task_settings if isinstance(task_settings, list)
                     else list(self._expand(task_settings))
                 )
+                axis_keys = variant_axis_keys(variants)
                 for variant in variants:
                     row_key = {
                         "model": model_name,
                         "task": task_name,
                         **{
                             k: str(v)
-                            for k, v in variant.items()
-                            if not isinstance(v, dict)
+                            for k, v in variant_key_settings(
+                                variant, axis_keys).items()
                         },
                     }
                     csv_path = os.path.join(self.output_dir, f"{task_name}.csv")

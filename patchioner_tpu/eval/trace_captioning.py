@@ -104,6 +104,11 @@ def evaluate(
 
     `loader(paths) -> (B, H, W, 3) float array` overrides image loading
     (tests inject synthetic pixels)."""
+    if caption_from == "patches":
+        # the reference spells the trace-conditioned mode 'patches'
+        # (eval_trace_captioning.py:123,144: anything != 'patches' is the
+        # CLS baseline) — the shipped grids use that spelling
+        caption_from = "trace"
     samples = load_trace_dataset(annotations_path, image_roots)
     n = len(samples["img_paths"])
     if limit is not None:

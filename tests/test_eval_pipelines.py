@@ -183,23 +183,43 @@ def test_region_set_cls_baseline(tiny_model, tmp_path):
 
 
 def test_shipped_grid_configs_resolve():
-    """The translated reference experiment grids must parse, expand, and
-    name only registered tasks (model YAMLs resolve when shipped — like the
-    reference, a few grid entries name lab-only configs)."""
+    """The translated reference experiment grids must parse, use the flat
+    reference variant schema (evaluation/configs/*.json: scalar axes at the
+    top level of each variant dict, not nested — nesting would collapse the
+    runner's CSV row keys and the collector's match criteria), name only
+    registered tasks, and carry only keys the task's evaluate() accepts."""
+    import inspect
     import os
 
+    from patchioner_tpu.eval import (
+        dense_captioning as _dense,
+        image_captioning as _image,
+        region_set_captioning as _region,
+        trace_captioning as _trace,
+    )
     from patchioner_tpu.eval.runner import TASK_REGISTRY
 
+    sig = {
+        "narratives": _trace, "trace_captioning": _trace,
+        "image_captioning": _image, "dense_captioning": _dense,
+        "controllable_captioning": _region, "region_set_captioning": _region,
+    }
     for name in ("main_table", "backbones_ablations"):
         path = os.path.join("configs", "evaluation", f"{name}.json")
         grid = json.load(open(path))
         assert grid["experiments"], name
         for e in grid["experiments"]:
+            assert e.get("model_name") or e.get("model"), name
             for task, settings in e["tasks"].items():
                 assert task in TASK_REGISTRY, (name, task)
+                params = set(
+                    inspect.signature(sig[task].evaluate).parameters
+                )
                 variants = settings if isinstance(settings, list) else [settings]
                 for v in variants:
-                    assert "evaluate" in v, (name, task)
+                    for k, val in v.items():
+                        assert not isinstance(val, dict), (name, task, k)
+                        assert k in params, (name, task, k)
 
 
 def test_region_set_pipeline(tiny_model, tmp_path):
@@ -261,6 +281,57 @@ def test_experiment_runner_grid_and_dedup(tiny_model, tmp_path):
     # second run skips via the results CSV
     logs2 = ExperimentRunner(grid, model_builder=lambda n, s: tiny_model).run()
     assert logs2 == []
+
+
+def test_runner_subset_variant_not_dedup_skipped(tmp_path, monkeypatch):
+    """A variant whose settings are a SUBSET of an earlier variant's (the
+    reference grids' `[{caption_from, use_gaussian_weighting: ""},
+    {caption_from}]` pattern) must run and collect as its own row — row
+    keys span the union of the task's axes with ''-flag normalization
+    (runner.variant_key_settings), so flag-set and flag-absent rows cannot
+    collide in the CSV or in the collector's matching."""
+    from types import SimpleNamespace
+
+    from patchioner_tpu.eval import runner as runner_mod
+    from patchioner_tpu.eval.collect_results import ResultsCollector
+
+    calls = []
+
+    def stub_task(model, variant):
+        calls.append(dict(variant))
+        # distinct scores per variant so mis-attribution is detectable
+        return {"CIDEr": 2.0 if "use_gaussian_weighting" in variant else 1.0}
+
+    monkeypatch.setitem(
+        runner_mod.TASK_REGISTRY, "trace_captioning", stub_task
+    )
+    grid = {
+        "global_defaults": {},
+        "output_directory": str(tmp_path / "results"),
+        "experiments": [
+            {"model_name": "tiny",  # reference schema key accepted
+             "tasks": {"trace_captioning": [
+                 {"caption_from": "patches", "use_gaussian_weighting": ""},
+                 {"caption_from": "patches"},
+             ]}}
+        ],
+    }
+    model = SimpleNamespace(viecap=None, clipcap=None)
+    logs = ExperimentRunner(grid, model_builder=lambda n, s: model).run()
+    assert len(calls) == 2 and len(logs) == 2
+    # dedup still works: a second run skips BOTH rows
+    logs2 = ExperimentRunner(grid, model_builder=lambda n, s: model).run()
+    assert logs2 == [] and len(calls) == 2
+
+    grid_path = tmp_path / "grid.json"
+    grid_path.write_text(json.dumps(grid))
+    results = ResultsCollector(grid["output_directory"]).collect_from_config(
+        str(grid_path)
+    )
+    rows = results["trace_captioning"]
+    assert [r["found"] for r in rows] == [True, True]
+    # trace_captioning is not x100-scaled (TASK_SCORE_COLUMNS default)
+    assert [float(r["CIDEr"]) for r in rows] == [2.0, 1.0]
 
 
 def test_runner_fails_fast_on_fallback_tokenizer(tmp_path, monkeypatch):
