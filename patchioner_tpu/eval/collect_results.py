@@ -344,12 +344,11 @@ class ResultsCollector:
 
         Values compare as strings because the runner stringifies every
         scalar setting into the row. A criterion column absent from the CSV
-        means NO run ever carried that setting (append_results_csv grows
-        columns monotonically), so only the axis-not-set criterion ('')
-        matches it — stricter than the reference, which skips unknown
-        columns (:290-291), but our writer guarantees the column exists for
-        any run that used the key; skipping would let a variant silently
-        inherit another variant's scores."""
+        means no union-key run ever carried that axis (the writer records
+        every axis column, '' for axis-not-set, on every row), so the
+        variant is missing — stricter than the reference, which skips
+        unknown columns (:290-291); skipping would let a variant silently
+        inherit another variant's (or a legacy row's) scores."""
         matches = []
         for r in rows:
             if r.get("model") != model_name and r.get(
@@ -358,12 +357,14 @@ class ResultsCollector:
             ok = True
             for k, v in criteria.items():
                 if k not in columns:
-                    # a column no run ever carried matches only the
-                    # axis-not-set criterion ('' from variant_key_settings)
-                    if str(v) != "":
-                        ok = False
-                        break
-                    continue
+                    # the union-key writer (runner.variant_key_settings)
+                    # records EVERY axis column — including '' for
+                    # axis-not-set — on every row it writes, so a missing
+                    # column means the rows predate this schema; fail safe
+                    # (found=False) rather than let a flag-absent variant
+                    # inherit a legacy flag-set row's scores
+                    ok = False
+                    break
                 if str(r.get(k, "")) != str(v):
                     ok = False
                     break

@@ -193,9 +193,15 @@ class ExperimentRunner:
         results_log = []
         for exp in self.experiments:
             # reference schema uses "model_name" (evaluation/configs/*.json);
-            # "model" is the short form this runner documented first — accept
-            # both, like collect_results.collect_from_config does
-            model_name = exp.get("model") or exp["model_name"]
+            # "model" is the short form this runner documented first. Same
+            # key PRIORITY as collect_results.collect_from_config:259 —
+            # if the runner and collector resolved a both-keys experiment
+            # differently, every row would silently collect as found=False
+            model_name = exp.get("model_name") or exp.get("model")
+            if not model_name:
+                raise KeyError(
+                    "experiment entry needs a 'model_name' (or 'model') key"
+                )
             settings = {**self.defaults, **exp.get("settings", {})}
             model = None
             for task_name, task_settings in exp.get("tasks", {}).items():

@@ -116,9 +116,12 @@ def hf_concept_extractor(
     from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(parser_checkpoint, local_files_only=True)
+    # model follows the inputs onto `device` (the reference's
+    # parser_model.to(device), src/meacap/viecap_inference.py:49) — without
+    # this, generate() crashes on any non-CPU device
     parser = AutoModelForSeq2SeqLM.from_pretrained(
         parser_checkpoint, local_files_only=True
-    ).eval()
+    ).eval().to(device)
 
     from sentence_transformers import SentenceTransformer  # optional dep
 

@@ -55,11 +55,18 @@ _MIN_COUNT = 2           # parse_tool.py:159 (kept iff count > 2)
 _ATTRIBUTE_THRESHOLD = 3  # parse_tool.py:18 default
 
 
-def split_graph_segments(graphs: Sequence[str]) -> List[List[str]]:
+def split_graph_segments(graphs) -> List[List[str]]:
     """One list of ``s , r , o`` / ``s , a`` segment strings per graph
     (parse_tool.py:226-252 `format_scene_graph` + `get_seg_list_seperate`):
     normalize token spacing, split on the ``) , (`` joints, strip the
-    outer parens."""
+    outer parens. Accepts a single graph string or a sequence of them
+    (the reference's str/list branches, parse_tool.py:241-252; anything
+    else is a ValueError there and here — iterating a bare string would
+    silently shred it into per-character garbage)."""
+    if isinstance(graphs, str):
+        graphs = [graphs]
+    elif not isinstance(graphs, (list, tuple)):
+        raise ValueError(f"graphs must be str or list, got {type(graphs)}")
     out = []
     for g in graphs:
         spaced = g.replace("(", " ( ").replace(")", " ) ").replace(",", " , ")

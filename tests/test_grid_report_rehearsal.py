@@ -54,10 +54,14 @@ def test_rehearsal_slice_matches_committed_report(tmp_path):
     # and the slice executed every one of its variants (no dedup skips)
     import json
 
+    from patchioner_tpu.eval.collect_results import expand_grid
+
     with open(os.path.join(tmp_path, "grid_slice.json")) as f:
         grid = json.load(f)
+    # enumerate variants EXACTLY as the runner does (list as-is,
+    # dict-of-lists through the cartesian expansion)
     expected = sum(
-        len(s) if isinstance(s, list) else 1
+        len(s) if isinstance(s, list) else len(list(expand_grid(s or {})))
         for e in grid["experiments"] for s in e["tasks"].values()
     )
     n_csv_rows = 0

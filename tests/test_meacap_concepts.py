@@ -1,314 +1,65 @@
 """Parity tests for the MeaCap concept-merge pipeline.
 
-Oracle = a LITERAL transcription of the reference's host-side merge
-machinery (src/meacap/utils/parse_tool.py + detect_utils.py:20-43),
-driven with STUBBED scene-graph strings and stubbed deterministic
-sentence embeddings — no flan-T5/SBERT weights involved, exactly the
-model-free surface `patchioner_tpu/models/meacap_concepts.py` ports.
-
-The transcription below intentionally mirrors the reference line by line
-(including its quirks: in-place list aliasing, the "remove wrong!"
-except, count resets); it lives only in this test as an oracle and is
-never imported by the package.
+Oracle = the REFERENCE CODE ITSELF, loaded as data at test time: the
+actual `src/meacap/utils/parse_tool.py` module is imported by path from
+/root/reference (existence-guarded skip, per the repo convention that
+tests may load reference files as oracles but the package never imports
+reference code), and its `get_graph_dict` / `merge_graph_dict` /
+`filter_relation` run against `patchioner_tpu/models/meacap_concepts.py`
+with STUBBED scene-graph strings and stubbed deterministic sentence
+embeddings — no flan-T5/SBERT weights involved, exactly the model-free
+surface the port covers. The flan-T5 `parse` stage is bypassed on both
+sides by feeding precomputed graph strings (the composition mirrors
+detect_utils.py:20-43 `retrieve_concepts` with `parse` stubbed).
 """
 
+import importlib.util
+import os
 from collections import OrderedDict
 
 import numpy as np
 import pytest
-import torch
 
 from patchioner_tpu.models import meacap_concepts as mc
 from patchioner_tpu.models.meacap import build_concept_extractor
 
-# --------------------------------------------------------------- oracle
-# Literal transcription of parse_tool.py (reference commit in
-# /root/reference/Patch-ioner). Function-for-function; `model` is any
-# object with .encode(texts, ...) -> torch tensor of unit rows.
+PARSE_TOOL = (
+    "/root/reference/Patch-ioner/src/meacap/utils/parse_tool.py"
+)
 
-_NUMBER_DICT = {'2': "two", '3': "three", '4': "four", '5': "five",
-                '6': "six", '7': "seven", '8': "eight", '9': "nine"}
-
-
-def _ref_format_scene_graph(graph_str):  # parse_tool.py:226-227
-    return " ".join([item for item in graph_str.replace('(', ' ( ')
-                     .replace(')', ' ) ').replace(',', ' , ').split()
-                     if item != ''])
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PARSE_TOOL),
+    reason="reference parse_tool.py not present to serve as the oracle",
+)
 
 
-def _ref_get_seg_list_seperate(graphs):  # parse_tool.py:241-252
-    seg_list = []
-    for graph in graphs:
-        cur_list = []
-        cur_list.extend([scene_seg.replace('(', '').replace(')', '').strip()
-                         for scene_seg in
-                         _ref_format_scene_graph(graph).split(') , (')])
-        seg_list.append(cur_list)
-    return list(seg_list)
+@pytest.fixture(scope="module")
+def ref():
+    """The reference parse_tool module, imported by file path. Its
+    module-level imports (transformers/torch/nltk) are heavyweight but
+    present in this image; skip cleanly where they are not."""
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_parse_tool", PARSE_TOOL
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except ImportError as e:  # e.g. nltk absent on a minimal machine
+        pytest.skip(f"reference oracle deps unavailable: {e}")
+    return mod
 
 
-def _ref_add_node_graph(scene_graph, subject, new_edge):  # :178-208
-    if subject not in scene_graph:
-        scene_graph[subject] = {"Relation": {}, "Attribute": {}, "count": 1}
-        if len(new_edge) == 2:
-            scene_graph[subject]["Relation"][new_edge[0]] = [new_edge[1]]
-        elif len(new_edge) == 1:
-            scene_graph[subject]["Attribute"][new_edge[0]] = 1
-        elif len(new_edge) == 0:
-            pass
-        else:
-            raise KeyError(f"{new_edge} is wrong")
-    else:
-        if len(new_edge) == 2:
-            if new_edge[0] not in scene_graph[subject]["Relation"]:
-                scene_graph[subject]["Relation"][new_edge[0]] = [new_edge[1]]
-            else:
-                scene_graph[subject]["Relation"][new_edge[0]] += [new_edge[1]]
-        elif len(new_edge) == 1:
-            scene_graph[subject]["Attribute"][new_edge[0]] = 1
-        elif len(new_edge) == 0:
-            pass
-        else:
-            raise KeyError(f"{new_edge} is wrong")
-    return scene_graph
-
-
-def _ref_merge_seperate_graph(scene_graph, new_graph):  # :210-222
-    for key in list(new_graph.keys()):
-        if key in scene_graph:
-            scene_graph[key]["Relation"].update(new_graph[key]["Relation"])
-            scene_graph[key]["count"] += new_graph[key]["count"]
-            for attr_key in list(new_graph[key]["Attribute"].keys()):
-                if attr_key not in scene_graph[key]["Attribute"]:
-                    scene_graph[key]["Attribute"][attr_key] = \
-                        new_graph[key]["Attribute"][attr_key]
-                else:
-                    scene_graph[key]["Attribute"][attr_key] += \
-                        new_graph[key]["Attribute"][attr_key]
-        else:
-            scene_graph[key] = new_graph[key]
-    return scene_graph
-
-
-def _ref_get_graph_dict(model, graph_str_list, type_dict, attribute_dict):
-    # parse_tool.py:345-430
-    seg_lists = _ref_get_seg_list_seperate(graph_str_list)
-    count_dict = OrderedDict()
-    total_entity_lists = []
-    total_graph_dicts = []
-    for seg_list in seg_lists:
-        entity_list = []
-        cur_sg = dict()
-        for seg in seg_list:
-            new_seg = [item.strip() for item in seg.split(',')]
-            try:
-                if len(new_seg) == 1 and len(seg_list) == 1:
-                    entity_list.append(new_seg[0])
-                    type_dict[new_seg[0]] = "object"
-                    _ref_add_node_graph(cur_sg, new_seg[0], [])
-                    continue
-                if len(new_seg) == 2:
-                    type_dict[new_seg[1] + " " + new_seg[0]] = "attribute"
-                    entity_list.append(new_seg[0])
-                    type_dict[new_seg[0]] = "object"
-                    if new_seg[0] not in attribute_dict:
-                        attribute_dict[new_seg[0]] = [new_seg[1]]
-                    else:
-                        attribute_dict[new_seg[0]].append(new_seg[1])
-                    _ref_add_node_graph(cur_sg, new_seg[0], [new_seg[1]])
-                    continue
-                elif len(new_seg) == 3:
-                    if new_seg[2] in list(_NUMBER_DICT.keys()):
-                        new_seg[2] = _NUMBER_DICT[new_seg[2]]
-                    if new_seg[1] == 'is':
-                        type_dict[new_seg[2] + " " + new_seg[0]] = "attribute"
-                        entity_list.append(new_seg[0])
-                        type_dict[new_seg[0]] = "object"
-                        if new_seg[0] not in attribute_dict:
-                            attribute_dict[new_seg[0]] = [new_seg[2]]
-                        else:
-                            attribute_dict[new_seg[0]].append(new_seg[2])
-                        _ref_add_node_graph(cur_sg, new_seg[0], [new_seg[2]])
-                    else:
-                        type_dict[new_seg[0] + " " + new_seg[1] + " "
-                                  + new_seg[2]] = "fact"
-                        entity_list.append(new_seg[0])
-                        type_dict[new_seg[0]] = "object"
-                        if new_seg[1] == 'is':
-                            continue
-                        else:
-                            entity_list.append(new_seg[2])
-                            type_dict[new_seg[2]] = "object"
-                            _ref_add_node_graph(cur_sg, new_seg[0],
-                                                [new_seg[2], new_seg[1]])
-                            _ref_add_node_graph(cur_sg, new_seg[2], [])
-                elif len(new_seg) > 3:
-                    type_dict[new_seg[0] + " ".join(new_seg[1:-1])
-                              + new_seg[-1]] = "fact"
-                    entity_list.append(new_seg[0])
-                    type_dict[new_seg[0]] = "object"
-                    entity_list.append(new_seg[-1])
-                    type_dict[new_seg[-1]] = "object"
-                    _ref_add_node_graph(cur_sg, new_seg[0],
-                                        [new_seg[-1], new_seg[1:-1]])
-                    _ref_add_node_graph(cur_sg, new_seg[-1], [])
-            except IndexError:
-                print(seg_list)
-                continue
-        entity_list = list(set(entity_list))
-        for entity in entity_list:
-            if entity not in count_dict:
-                count_dict[entity] = 1
-            else:
-                count_dict[entity] += 1
-        total_entity_lists.append(entity_list)
-        total_graph_dicts.append(cur_sg)
-    sorted_count_dict = OrderedDict(
-        sorted(count_dict.items(), key=lambda item: item[1], reverse=True))
-    entitys = list(sorted_count_dict.keys())
-    entire_graph_dict = {}
-    for graph_dict in total_graph_dicts:
-        _ref_merge_seperate_graph(entire_graph_dict, graph_dict)
-    return entitys, sorted_count_dict, entire_graph_dict
-
-
-def _ref_merge_sim_node(entire_graph_dict, x, y):  # parse_tool.py:9-16
-    entire_graph_dict[x]["Relation"].update(entire_graph_dict[y]["Relation"])
-    entire_graph_dict[x]["count"] += entire_graph_dict[y]["count"]
-    for attr_key in list(entire_graph_dict[y]["Attribute"].keys()):
-        if attr_key not in entire_graph_dict[x]["Attribute"]:
-            entire_graph_dict[x]["Attribute"][attr_key] = \
-                entire_graph_dict[y]["Attribute"][attr_key]
-        else:
-            entire_graph_dict[x]["Attribute"][attr_key] += \
-                entire_graph_dict[y]["Attribute"][attr_key]
-
-
-def _ref_filter_relation(graph_dict, sim_entity_dict, remove_map, sentences,
-                         attribute_thresh=3):  # parse_tool.py:18-76
-    res_dict = {}
-    nodes = list(graph_dict.keys())
-    for node in nodes:
-        pos_list = []
-        for sentence in sentences:
-            pos = sentence.find(node) / len(sentence)
-            if pos > 0:
-                pos_list.append(pos)
-        final_pos = np.mean(pos_list) if pos_list else 1
-        if node not in res_dict:
-            res_dict[node] = {}
-            res_dict[node]["rating"] = 0
-        res_dict[node]["relative_pos"] = final_pos
-        res_dict[node]["Attribute"] = graph_dict[node]["Attribute"]
-        res_dict[node]["count"] = graph_dict[node]["count"]
-        res_dict[node]["Relation"] = {}
-        for obj in graph_dict[node]["Relation"]:
-            if obj in nodes:
-                if obj in res_dict[node]["Relation"]:
-                    res_dict[node]["Relation"][obj] += \
-                        graph_dict[node]["Relation"][obj]
-                else:
-                    res_dict[node]["Relation"][obj] = \
-                        graph_dict[node]["Relation"][obj]
-                if obj not in res_dict:
-                    res_dict[obj] = {}
-                    res_dict[obj]["rating"] = 1
-                else:
-                    res_dict[obj]["rating"] += 1
-                res_dict[node]["rating"] += 2
-            elif obj in list(remove_map.keys()) and remove_map[obj] in nodes:
-                if remove_map[obj] in res_dict[node]["Relation"]:
-                    res_dict[node]["Relation"][remove_map[obj]] += \
-                        graph_dict[node]["Relation"][obj]
-                else:
-                    res_dict[node]["Relation"][remove_map[obj]] = \
-                        graph_dict[node]["Relation"][obj]
-                if remove_map[obj] not in res_dict:
-                    res_dict[remove_map[obj]] = {}
-                    res_dict[remove_map[obj]]["rating"] = 1
-                else:
-                    res_dict[remove_map[obj]]["rating"] += 1
-                res_dict[node]["rating"] += 2
-            else:
-                pass
-    res_dict_sorted = OrderedDict(
-        sorted(res_dict.items(), key=lambda item: item[1]["relative_pos"]))
-    entities = []
-    for entity in res_dict_sorted:
-        flag = 0
-        for attribute in res_dict_sorted[entity]["Attribute"]:
-            if res_dict_sorted[entity]["Attribute"][attribute] >= attribute_thresh:
-                entities.append(attribute + ' ' + entity)
-                flag = 1
-                break
-        if flag == 0:
-            entities.append(entity)
-    return res_dict_sorted, entities
-
-
-def _ref_merge_graph_dict(model, entities, count_dict, entire_graph_dict,
-                          sentences):  # parse_tool.py:114-176
-    entity_embeddings = model.encode(entities, convert_to_tensor=True,
-                                     normalize_embeddings=True)
-    entity_correlation = torch.mm(entity_embeddings, entity_embeddings.T)
-    for idx in range(len(entity_correlation)):
-        entity_correlation[idx, idx] = 0
-    sim_index = torch.where(entity_correlation > 0.55)
-    sim_entity_dict = {}
-    remove_entity_dict = {}
-    remove_list = []
-    for ids, (x, y) in enumerate(zip(sim_index[0], sim_index[1])):
-        if entities[x] in remove_list:
-            if entities[x] not in remove_entity_dict:
-                remove_entity_dict[entities[x]] = [entities[y]]
-            else:
-                remove_entity_dict[entities[x]].append(entities[y])
-        else:
-            if entities[x] not in sim_entity_dict:
-                sim_entity_dict[entities[x]] = [entities[y]]
-            else:
-                sim_entity_dict[entities[x]].append(entities[y])
-            count_dict[entities[x]] = count_dict[entities[x]] \
-                + count_dict[entities[y]]
-        if entities[y] not in sim_entity_dict:
-            remove_list.append(entities[y])
-        _ref_merge_sim_node(entire_graph_dict, entities[x], entities[y])
-    new_count_dict = OrderedDict()
-    filterd_graph_dict = {}
-    removed_map = {}
-    remove_list = []
-    for ent in sim_entity_dict:
-        remove_list += sim_entity_dict[ent]
-    for remove_wd in remove_list:
-        try:
-            removed_map[remove_wd] = [wd for wd in remove_entity_dict[remove_wd]
-                                      if wd not in remove_list][0]
-        except Exception:
-            print("remove wrong!")
-    for key in list(count_dict.keys()):
-        if key in remove_list or count_dict[key] <= 2:
-            continue
-        new_count_dict[key] = count_dict[key]
-        filterd_graph_dict[key] = entire_graph_dict[key]
-    if filterd_graph_dict:
-        filterd_graph_dict_final, entities = _ref_filter_relation(
-            filterd_graph_dict, sim_entity_dict, removed_map, sentences)
-    else:
-        filterd_graph_dict_final = {}
-        entities = []
-    new_count_dict = OrderedDict(
-        sorted(new_count_dict.items(), key=lambda item: item[1], reverse=True))
-    return entities, new_count_dict, filterd_graph_dict_final
-
-
-def _ref_retrieve_concepts(model, scene_graphs, captions):
-    # detect_utils.py:20-43 with parse() replaced by precomputed graphs.
+def _ref_retrieve_concepts(ref_mod, model, scene_graphs, captions):
+    """detect_utils.py:20-43 composition with `parse` replaced by
+    precomputed graph strings."""
     type_dict = {}
     attribute_dict = {}
-    entities_, count_dict_, entire_graph_dict = _ref_get_graph_dict(
-        model, scene_graphs, type_dict, attribute_dict)
-    concepts, _, _ = _ref_merge_graph_dict(
-        model, entities_, count_dict_, entire_graph_dict, captions)
+    entities_, count_dict_, entire_graph_dict = ref_mod.get_graph_dict(
+        model, scene_graphs, type_dict, attribute_dict
+    )
+    concepts, _, _ = ref_mod.merge_graph_dict(
+        model, entities_, count_dict_, entire_graph_dict, captions
+    )
     return concepts[:4]
 
 
@@ -347,7 +98,11 @@ class _StubWTE:
 
     def encode(self, texts, convert_to_tensor=False, normalize_embeddings=True):
         rows = np.stack([self._row(t) for t in texts]).astype(np.float32)
-        return torch.from_numpy(rows) if convert_to_tensor else rows
+        if convert_to_tensor:
+            import torch
+
+            return torch.from_numpy(rows)
+        return rows
 
 
 _CAPTIONS = [
@@ -384,15 +139,23 @@ def _port_concepts(graphs, captions, model, k=4):
         graphs, lambda texts: model.encode(texts), captions, k)
 
 
-def test_segment_splitting_matches_reference():
-    assert mc.split_graph_segments(_GRAPHS) == _ref_get_seg_list_seperate(_GRAPHS)
+def test_segment_splitting_matches_reference(ref):
+    assert mc.split_graph_segments(_GRAPHS) == \
+        ref.get_seg_list_seperate(_GRAPHS)
     messy = ["(a ,b) ,( c , is:d )", "( lone )"]
-    assert mc.split_graph_segments(messy) == _ref_get_seg_list_seperate(messy)
+    assert mc.split_graph_segments(messy) == ref.get_seg_list_seperate(messy)
 
 
-def test_graph_dict_matches_reference():
+def test_single_string_and_bad_type():
+    one = "( dog , runs , park )"
+    assert mc.split_graph_segments(one) == mc.split_graph_segments([one])
+    with pytest.raises(ValueError):
+        mc.split_graph_segments(42)
+
+
+def test_graph_dict_matches_reference(ref):
     td_r, ad_r = {}, {}
-    ents_r, counts_r, graph_r = _ref_get_graph_dict(None, _GRAPHS, td_r, ad_r)
+    ents_r, counts_r, graph_r = ref.get_graph_dict(None, _GRAPHS, td_r, ad_r)
     td_p, ad_p = {}, {}
     ents_p, counts_p, graph_p = mc.build_graph_dict(_GRAPHS, td_p, ad_p)
     assert ents_p == ents_r
@@ -407,11 +170,11 @@ def test_graph_dict_matches_reference():
     assert counts_p["candle"] == 3
 
 
-def test_full_pipeline_matches_reference_transcription():
+def test_full_pipeline_matches_reference(ref):
     model = _StubWTE(_GROUPS)
-    ref = _ref_retrieve_concepts(model, _GRAPHS, _CAPTIONS)
+    want = _ref_retrieve_concepts(ref, model, _GRAPHS, _CAPTIONS)
     got = _port_concepts(_GRAPHS, _CAPTIONS, model)
-    assert got == ref
+    assert got == want
     # the scenario is engineered to exercise merge + filter + attach:
     # girl absorbs kid/child/woman (cos 0.6/0.9/1.2-plane hits > 0.55),
     # candle keeps its merged 'lit' attribute count 3 -> attached
@@ -420,11 +183,11 @@ def test_full_pipeline_matches_reference_transcription():
     assert "kid" not in got and "child" not in got
 
 
-def test_merge_stage_intermediates_match():
+def test_merge_stage_intermediates_match(ref):
     model = _StubWTE(_GROUPS)
     td, ad = {}, {}
-    ents_r, counts_r, graph_r = _ref_get_graph_dict(None, _GRAPHS, td, ad)
-    concepts_r, new_counts_r, final_r = _ref_merge_graph_dict(
+    ents_r, counts_r, graph_r = ref.get_graph_dict(None, _GRAPHS, td, ad)
+    concepts_r, new_counts_r, final_r = ref.merge_graph_dict(
         model, ents_r, counts_r, graph_r, _CAPTIONS)
 
     ents_p, counts_p, graph_p = mc.build_graph_dict(_GRAPHS)
@@ -445,23 +208,23 @@ def test_merge_stage_intermediates_match():
     assert rep_p.get("kid") in sub_p or "kid" not in rep_p
 
 
-def test_no_survivor_returns_empty():
+def test_no_survivor_returns_empty(ref):
     # every entity appears once -> count <= 2 filter kills all
     graphs = ["( cat , sit , mat )", "( dog , run )"]
     model = _StubWTE([{"cat": 0.0}, {"dog": 0.0}, {"mat": 0.0}])
     assert _port_concepts(graphs, ["a cat", "a dog"], model) == []
-    assert _ref_retrieve_concepts(model, graphs, ["a cat", "a dog"]) == []
+    assert _ref_retrieve_concepts(ref, model, graphs, ["a cat", "a dog"]) == []
 
 
-def test_relative_position_start_of_sentence_quirk():
+def test_relative_position_start_of_sentence_quirk(ref):
     # entity at position 0 contributes nothing (find()==0 fails `pos > 0`)
     graphs = ["( zebra , run )"] * 3
     caps = ["zebra runs fast", "zebra at dawn", "the zebra"]
     model = _StubWTE([{"zebra": 0.0}])
-    ref = _ref_retrieve_concepts(model, graphs, caps)
+    want = _ref_retrieve_concepts(ref, model, graphs, caps)
     got = _port_concepts(graphs, caps, model)
     # 'run' is a 2-field attribute; its merged count 3 >= thresh attaches it
-    assert got == ref == ["run zebra"]
+    assert got == want == ["run zebra"]
     ordered, _ = mc.order_and_attach(
         {"zebra": {"Relation": {}, "Attribute": {}, "count": 3}}, {}, caps)
     assert ordered["zebra"]["relative_pos"] == pytest.approx(4 / 9)
@@ -507,15 +270,15 @@ def _random_case(rng):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
-def test_fuzz_matches_reference(seed):
+def test_fuzz_matches_reference(ref, seed):
     rng = np.random.default_rng(seed)
     for _ in range(8):
         graphs, caps, model = _random_case(rng)
         assert _port_concepts(graphs, caps, model) == \
-            _ref_retrieve_concepts(model, graphs, caps)
+            _ref_retrieve_concepts(ref, model, graphs, caps)
 
 
-def test_build_concept_extractor_end_to_end():
+def test_build_concept_extractor_end_to_end(ref):
     """The packaged extractor path (what MeaCap wires as concept_extractor)
     executes the faithful pipeline with stub parse/encode callables."""
     model = _StubWTE(_GROUPS)
@@ -528,6 +291,6 @@ def test_build_concept_extractor_end_to_end():
     extractor = build_concept_extractor(
         parse_fn, lambda texts: model.encode(texts))
     got = extractor(_CAPTIONS)
-    assert got == _ref_retrieve_concepts(model, _GRAPHS, _CAPTIONS)
+    assert got == _ref_retrieve_concepts(ref, model, _GRAPHS, _CAPTIONS)
     assert parse_calls == [list(_CAPTIONS)]
     assert 0 < len(got) <= 4
