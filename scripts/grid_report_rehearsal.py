@@ -229,8 +229,9 @@ def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
 
     collector = ResultsCollector(grid["output_directory"])
     results = collector.collect_from_config(grid_path)
+    grid_name = os.path.splitext(os.path.basename(grid_path))[0]
     lines = [
-        "# Grid report rehearsal — main_table",
+        f"# Grid report rehearsal — {grid_name}",
         "",
         "Generated by `scripts/grid_report_rehearsal.py` (seeded tiny "
         "models, synthetic data, CPU). Scores are random-init gibberish; "
