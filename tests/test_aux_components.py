@@ -497,10 +497,16 @@ def test_collect_variant_without_row_is_missing(tmp_path):
     from patchioner_tpu.eval import harness
     from patchioner_tpu.eval.collect_results import ResultsCollector
 
+    # the row is keyed as the union-key runner writes it: every axis the
+    # task's variant list carries appears as a column, '' for axis-not-set
+    # (runner.variant_key_settings). A legacy row WITHOUT those columns is
+    # deliberately found=False now — the fail-safe the round-4 matcher
+    # chose over letting a flag-absent variant inherit a flag-set row.
     harness.append_results_csv(
         str(tmp_path / "narratives.csv"),
-        {"model": "mlp.k", "task": "narratives", "CIDEr": "0.5"},
-        ["model", "task"],
+        {"model": "mlp.k", "task": "narratives", "caption_from": "",
+         "use_gaussian_weighting": "", "CIDEr": "0.5"},
+        ["model", "task", "caption_from", "use_gaussian_weighting"],
     )
     grid = {
         "experiments": [
