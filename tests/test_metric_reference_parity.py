@@ -166,11 +166,10 @@ def _pycoco_lcs(string, sub):
     return lengths[len(string)][len(sub)]
 
 
-def test_rouge_l_parity_vs_pycocoevalcap_transcription():
-    """ROUGE-L must equal a literal transcription of pycocoevalcap
-    rouge.py calc_score — max precision and max recall taken SEPARATELY
-    over references (possibly from different refs), combined at beta=1.2."""
-    cand_t, refs_t = _tokenized()
+def _pycoco_rouge(cand_t, refs_t):
+    """Literal transcription of pycocoevalcap rouge.py calc_score — max
+    precision and max recall taken SEPARATELY over references (possibly
+    from different refs), combined at beta=1.2."""
     beta = 1.2
     want = []
     for c, refs in zip(cand_t, refs_t):
@@ -184,16 +183,21 @@ def test_rouge_l_parity_vs_pycocoevalcap_transcription():
             ((1 + beta**2) * pm * rm) / (rm + beta**2 * pm)
             if pm != 0 and rm != 0 else 0.0
         )
+    return want
+
+
+def test_rouge_l_parity_vs_pycocoevalcap_transcription():
+    cand_t, refs_t = _tokenized()
+    want = _pycoco_rouge(cand_t, refs_t)
     corpus, inst = metrics.rouge_l(cand_t, refs_t)
     np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
     assert abs(corpus - sum(want) / len(want)) < 1e-12
 
 
-def test_cider_d_parity_vs_pycocoevalcap_transcription():
-    """CIDEr-D must equal a literal transcription of pycocoevalcap
-    cider_scorer.py (tf-idf vectors with ref_len = log(#images), min-clipped
-    dot, length-gaussian at sigma=6, averaged over refs and n, x10)."""
-    cand_t, refs_t = _tokenized()
+def _pycoco_cider(cand_t, refs_t):
+    """Literal transcription of pycocoevalcap cider_scorer.py (tf-idf
+    vectors with ref_len = log(#images), min-clipped dot, length-gaussian
+    at sigma=6, averaged over refs and n, x10)."""
     n_max, sigma = 4, 6.0
 
     def precook(words):
@@ -243,21 +247,26 @@ def test_cider_d_parity_vs_pycocoevalcap_transcription():
             vr, nr, lr = counts2vec(ref)
             score += sim(vec, vr, norm, nr, length, lr)
         want.append(float(np.mean(score) / len(refs) * 10.0))
+    return want
+
+
+def test_cider_d_parity_vs_pycocoevalcap_transcription():
+    cand_t, refs_t = _tokenized()
+    want = _pycoco_cider(cand_t, refs_t)
     corpus, inst = metrics.cider_d(cand_t, refs_t)
     np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
     assert abs(corpus - sum(want) / len(want)) < 1e-12
 
 
-def test_meteor_exact_stem_vs_exhaustive_aligner():
-    """METEOR's beam-search aligner must reach the true optimum of the
-    METEOR-1.5 objective (max covered words, then min chunks, then min
-    total |i-j| match-start distance — the Java aligner's published
-    tie-break — then max weighted mass) — verified against an
-    independently-coded exhaustive search over all non-conflicting match
-    subsets."""
+def _meteor_oracle(cand_t, refs_t):
+    """Exhaustive-search METEOR-1.5 oracle (exact+stem): the true optimum
+    of (max covered words, then min chunks, then min total |i-j|
+    match-start distance — the Java aligner's published tie-break — then
+    max weighted mass), searched over all non-conflicting match subsets.
+    Exponential in match options — callers keep sentences short / largely
+    repeat-free."""
     from patchioner_tpu.text.porter import stem
 
-    cand_t, refs_t = _tokenized()
     alpha, beta_p, gamma, stem_w = 0.9, 3.0, 0.5, 0.6
 
     def best_alignment(cand, ref):
@@ -307,8 +316,13 @@ def test_meteor_exact_stem_vs_exhaustive_aligner():
         fmean = p * r / (alpha * p + (1 - alpha) * r)
         return fmean * (1 - gamma * ((-negchunks) / count) ** beta_p)
 
-    want = [max(score_pair(c, r) for r in refs)
+    return [max(score_pair(c, r) for r in refs)
             for c, refs in zip(cand_t, refs_t)]
+
+
+def test_meteor_exact_stem_vs_exhaustive_aligner():
+    cand_t, refs_t = _tokenized()
+    want = _meteor_oracle(cand_t, refs_t)
     corpus, inst = metrics.meteor(cand_t, refs_t)
     np.testing.assert_allclose(inst, want, rtol=0, atol=1e-12)
 
@@ -569,6 +583,92 @@ def test_spice_matching_is_duplicate_free_and_optimal_under_synonyms():
 
     # arity mismatch never matches
     assert _prf({("dog",)}, {("dog", "small")}, syn)["f"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Corpus fuzzing (round 4): the fixed split locks exact numbers; these
+# sweep randomized corpora through the same independent oracles so the
+# scorers cannot drift on shapes the split doesn't exercise (unequal ref
+# counts, degenerate overlaps, repeated n-grams, empty tuple sets).
+
+_FUZZ_VOCAB = (
+    "a the dog cat man woman bird car tree table chair plate pizza water "
+    "sky park street ball book light sign door window wall floor grass "
+    "field horse sheep cow boat train plane cup fork glass bowl lamp shoe "
+    "hat coat"
+).split()
+
+_SPICE_WORDS = (
+    "a the black white small large wooden red dog cat man woman table "
+    "chair pizza car bird tree on sitting standing near holding riding "
+    "is are"
+).split()
+
+
+def _fuzz_corpus(rng, n=6):
+    """Sentences sampled WITHOUT replacement (repeat-free) so the METEOR
+    exhaustive oracle stays tractable; ref counts vary 1-3 per image."""
+    def sent(lo=3, hi=8):
+        k = int(rng.integers(lo, hi))
+        return list(rng.choice(_FUZZ_VOCAB, size=k, replace=False))
+
+    cand_t = [sent() for _ in range(n)]
+    refs_t = [
+        [sent() for _ in range(int(rng.integers(1, 4)))] for _ in range(n)
+    ]
+    return cand_t, refs_t
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103, 104])
+def test_fuzz_bleu_rouge_cider_meteor_vs_oracles(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(4):
+        cand_t, refs_t = _fuzz_corpus(rng)
+        want_corpus, want_inst = _pycoco_bleu(cand_t, refs_t)
+        ours, inst = metrics.bleu(cand_t, refs_t)
+        for n in range(4):
+            assert abs(ours[n] - want_corpus[n]) < 1e-15, (seed, n)
+            for i in range(len(cand_t)):
+                assert abs(inst[i][n] - want_inst[n][i]) < 1e-15, (seed, n, i)
+        _, r_inst = metrics.rouge_l(cand_t, refs_t)
+        np.testing.assert_allclose(
+            r_inst, _pycoco_rouge(cand_t, refs_t), rtol=0, atol=1e-12)
+        _, c_inst = metrics.cider_d(cand_t, refs_t)
+        np.testing.assert_allclose(
+            c_inst, _pycoco_cider(cand_t, refs_t), rtol=0, atol=1e-12)
+        _, m_inst = metrics.meteor(cand_t, refs_t)
+        np.testing.assert_allclose(
+            m_inst, _meteor_oracle(cand_t, refs_t), rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [201, 202, 203])
+def test_fuzz_spice_vs_oracle(seed):
+    """Random lexicon-word captions (articles/attributes/objects/relations
+    mixed, so parses range from empty to multi-relation) through the
+    re-coded parser + optimal-matching scorer."""
+    from patchioner_tpu.eval import spice as spice_mod
+
+    lex = spice_mod.SpiceLexicon.vendored()
+    rng = np.random.default_rng(seed)
+
+    def sent():
+        k = int(rng.integers(2, 9))
+        return [str(w) for w in rng.choice(_SPICE_WORDS, size=k)]
+
+    for _ in range(6):
+        cand_t = [sent() for _ in range(5)]
+        refs_t = [
+            [sent() for _ in range(int(rng.integers(1, 3)))]
+            for _ in range(5)
+        ]
+        for toks in cand_t + [r for refs in refs_t for r in refs]:
+            assert _oracle_parse(toks, lex) == \
+                spice_mod.parse_scene_graph(toks, lex), toks
+        want_corpus, want_f = _oracle_spice_scores(cand_t, refs_t, lex)
+        got_corpus, got_inst = spice_mod.spice(cand_t, refs_t, lexicon=lex)
+        np.testing.assert_allclose(
+            [e["All"]["f"] for e in got_inst], want_f, rtol=0, atol=1e-12)
+        assert abs(got_corpus - want_corpus) < 1e-12
 
 
 # Golden values for the fixed split, generated by
