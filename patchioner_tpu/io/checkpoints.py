@@ -11,7 +11,8 @@ import os
 from typing import Any, Optional
 
 __all__ = ["CheckpointManager", "load_decap_from_train_dir",
-           "save_params_npz", "load_params_npz"]
+           "load_mapper_from_train_dir", "save_params_npz",
+           "load_params_npz"]
 
 
 class CheckpointManager:

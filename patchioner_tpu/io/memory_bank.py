@@ -120,7 +120,12 @@ def load_bank(
 
     `dataset=None` auto-detects the file's `*-embeddings` key, so a bank
     built for any corpus (vg_captions, ms_marco_queries_a, ...) loads
-    without the caller hard-coding 'coco_captions'."""
+    without the caller hard-coding 'coco_captions'.
+
+    Returns None ONLY for a missing file. A file that exists but lacks the
+    requested (or any) bank keys raises KeyError naming what it does
+    contain — returning None there let the caller silently substitute a
+    random-init bank for a mis-keyed drop-in file."""
     import h5py
 
     if not os.path.exists(path):
@@ -132,11 +137,19 @@ def load_bank(
                 if k.endswith("-embeddings") and f"{k[: -len('-embeddings')]}-text" in hf
             )
             if not cands:
-                return None
+                raise KeyError(
+                    f"{path!r} exists but contains no "
+                    f"'<dataset>-embeddings'/'<dataset>-text' pair "
+                    f"(keys: {sorted(hf.keys())}) — not a memory bank file"
+                )
             dataset = cands[0]
         ek, tk = f"{dataset}-embeddings", f"{dataset}-text"
         if ek not in hf or tk not in hf:
-            return None
+            raise KeyError(
+                f"{path!r} has no {ek!r}/{tk!r} datasets "
+                f"(keys: {sorted(hf.keys())}); pass the matching dataset "
+                f"name or dataset=None to auto-detect"
+            )
         emb = hf[ek][:]
         texts = [
             t.decode() if isinstance(t, bytes) else str(t) for t in hf[tk][:]

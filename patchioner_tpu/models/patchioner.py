@@ -871,7 +871,11 @@ class Patchioner:
                 memdir = os.getenv("IM2TXT_MEMORY_PATH", "/im2txtmemories")
                 fname, dataset = mb.bank_filename(
                     projection_type,
-                    config.get("clip_model_name") or "ViT-B/16",
+                    # pass None through: bank_filename resolves it like the
+                    # reference (ViT-B/16 under talk2dino, else ViT-B/32,
+                    # im2txtprojection.py:284-295) — a hardcoded ViT-B/16
+                    # here mis-named non-talk2dino drop-in banks
+                    config.get("clip_model_name"),
                     support_size,
                     use_talk2dino=config.get("use_talk2dino_project", True),
                     linear_talk2dino=config.get("linear_talk2dino", False),

@@ -72,7 +72,22 @@ def _byte_unicode_table() -> dict:
     return dict(zip(keep, (chr(c) for c in chars)))
 
 
+try:
+    from ftfy import fix_text as _fix_text
+except ImportError:  # ftfy not in this image — NFC covers the
+    # decomposed-accent slice of what fix_text repairs (full mojibake
+    # repair needs ftfy proper; documented variant)
+    import unicodedata
+
+    def _fix_text(text: str) -> str:
+        return unicodedata.normalize("NFC", text)
+
+
 def _clean_text(text: str) -> str:
+    """CLIP's basic_clean + whitespace_clean: the reference runs
+    ftfy.fix_text BEFORE the double html.unescape (simple_tokenizer.py);
+    resolved once at import (hot path — corpus tokenization)."""
+    text = _fix_text(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text.strip())
     return text.strip().lower()
@@ -228,16 +243,18 @@ def tokenize_parallel(
     get_tokenizer(bpe_path)  # build BEFORE forking so children inherit it
     import multiprocessing as mp
 
-    jobs = [
-        (list(texts[i : i + chunk]), context_length, bpe_path)
-        for i in range(0, len(texts), chunk)
-    ]
     method = ("fork" if "fork" in mp.get_all_start_methods() and _fork_safe()
               else "spawn")
     if method == "spawn" and len(texts) < _SPAWN_MIN_TEXTS:
         # spawn workers re-import + rebuild the vocab (~seconds each);
         # below ~50k captions that startup beats the parallel win
         return get_tokenizer(bpe_path).tokenize(texts, context_length)
+    # build the per-chunk copies only once a pooled run is certain (the
+    # spawn bailout above would otherwise discard a full corpus copy)
+    jobs = [
+        (list(texts[i : i + chunk]), context_length, bpe_path)
+        for i in range(0, len(texts), chunk)
+    ]
     ctx = mp.get_context(method)
     with ctx.Pool(min(workers, len(jobs))) as pool:
         parts = pool.map(_tokenize_chunk, jobs)

@@ -21,7 +21,6 @@ of the locations above yields exact GPT-2 tokenization with no code change.
 
 from __future__ import annotations
 
-import functools
 import glob
 import json
 import os
@@ -47,23 +46,9 @@ __all__ = ["Gpt2Tokenizer", "load_gpt2_tokenizer", "ENDOFTEXT"]
 ENDOFTEXT = "<|endoftext|>"
 
 
-@functools.lru_cache(maxsize=1)
-def _byte_unicode_table() -> dict:
-    """OpenAI's bytes_to_unicode: printable bytes map to themselves, the
-    rest to 256+offset codepoints (identical to CLIP's table)."""
-    bs = (
-        list(range(ord("!"), ord("~") + 1))
-        + list(range(ord("¡"), ord("¬") + 1))
-        + list(range(ord("®"), ord("ÿ") + 1))
-    )
-    cs = bs[:]
-    n = 0
-    for b in range(256):
-        if b not in bs:
-            bs.append(b)
-            cs.append(256 + n)
-            n += 1
-    return dict(zip(bs, map(chr, cs)))
+# OpenAI's bytes_to_unicode is byte-identical between GPT-2 and CLIP —
+# one definition lives in clip_bpe so the two can never drift
+from patchioner_tpu.text.clip_bpe import _byte_unicode_table
 
 
 class Gpt2Tokenizer:
@@ -149,9 +134,12 @@ def _hf_cache_candidates() -> List[str]:
     ]
     dirs = []
     for root in roots:
-        dirs.extend(
-            glob.glob(os.path.join(root, "hub", "models--gpt2", "snapshots", "*"))
-        )
+        # both cache layouts: the legacy repo id 'gpt2' and the canonical
+        # post-rename 'openai-community/gpt2'
+        for repo in ("models--gpt2", "models--openai-community--gpt2"):
+            dirs.extend(
+                glob.glob(os.path.join(root, "hub", repo, "snapshots", "*"))
+            )
     return dirs
 
 

@@ -22,8 +22,22 @@ def load_dotenv(path: str = ".env", override: bool = False) -> dict:
             line = line.strip()
             if not line or line.startswith("#") or "=" not in line:
                 continue
+            if line.startswith("export "):
+                # python-dotenv accepts shell-style 'export KEY=V' lines;
+                # without this the var would be set under the literal name
+                # 'export KEY'
+                line = line[len("export "):].lstrip()
             key, _, value = line.partition("=")
-            key, value = key.strip(), value.strip().strip("'\"")
+            key, value = key.strip(), value.strip()
+            if value[:1] in ("'", '"') and value[-1:] == value[:1] \
+                    and len(value) >= 2:
+                # quoted value: keep interior verbatim (including '#')
+                value = value[1:-1]
+            else:
+                # unquoted value: python-dotenv strips inline ' # comment'
+                value = value.split(" #", 1)[0].rstrip()
+                if value.startswith("#"):
+                    value = ""
             loaded[key] = value
             if override or key not in os.environ:
                 os.environ[key] = value

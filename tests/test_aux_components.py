@@ -209,14 +209,25 @@ def test_dotenv_loader(tmp_path, monkeypatch):
     from patchioner_tpu.utils.env import load_dotenv
 
     p = tmp_path / ".env"
-    p.write_text("# comment\nIM2TXT_MEMORY_PATH=/data/mem\nQUOTED='hello'\n")
-    monkeypatch.delenv("IM2TXT_MEMORY_PATH", raising=False)
+    p.write_text(
+        "# comment\n"
+        "IM2TXT_MEMORY_PATH=/data/mem # inline comment stripped\n"
+        "QUOTED='hello # kept'\n"
+        "export EXPORTED=/data/exp\n"
+    )
+    for var in ("IM2TXT_MEMORY_PATH", "EXPORTED", "export EXPORTED"):
+        monkeypatch.delenv(var, raising=False)
     loaded = load_dotenv(str(p))
+    # python-dotenv semantics: unquoted values drop ' # ...' tails, quoted
+    # values keep them, 'export KEY=V' sets KEY (not 'export KEY')
     assert loaded["IM2TXT_MEMORY_PATH"] == "/data/mem"
-    assert loaded["QUOTED"] == "hello"
+    assert loaded["QUOTED"] == "hello # kept"
+    assert loaded["EXPORTED"] == "/data/exp"
     import os
 
     assert os.environ["IM2TXT_MEMORY_PATH"] == "/data/mem"
+    assert os.environ["EXPORTED"] == "/data/exp"
+    assert "export EXPORTED" not in os.environ
 
 
 def test_regionclip_from_config():
@@ -319,16 +330,21 @@ def test_load_bank_autodetect_and_zero_filter(tmp_path):
     np.testing.assert_array_equal(loaded.embeddings, emb[[0, 2, 3]])
     assert loaded.texts == ["cap 0", "cap 2", "cap 3"]
 
-    # explicit key still works and a wrong key declines
+    # explicit key still works; a wrong key on an EXISTING file raises
+    # with the available keys (round 4 — returning None there let the
+    # caller silently substitute a random-init bank for a mis-keyed
+    # drop-in file); only a missing file returns None
     assert mb.load_bank(path, "vg_captions") is not None
-    assert mb.load_bank(path, "coco_captions") is None
+    with pytest.raises(KeyError, match="vg_captions"):
+        mb.load_bank(path, "coco_captions")
+    assert mb.load_bank(str(tmp_path / "absent.h5"), "coco_captions") is None
 
 
 def test_load_bank_autodetect_skips_textless_dataset(tmp_path):
     """A `*-embeddings` key with no matching `*-text` dataset must not be
-    auto-detected (and an explicit request for it declines with None
-    instead of raising) — malformed banks follow the graceful-decline
-    contract everywhere."""
+    auto-detected; explicitly requesting it raises (the file exists — a
+    silent None would end in a random-init bank), and a file with NO
+    complete pair at all raises too."""
     pytest.importorskip("h5py")
     import h5py
     from patchioner_tpu.io import memory_bank as mb
@@ -342,7 +358,14 @@ def test_load_bank_autodetect_skips_textless_dataset(tmp_path):
 
     loaded = mb.load_bank(path)
     assert loaded is not None and loaded.texts == ["a", "b", "c"]
-    assert mb.load_bank(path, "aux") is None
+    with pytest.raises(KeyError, match="aux-text"):
+        mb.load_bank(path, "aux")
+
+    not_a_bank = str(tmp_path / "other.h5")
+    with h5py.File(not_a_bank, "w") as hf:
+        hf.create_dataset("something", data=emb)
+    with pytest.raises(KeyError, match="not a memory bank"):
+        mb.load_bank(not_a_bank)
 
 
 def test_bank_filename_default_modelname_tracks_talk2dino():
