@@ -74,13 +74,30 @@ class ClipTextConfig:
 
 
 def _ln(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32 statistics regardless of activation dtype: the reference CLIP
+    # towers subclass LayerNorm to compute in fp32 even for fp16 models
+    # (alpha_clip/model.py:160-166, INViTE clipfolder/model.py:157-163);
+    # bf16 mean/var would drift per layer (same pattern as vit._ln)
+    xs = x.astype(jnp.float32)
+    mu = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.var(xs, axis=-1, keepdims=True)
+    y = (xs - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _dense(x, p):
     return x @ p["w"] + p["b"]
+
+
+def _cast_params(params, dtype):
+    """Cast f32 weights once when running sub-f32 (vit_forward's pattern):
+    f32 params would silently promote every matmul back to f32, making a
+    requested bf16 run cost f32 compute and bandwidth."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+    )
 
 
 def _quick_gelu(x):
@@ -137,6 +154,7 @@ def clip_visual_forward(
     """
     b, hh, ww, _ = pixels.shape
     g = hh // cfg.patch_size
+    params = _cast_params(params, cfg.dtype)
     x = pixels.astype(cfg.dtype)
     x = x.reshape(b, g, cfg.patch_size, g, cfg.patch_size, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, -1)
@@ -193,6 +211,7 @@ def clip_visual_forward(
 def clip_text_forward(params: dict, tokens: jax.Array, cfg: ClipTextConfig) -> jax.Array:
     """(B, 77) int tokens -> (B, proj_dim) text embedding (EOT pooled)."""
     b, t = tokens.shape
+    params = _cast_params(params, cfg.dtype)
     x = params["token_embedding"][tokens].astype(cfg.dtype)
     x = x + params["pos_embed"][:t].astype(cfg.dtype)
     causal = jnp.tril(jnp.ones((t, t), bool))
@@ -207,10 +226,8 @@ def clip_text_forward(params: dict, tokens: jax.Array, cfg: ClipTextConfig) -> j
 # -------------------------------------------------------------------- port
 
 
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
+# the one torch->numpy conversion helper lives in the porting layer
+from patchioner_tpu.io.torch_port import _np  # noqa: E402
 
 
 def _port_blocks_hf(sd: Mapping, prefix: str, depth: int) -> list:

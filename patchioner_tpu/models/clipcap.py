@@ -89,9 +89,7 @@ def port_clipcap(sd, cfg: ClipCapConfig, n_layer: int = 12) -> dict:
     """Port a ClipCap checkpoint: clip_project.* mapper (+ gpt.* when the
     checkpoint includes finetuned GPT-2 weights)."""
 
-    def _np(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                          np.float32)
+    from patchioner_tpu.io.torch_port import _np
 
     out = {}
     if cfg.mapping_type == "mlp":

@@ -128,12 +128,15 @@ def port_dinotxt(sd: Mapping, *, visual_depth: int = 24,
                  num_registers: int = 4, text_depth: int = 24) -> dict:
     """Full checkpoint -> {"visual": vit params, "text": text params}.
     The text tower is optional (the reference's encoder path never runs
-    it); absent text keys yield {"visual": ..., "text": None}."""
+    it): a checkpoint with NO `text_model.*` keys yields
+    {"visual": ..., "text": None}. A checkpoint that DOES carry text keys
+    but fails to port re-raises — swallowing that KeyError would silently
+    build memory banks without the text encoder the checkpoint provides."""
     out = {"visual": port_dinotxt_visual(sd, visual_depth, num_registers)}
-    try:
-        out["text"] = port_dinotxt_text(sd, text_depth)
-    except KeyError:
+    if not any(k.startswith(_TEXT_PREFIX) for k in sd):
         out["text"] = None
+        return out
+    out["text"] = port_dinotxt_text(sd, text_depth)
     return out
 
 

@@ -96,6 +96,12 @@ def proxyclip_forward(
     # ---- CLIP trunk: patch embed + pos (interpolated) + ln_pre + blocks[:-1]
     gc = hh // ccfg.patch_size
     x = pixels.astype(ccfg.dtype)
+    if hh != gc * ccfg.patch_size:
+        # the reference's strided conv1 (kernel=stride=patch, no padding)
+        # FLOORS the grid, dropping the bottom/right remainder pixels —
+        # both shipped ProxyCLIP crops are non-divisible (518 and 296 vs
+        # patch 16), so slice before the reshape-based embed
+        x = x[:, : gc * ccfg.patch_size, : gc * ccfg.patch_size, :]
     x = x.reshape(b, gc, ccfg.patch_size, gc, ccfg.patch_size, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gc * gc, -1)
     x = x @ clip_params["patch_embed_w"]

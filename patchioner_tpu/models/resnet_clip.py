@@ -137,6 +137,14 @@ def resnet_spatial_forward(
     (clip_backbone.py:265-293). The CLS token is always the layer4
     attnpool output."""
     eps = cfg.bn_eps
+    if cfg.dtype != jnp.float32:
+        # cast weights once (vit.py's pattern): lax.conv requires matching
+        # operand dtypes — f32 params against bf16 pixels CRASH the first
+        # stem conv, and f32 params would promote the matmuls anyway
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(cfg.dtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
     x = pixels.astype(cfg.dtype)
     # 3-conv stem (conv1 stride 2) + avgpool 2
     x = jax.nn.relu(_frozen_bn(_conv(x, params["stem"]["conv1"], stride=2),
@@ -234,10 +242,8 @@ def init_resnet_clip(key: jax.Array, cfg: ResNetClipConfig) -> dict:
 # -------------------------------------------------------------------- port
 
 
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
+# the one torch->numpy conversion helper lives in the porting layer
+from patchioner_tpu.io.torch_port import _np  # noqa: E402
 
 
 def port_clip_resnet(sd: Mapping, cfg: ResNetClipConfig, prefix: str = "visual.") -> dict:
@@ -279,8 +285,26 @@ def port_clip_resnet(sd: Mapping, cfg: ResNetClipConfig, prefix: str = "visual."
                 blk["down_bn"] = bn(f"{p}.downsample.1")
             blocks.append(blk)
         params["layers"].append(blocks)
+    pos = g("attnpool.positional_embedding")
+    want_tokens = cfg.grid_size * cfg.grid_size + 1
+    if pos.shape[0] != want_tokens:
+        # the reference loader deletes an incompatible attnpool pos-embed
+        # and lets the model re-init one at the config resolution
+        # (src/regionclip/loader.py:186-197) — e.g. a 224px-trained RN50
+        # (50 tokens) loaded at the shipped 512px config (257 tokens)
+        print(
+            f"Warning: attnpool pos-embed has {pos.shape[0]} tokens, "
+            f"config resolution {cfg.img_size} needs {want_tokens} — "
+            f"re-initializing it (reference loader behavior)"
+        )
+        pos = np.asarray(
+            jax.random.normal(
+                jax.random.PRNGKey(0), (want_tokens, pos.shape[1])
+            ) / math.sqrt(pos.shape[1]),
+            np.float32,
+        )
     params["attnpool"] = {
-        "pos_embed": g("attnpool.positional_embedding"),
+        "pos_embed": pos,
         "q": {"w": g("attnpool.q_proj.weight").T, "b": g("attnpool.q_proj.bias")},
         "k": {"w": g("attnpool.k_proj.weight").T, "b": g("attnpool.k_proj.bias")},
         "v": {"w": g("attnpool.v_proj.weight").T, "b": g("attnpool.v_proj.bias")},

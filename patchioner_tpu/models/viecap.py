@@ -128,9 +128,7 @@ def port_mapping_network(sd, prefix: str = "mapping_network.", num_layers: int =
     """Port torch MappingNetwork weights (src/viecap/ClipCap.py:122-155).
     TransformerLayer attention linears have bias=False (ClipCap.py:78)."""
 
-    def _np(t):
-        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                          np.float32)
+    from patchioner_tpu.io.torch_port import _np
 
     def lin(name, bias=True):
         p = {"w": _np(sd[f"{prefix}{name}.weight"]).T}

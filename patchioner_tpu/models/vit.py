@@ -90,6 +90,19 @@ class ViTConfig:
     extract_scale: float = 0.125
     dtype: jnp.dtype = jnp.float32
 
+    _ATTN_IMPLS = ("xla", "fusedqkv", "fusedqkv_proj", "flash", "flash1p",
+                   "flash_builtin")
+
+    def __post_init__(self):
+        # a typo'd impl (config or PATCHIONER_BENCH_ATTN) must fail, not
+        # silently fall through _attention's if/elif chain to the XLA path
+        # and report XLA numbers under the requested kernel's name
+        if self.attn_impl not in self._ATTN_IMPLS:
+            raise ValueError(
+                f"attn_impl={self.attn_impl!r} is not one of "
+                f"{self._ATTN_IMPLS}"
+            )
+
     @property
     def grid_size(self) -> int:
         return self.img_size // self.patch_size

@@ -103,3 +103,32 @@ def test_proxyclip_forward_modes(proxy_model):
     assert len(outs["avg_patch_capt"]) == 2
     assert len(outs["trace_capts"]) == 2
     assert len(outs["bbox_capts"][0]) == 1
+
+
+def test_proxyclip_non_divisible_crop_floors_grid():
+    """Both shipped ProxyCLIP configs use crops that are NOT divisible by
+    the CLIP patch size (518 and 296 vs patch 16); the reference's strided
+    conv1 floors the grid, dropping the bottom/right remainder — the
+    reshape-based embed must slice first instead of crashing, and must
+    equal running the pre-sliced pixels."""
+    from patchioner_tpu.models import clip as clip_mod
+    from patchioner_tpu.models import proxyclip, vit
+
+    # VFM patch 14 divides 28; CLIP patch 16 does not (28 -> gc=1, slice 16)
+    clip_cfg = clip_mod.ClipVisionConfig(
+        img_size=32, patch_size=16, width=64, depth=2, heads=4, proj_dim=48
+    )
+    vfm_cfg = vit.ViTConfig(img_size=28, patch_size=14, embed_dim=64,
+                            depth=2, num_heads=4, num_registers=4,
+                            extract_heads=4, pos_grid=2)
+    pcfg = proxyclip.ProxyClipConfig(clip=clip_cfg, vfm=vfm_cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    cp = clip_mod.init_clip_vision(k1, clip_cfg)
+    vp = vit.init_vit(k2, vfm_cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 28, 28, 3)),
+        jnp.float32,
+    )
+    out = proxyclip.proxyclip_forward(cp, vp, imgs, pcfg)
+    assert out["x_norm_patchtokens"].shape == (2, 4, 48)
+    assert np.isfinite(np.asarray(out["x_norm_patchtokens"])).all()
