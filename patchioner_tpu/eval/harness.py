@@ -207,11 +207,15 @@ def append_results_csv(
             fields.append(k)
     rows.append({k: row.get(k, "") for k in fields})
     os.makedirs(os.path.dirname(os.path.abspath(csv_path)), exist_ok=True)
-    with open(csv_path, "w", newline="") as f:
+    # atomic replace: the rewrite carries EVERY previously accumulated row,
+    # so a crash mid-write must not truncate hours of grid results
+    tmp_path = csv_path + f".tmp.{os.getpid()}"
+    with open(tmp_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)
         writer.writeheader()
         for r in rows:
             writer.writerow({k: r.get(k, "") for k in fields})
+    os.replace(tmp_path, csv_path)
     return True
 
 

@@ -32,15 +32,27 @@ class DecapParams(NamedTuple):
 
 
 def init_decap(key: jax.Array, cfg: gpt2.GPT2Config, prefix_size: int) -> DecapParams:
-    k1, k2 = jax.random.split(key)
+    """Init matches the reference exactly: GPT-2 layers via the HF scheme
+    (gpt2.init_gpt2) and clip_project via torch nn.Linear's DEFAULT init —
+    kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)) for the weight and
+    U(±1/sqrt(fan_in)) for the bias (MLP((prefix_size, n_embd)),
+    src/decap/decap.py:46-58,71). DeCap trains this layer from scratch, so
+    init IS training semantics (round 4; previously normal/sqrt(fan_in)
+    weights + zero bias, an undocumented deviation)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     import math
 
-    w = jax.random.normal(k2, (prefix_size, cfg.n_embd), jnp.float32) / math.sqrt(
-        prefix_size
-    )
+    bound = 1.0 / math.sqrt(prefix_size)
     return DecapParams(
         gpt2=gpt2.init_gpt2(k1, cfg),
-        clip_project={"w": w, "b": jnp.zeros((cfg.n_embd,), jnp.float32)},
+        clip_project={
+            "w": jax.random.uniform(
+                k2, (prefix_size, cfg.n_embd), jnp.float32, -bound, bound
+            ),
+            "b": jax.random.uniform(
+                k3, (cfg.n_embd,), jnp.float32, -bound, bound
+            ),
+        },
     )
 
 

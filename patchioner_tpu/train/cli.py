@@ -127,6 +127,15 @@ def main(argv=None):
     if args.features:
         features = np.load(args.features).astype(np.float32)
         assert len(features) == n, "features misaligned with captions"
+        if features.shape[1] != args.prefix_size:
+            # same auto-correction as the encode-on-the-fly path: the
+            # reference derives prefix_size from the feature space
+            # (decoderTraining.py:84-105); a mismatch would otherwise die
+            # minutes later inside the first jitted step as an opaque
+            # dot_general shape error
+            print(f"Updating prefix_size from {args.prefix_size} to "
+                  f"{features.shape[1]} (loaded features)")
+            args.prefix_size = int(features.shape[1])
     elif args.encode_on_the_fly:
         # Frozen text tower (+ optional Talk2DINO projection) — the
         # reference's in-loop encode path (decoderTraining.py:289-306),
@@ -141,6 +150,12 @@ def main(argv=None):
             seed=args.seed + 7,
         )
         project = None
+        if args.talk2dino_weights and not os.path.exists(args.talk2dino_weights):
+            # an explicitly requested projection must not silently vanish:
+            # hours of training in the wrong embedding space
+            raise FileNotFoundError(
+                f"--talk2dino_weights {args.talk2dino_weights!r} not found"
+            )
         if args.talk2dino_weights and os.path.exists(args.talk2dino_weights):
             import torch
 
@@ -310,8 +325,20 @@ def main(argv=None):
             out_shardings=(repl, repl, repl), donate_argnums=(0, 1),
         )
 
+    # resume continues FROM the restored step's epoch instead of re-running
+    # all epochs on top (which would run the LR schedule off its end to 0
+    # and retrain epochs the checkpoint already covers); mid-epoch progress
+    # rounds down to the epoch boundary, and seed-per-epoch data ordering
+    # reproduces an uninterrupted run's remaining epochs
+    start_epoch = min(args.epochs, step // max(steps_per_epoch, 1))
+    if start_epoch:
+        print(f"resuming at epoch {start_epoch}/{args.epochs}")
+        # keep the mix-index RNG stream aligned with an uninterrupted run
+        for _ in range(start_epoch):
+            if args.mix_captions:
+                ds.mix_indices(rng)
     with mesh:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             mix = ds.mix_indices(rng) if args.mix_captions else None
             if args.pack_len:
                 order = np.random.default_rng(args.seed + epoch).permutation(n)

@@ -53,8 +53,12 @@ def _build_space(args):
 
 
 def _talk2dino_project(path):
-    if not (path and os.path.exists(path)):
+    if not path:
         return None
+    if not os.path.exists(path):
+        # explicit path that resolves to nothing must fail, not silently
+        # extract features in the wrong embedding space
+        raise FileNotFoundError(f"talk2dino weights {path!r} not found")
     import torch
 
     from patchioner_tpu.io import torch_port

@@ -116,6 +116,12 @@ def main(argv=None):
         vocab_size=args.vocab_size, n_layer=args.n_layer,
         n_head=args.n_head, n_embd=args.n_embd,
     )
+    if args.gpt2_weights and not os.path.exists(args.gpt2_weights):
+        # --allow_random must not absorb an explicit-but-mistyped weights
+        # path: the mapper would train against a RANDOM frozen LM all run
+        raise FileNotFoundError(
+            f"--gpt2_weights {args.gpt2_weights!r} not found"
+        )
     if args.gpt2_weights and os.path.exists(args.gpt2_weights):
         import torch
 
@@ -188,18 +194,28 @@ def main(argv=None):
                 "prefix_length": args.prefix_length, "n_embd": gcfg.n_embd}
 
     total_steps = max(1, args.epochs * (n // max(args.bs, 1)))
-    # short runs clamp the reference's 5000-step warmup so the cosine
-    # decay keeps a positive length
+    # short runs clamp the reference's 5000-step warmup so the decay
+    # keeps a positive length
     warmup = min(args.warmup_steps, max(1, total_steps // 10))
     tcfg = prefix_train.PrefixTrainConfig(
         lr=args.lr, warmup_steps=warmup, total_steps=total_steps,
         noise_variance=args.noise, loss_chunk=args.loss_chunk,
     )
-    tx = optax.adamw(
-        optax.warmup_cosine_decay_schedule(
-            0.0, tcfg.lr, warmup, max(tcfg.total_steps, warmup + 1)
-        )
+    # reference recipe parity (viecap/training/main.py:51-54,
+    # clipcapTraining.py:300-303): transformers.AdamW — weight_decay 0.0,
+    # bias correction — with get_linear_schedule_with_warmup (linear
+    # warmup, LINEAR decay to 0 at total_steps). optax.adamw's 1e-4
+    # default wd and a cosine decay silently diverged from that.
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, tcfg.lr, warmup),
+            optax.linear_schedule(
+                tcfg.lr, 0.0, max(1, tcfg.total_steps - warmup)
+            ),
+        ],
+        [warmup],
     )
+    tx = optax.adamw(schedule, weight_decay=tcfg.weight_decay)
     mesh = sharding.make_mesh(dp=args.dp, mp=1)
     step_fn = prefix_train.make_prefix_train_step(
         mapper_fn, gcfg, tcfg, tx, mesh=mesh
@@ -260,8 +276,17 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed + 2)
     log_path = os.path.join(args.out_dir, "train_log.csv")
     done = False
+    # resume continues FROM the restored step's epoch instead of re-running
+    # all epochs on top (which would run the LR schedule off its end to 0
+    # and retrain epochs the checkpoint already covers); mid-epoch progress
+    # rounds down to the epoch boundary, and seed-per-epoch reproduces the
+    # same data order as an uninterrupted run
+    steps_per_epoch = max(1, n // max(args.bs, 1))
+    start_epoch = min(args.epochs, step // steps_per_epoch)
+    if start_epoch:
+        print(f"resuming at epoch {start_epoch}/{args.epochs}")
     with mesh:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             losses, accs = [], []
             t0 = time.time()
             for idx in data_mod.batch_iterator(n, args.bs,

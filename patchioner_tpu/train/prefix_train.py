@@ -35,6 +35,9 @@ class PrefixTrainConfig:
     warmup_steps: int = 5000
     total_steps: int = 100_000
     noise_variance: float = 0.016  # ViECap text-only noise (main.py:48)
+    # transformers.AdamW's default (the optimizer both reference loops
+    # build bare: main.py:51, clipcapTraining.py:300) — NOT torch AdamW's
+    # 0.01; prefix_cli passes this through to optax.adamw
     weight_decay: float = 0.0
     # Chunked lm-head CE (same machinery as decoder training's
     # TrainConfig.loss_chunk): the (B, T, V) f32 logits the full head

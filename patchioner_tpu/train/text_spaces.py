@@ -179,12 +179,25 @@ def build_text_space(
 
     if sd is not None:
         if name == "clip" and "text_model.embeddings.token_embedding.weight" in sd:
-            # HF transformers CLIPTextModelWithProjection export
+            # HF transformers CLIPTextModelWithProjection export — infer
+            # the full geometry from the state dict like the OpenAI-layout
+            # branch below; fixed ViT-B defaults would run a ViT-L-width
+            # tower with the wrong width/heads/proj
+            vocab, width = sd[
+                "text_model.embeddings.token_embedding.weight"].shape
+            context = sd[
+                "text_model.embeddings.position_embedding.weight"].shape[0]
+            # torch Linear stores (out, in): out is the projection dim
+            proj = sd["text_projection.weight"].shape[0]
             depth = 1 + max(
                 int(k.split(".")[3]) for k in sd
                 if k.startswith("text_model.encoder.layers.")
             )
-            cfg = clip_mod.ClipTextConfig(depth=depth)
+            cfg = clip_mod.ClipTextConfig(
+                vocab_size=int(vocab), context_length=int(context),
+                width=int(width), depth=depth, heads=int(width) // 64,
+                proj_dim=int(proj),
+            )
             params = clip_mod.port_hf_clip_text(sd, depth)
         else:
             cfg = _geometry_from_sd(sd)

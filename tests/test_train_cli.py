@@ -206,3 +206,25 @@ def test_mismatched_train_checkpoint_rejected(tmp_path, monkeypatch):
     cfg_path.write_text(yaml.safe_dump(cfg))
     with pytest.raises(ValueError, match="decoder checkpoint"):
         Patchioner.from_config(str(cfg_path), allow_missing_weights=True)
+
+
+def test_cli_resume_after_completion_runs_no_extra_epochs(tmp_path):
+    """A resume of a COMPLETED run must not re-train all epochs on top of
+    the checkpoint (round 4: the epoch loop previously restarted at epoch
+    0, running the LR schedule off its end to lr=0 and doubling the run)."""
+    p, fp = make_corpus(tmp_path)
+    out = tmp_path / "ckpt"
+    argv = [
+        "--data", p, "--features", fp, "--out_dir", str(out),
+        "--epochs", "2", "--bs", "8", "--prefix_size", "32",
+        "--max_seq_len", "16",
+        "--n_layer", "1", "--n_head", "2", "--n_embd", "32",
+        "--vocab_size", "49408", "--dp", "4", "--mp", "2",
+    ]
+    cli.main(argv)
+    from patchioner_tpu.io.checkpoints import CheckpointManager
+
+    done_step = CheckpointManager(str(out)).latest_step()
+    assert done_step and done_step > 0
+    cli.main(argv + ["--resume"])
+    assert CheckpointManager(str(out)).latest_step() == done_step
