@@ -171,10 +171,14 @@ def make_handler(model, config_dir=None, allow_missing_weights=False,
                 if (batch_server is not None
                         and req.get("model") in (None, "default")
                         and self.path in serve_paths
-                        # boxes beyond the server's fixed-shape contract
-                        # fall back to the direct path below
+                        # boxes/trace points beyond the server's
+                        # fixed-shape contract fall back to the direct
+                        # path below (the server would silently slice a
+                        # long trace to its first trace_points points)
                         and len(req.get("bboxes") or [])
-                        <= batch_server.max_boxes):
+                        <= batch_server.max_boxes
+                        and len(req.get("trace") or [])
+                        <= batch_server.trace_points):
                     from PIL import Image
 
                     pil = Image.open(io.BytesIO(base64.b64decode(req["image"])))
@@ -259,6 +263,9 @@ def main(argv=None):
                    help="with --batch-serve: serve data-parallel over this "
                         "many devices (a dp mesh; 0 = single device)")
     args = p.parse_args(argv)
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # demo restarts must not re-pay flagship compiles
     model = build_model(args.config, args.allow_missing_weights)
 
     if args.ui:
@@ -314,6 +321,12 @@ def main(argv=None):
             model, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
             mesh=mesh,
         )
+        # pre-compile the bucket programs at startup — without this the
+        # first live request per (bucket, mode) pays a full XLA compile
+        # (minutes at flagship scale) inside its 600 s future timeout
+        print("warming up serving buckets (pre-compiling)...")
+        batch_server.warmup(trace=True, cls=True, bbox=True,
+                            region_set=True)
         server_cls = ThreadingHTTPServer  # concurrent requests can coalesce
     server = server_cls(
         ("0.0.0.0", args.port),

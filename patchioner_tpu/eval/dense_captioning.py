@@ -74,6 +74,7 @@ def evaluate(
         "annotations": [],
         "categories": [{"id": 1, "name": "dense_caption"}],
     }
+    seen_image_ids: set = set()  # O(1) image-record dedup (VG is ~90k images)
     annotation_id = 1
 
     def open_rgb(info):
@@ -137,13 +138,18 @@ def evaluate(
                     anns.append(ann)
                 adjusted.append(per_img)
                 raw_anns.append(anns)
-                if not any(im["id"] == info["id"] for im in predictions["images"]):
+                if info["id"] not in seen_image_ids:
+                    seen_image_ids.add(info["id"])
                     predictions["images"].append(
                         {"id": info["id"], "file_name": info["file_name"]}
                     )
+            # max(..., 1): a batch whose images ALL have zero annotations
+            # would otherwise collapse np.asarray to shape (B, 0) — the box
+            # dim vanishes and forward's (B, NB, 4) indexing crashes; one
+            # dummy box keeps the rank, emitting no annotation rows
             max_len = run_max_boxes if use_fused else max(
-                len(b) for b in adjusted
-            )
+                (len(b) for b in adjusted), default=0
+            ) or 1
             for b in adjusted:
                 b.extend([DUMMY_BOX] * (max_len - len(b)))
             bboxes = np.asarray(adjusted, np.float32)
@@ -160,7 +166,8 @@ def evaluate(
                      for a in anns_i]
                     for anns_i in raw_anns
                 ]
-                max_raw = max(len(b) for b in raw_boxes)
+                # `or 1`: same (B, 0) rank-collapse guard as above
+                max_raw = max((len(b) for b in raw_boxes), default=0) or 1
                 for b in raw_boxes:
                     b.extend([[0, 0, 1, 1]] * (max_raw - len(b)))
                 outs = model.caption_bboxes(

@@ -63,16 +63,23 @@ class ClipScorer:
         return np.concatenate(out, axis=0)
 
 
+PAC_PROMPT = "A photo depicts "
+
+
 def pac_score(
     scorer: Optional[ClipScorer],
     image_features: np.ndarray,
     candidates: Sequence[str],
     w: float = 2.0,
-    prompt: str = "",
+    prompt: str = PAC_PROMPT,
     candidate_features: Optional[np.ndarray] = None,
 ):
     """w * max(0, cos) per candidate (pac_score.py:77-92). Pass either a
-    scorer (texts encoded here) or precomputed candidate features."""
+    scorer (texts encoded here) or precomputed candidate features.
+
+    `prompt` defaults to the reference's CapDataset prefix
+    ('A photo depicts ', pac_score.py:11-15): EVERY caption PAC-S or
+    RefPAC-S encodes — candidate and reference alike — carries it."""
     if candidate_features is None:
         candidate_features = scorer.encode_texts(list(candidates), prompt=prompt)
     img = _norm(np.asarray(image_features))
@@ -85,15 +92,17 @@ def ref_pac_score(
     scorer: Optional[ClipScorer],
     references: Sequence[Sequence[str]],
     candidate_features: np.ndarray,
+    prompt: str = PAC_PROMPT,
 ):
     """Per-candidate max cosine vs its reference captions
-    (pac_score.py:175-210)."""
+    (pac_score.py:175-210). References encode with the same CapDataset
+    prefix the candidates carry (extract_all_captions, :53,192)."""
     flat: List[str] = []
     idxs: List[int] = []
     for i, refs in enumerate(references):
         flat.extend(refs)
         idxs.extend([i] * len(refs))
-    ref_feats = _norm(scorer.encode_texts(flat))
+    ref_feats = _norm(scorer.encode_texts(flat, prompt=prompt))
     cand = _norm(np.asarray(candidate_features))
     idx_arr = np.asarray(idxs, np.int64)
     sims = np.sum(ref_feats * cand[idx_arr], axis=1)
@@ -144,6 +153,14 @@ def cached_image_features(
                 RuntimeWarning,
                 stacklevel=2,
             )
+            if h5 is not None:
+                # the read loop can fail AFTER the file opened (corrupt
+                # dataset) — close before dropping the reference or the
+                # 'a'-mode handle stays open/locked for the process life
+                try:
+                    h5.close()
+                except Exception:
+                    pass
             h5 = None
     try:
         missing = [k for k in ids if k not in feats]

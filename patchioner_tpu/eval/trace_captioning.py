@@ -190,12 +190,9 @@ def evaluate(
             imgs, traces, extra = next(loaded)
         with timer.phase("inference"):
             if use_fused:
-                if extra is None:  # device_put unavailable (exotic backend)
-                    from patchioner_tpu.models.patchioner import (
-                        _traces_to_arrays,
-                    )
-
-                    extra = _traces_to_arrays(traces, max_points=max_pts)
+                # load_batch always yields the (pts, valid) tuple — host
+                # arrays when the staged device_put failed, device arrays
+                # otherwise
                 pts, valid = extra
                 preds.extend(model.caption_traces_fused(
                     imgs, pts, valid,
@@ -215,8 +212,13 @@ def evaluate(
                     else outs["trace_capts"]
                 )
         if measure_flops and bi == 0:
+            # allow_compile=False: the fallback path would re-compile a
+            # flagship-sized program whose closed-over params get baked
+            # into the HLO as constants — minutes over the dev tunnel for
+            # a diagnostic number (CLAUDE.md); pre-compile analysis only
             flops = harness.xla_flops(
-                lambda x: model.encode_images(x)["x_norm_clstoken"], imgs
+                lambda x: model.encode_images(x)["x_norm_clstoken"], imgs,
+                allow_compile=False,
             )
 
     result = {

@@ -29,10 +29,11 @@ def load_dotenv(path: str = ".env", override: bool = False) -> dict:
                 line = line[len("export "):].lstrip()
             key, _, value = line.partition("=")
             key, value = key.strip(), value.strip()
-            if value[:1] in ("'", '"') and value[-1:] == value[:1] \
-                    and len(value) >= 2:
-                # quoted value: keep interior verbatim (including '#')
-                value = value[1:-1]
+            if value[:1] in ("'", '"') and value.find(value[0], 1) != -1:
+                # quoted value: interior verbatim (including '#'); anything
+                # after the closing quote — e.g. an inline comment — drops
+                # ('KEY="v" # note' must yield v, not '"v"')
+                value = value[1 : value.find(value[0], 1)]
             else:
                 # unquoted value: python-dotenv strips inline ' # comment'
                 value = value.split(" #", 1)[0].rstrip()

@@ -213,6 +213,7 @@ def test_dotenv_loader(tmp_path, monkeypatch):
         "# comment\n"
         "IM2TXT_MEMORY_PATH=/data/mem # inline comment stripped\n"
         "QUOTED='hello # kept'\n"
+        "QUOTED_COMMENT=\"/data/q.h5\"  # hdf5 bank\n"
         "export EXPORTED=/data/exp\n"
     )
     for var in ("IM2TXT_MEMORY_PATH", "EXPORTED", "export EXPORTED"):
@@ -222,6 +223,8 @@ def test_dotenv_loader(tmp_path, monkeypatch):
     # values keep them, 'export KEY=V' sets KEY (not 'export KEY')
     assert loaded["IM2TXT_MEMORY_PATH"] == "/data/mem"
     assert loaded["QUOTED"] == "hello # kept"
+    # a comment AFTER the closing quote drops, quotes don't leak into value
+    assert loaded["QUOTED_COMMENT"] == "/data/q.h5"
     assert loaded["EXPORTED"] == "/data/exp"
     import os
 
