@@ -198,3 +198,32 @@ def test_inversion_vs_reference_code(ref_embed):
     )
     got = talk2dino.revert_transformation(jnp.asarray(feats), inv)
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_adjust_bbox_vs_reference_code(ref_bbox, seed):
+    """Both resize+center-crop remaps, over portrait/landscape originals and
+    boxes that land partially outside the crop (the reference's clip-to-crop
+    branch). The reference only reads image.size — a stand-in suffices."""
+    from types import SimpleNamespace
+
+    from patchioner_tpu.utils import geometry
+
+    rng = np.random.default_rng(seed)
+    for _ in range(20):
+        ow = int(rng.integers(80, 900))
+        oh = int(rng.integers(80, 900))
+        img = SimpleNamespace(size=(ow, oh))
+        bbox = [float(rng.uniform(0, ow * 0.9)), float(rng.uniform(0, oh * 0.9)),
+                float(rng.uniform(1, ow)), float(rng.uniform(1, oh))]
+        resize, crop = 140, 126
+        want = ref_bbox.adjust_bbox_for_transform(img, list(bbox), resize, crop)
+        got = geometry.adjust_bbox_for_transform(ow, oh, bbox, resize, crop)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        want2 = ref_bbox.adjust_bbox_for_transform_no_scale(
+            img, list(bbox), resize, resize
+        )
+        got2 = geometry.adjust_bbox_for_transform_no_scale(
+            ow, oh, bbox, resize, resize
+        )
+        np.testing.assert_allclose(got2, want2, rtol=1e-6, atol=1e-6)
