@@ -60,20 +60,29 @@ class ClipCapConfig:
 
 def init_mlp_mapper(key: jax.Array, prefix_size: int, prefix_length: int,
                     d_model: int) -> dict:
-    """MLP((D, 768*L//2, 768*L)) with tanh between (decap.py MLP class)."""
+    """MLP((D, 768*L//2, 768*L)) with tanh between (decap.py MLP class).
+
+    Init matches torch nn.Linear defaults — U(±1/sqrt(fan_in)) weights AND
+    biases — since the mapper trains from scratch (round 4; previously
+    normal/sqrt(fan_in) weights + zero biases, an undocumented
+    deviation)."""
     import math
 
     hidden = (d_model * prefix_length) // 2
     out = d_model * prefix_length
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    b1 = 1.0 / math.sqrt(prefix_size)
+    b2 = 1.0 / math.sqrt(hidden)
     return {
         "fc1": {
-            "w": jax.random.normal(k1, (prefix_size, hidden)) / math.sqrt(prefix_size),
-            "b": jnp.zeros((hidden,)),
+            "w": jax.random.uniform(k1, (prefix_size, hidden), jnp.float32,
+                                    -b1, b1),
+            "b": jax.random.uniform(k3, (hidden,), jnp.float32, -b1, b1),
         },
         "fc2": {
-            "w": jax.random.normal(k2, (hidden, out)) / math.sqrt(hidden),
-            "b": jnp.zeros((out,)),
+            "w": jax.random.uniform(k2, (hidden, out), jnp.float32,
+                                    -b2, b2),
+            "b": jax.random.uniform(k4, (out,), jnp.float32, -b2, b2),
         },
     }
 
@@ -265,8 +274,6 @@ class ClipCap:
         tokenize/forward failure falls back to 1.0, and the `perplexity > 0`
         guard routes NaN — e.g. a <2-token caption, whose empty shifted CE
         is NaN in torch — to 1.0 as well)."""
-        from patchioner_tpu.models import viecap as viecap_mod
-
         out = []
         for s in sentences:
             try:

@@ -157,8 +157,6 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
                          concept_extractor):
     """Build VieCap or MeaCap from the nested `viecap:` config block
     (reference: src/model.py:107-113, viecap/entrypoint.py:61-96)."""
-    import jax as _jax
-
     from patchioner_tpu.models import viecap as viecap_mod
 
     vd = dict(vcfg_dict)
@@ -244,7 +242,7 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
         elif allow_missing_weights:
             captions = [f"synthetic memory caption {i}" for i in range(64)]
             clip_emb = np.asarray(
-                _jax.random.normal(rng_key, (64, clip_hidden)), np.float32
+                jax.random.normal(rng_key, (64, clip_hidden)), np.float32
             )
         else:
             raise FileNotFoundError(f"MeaCap memory bank not found: {mem_dir}")
@@ -293,7 +291,7 @@ def _build_viecap_family(vcfg_dict: dict, clip_model_name, rng_key,
         )
     elif allow_missing_weights:
         emb = np.asarray(
-            _jax.random.normal(rng_key, (len(entities), clip_hidden)), np.float32
+            jax.random.normal(rng_key, (len(entities), clip_hidden)), np.float32
         )
     else:
         raise FileNotFoundError(f"entity embeddings not found: {emb_path}")
@@ -390,15 +388,19 @@ class Patchioner:
         self._image_std = jnp.asarray(
             self.config.get("image_std", _T.IMAGENET_STD), jnp.float32
         )
-        # Attention-extraction parameters. For CLIP backbones the reference
-        # hard-codes the same 16-head/0.125 split and 1 global token
-        # (src/model.py:336-337,557).
+        # Attention-extraction parameters (reference src/model.py:336-337,
+        # 557: scale always 0.125, 1 global token for CLIP towers).
         if backbone_type == "DINO":
             self.extract_heads = vit_cfg.extract_heads
             self.num_global_tokens = vit_cfg.num_global_tokens
             self.extract_scale = vit_cfg.extract_scale
         else:
-            self.extract_heads = 16
+            # reference rule (src/model.py:336): 16 heads iff dino_model is
+            # SET and not a vits name, else 6 — e.g. a denseclip config
+            # without a dino_model key extracts with 6 heads there; the
+            # shipped non-DINO configs all set dino_model, where 16 applies
+            dm = (self.config or {}).get("dino_model")
+            self.extract_heads = 16 if dm is not None and "vits" not in dm else 6
             self.num_global_tokens = 1
             self.extract_scale = 0.125
         self.patch_size = vit_cfg.patch_size
@@ -1690,14 +1692,27 @@ class Patchioner:
         placement `__graft_entry__.dryrun_multichip` validates at flagship
         geometry), and slice the padding rows back off.
         """
-        # read the mesh tuple ONCE — a concurrent place_on_mesh between a
-        # None-check and an unpack would otherwise TypeError this batch
-        sm = self._serve_mesh
+        # read the mesh tuple ONCE (a concurrent place_on_mesh between a
+        # None-check and an unpack would otherwise TypeError this batch),
+        # and re-check it AFTER fetching the placed state: a mesh swap in
+        # between would shard the inputs on the old mesh against state
+        # placed on the new one — incompatible-devices error. A swap always
+        # replaces _serve_mesh and clears the placed cache, so an unchanged
+        # tuple across the fetch means state and mesh agree.
         placed = None
-        if sm is not None:
+        for _ in range(3):
+            sm = self._serve_mesh
+            if sm is None:
+                break
             placed = self._placed_fused_state()
             if placed is None:  # mesh was torn down while we replicated
                 sm = None
+                break
+            if self._serve_mesh is sm:
+                break  # stable snapshot
+            placed = None
+        else:
+            sm = None  # mesh kept moving; this batch runs single-device
         if sm is None:
             return np.asarray(step(self._fused_state(), imgs, *args))
         mesh, axis = sm
@@ -2287,12 +2302,18 @@ class Patchioner:
                 af.sum(axis=1, keepdims=True) + 1e-8
             )
 
-        def trace_masks(traces, size):
-            pts, valid = (
+        trace_arrays = None
+        if traces is not None:
+            # parse the Python point dicts ONCE; both resolutions (pixel
+            # mask + patch mask) rasterize from the same arrays
+            trace_arrays = (
                 _traces_to_arrays(traces)
                 if isinstance(traces, (list, tuple))
                 else traces
             )
+
+        def trace_masks(size):
+            pts, valid = trace_arrays
             return (rp.traces_to_grid(pts, valid, size) > 0).astype(
                 jnp.float32
             )
@@ -2313,8 +2334,8 @@ class Patchioner:
                     ),
                 )
             if traces is not None:
-                mask = jnp.maximum(mask, trace_masks(traces, hw))
-                pmask = jnp.maximum(pmask, trace_masks(traces, grid))
+                mask = jnp.maximum(mask, trace_masks(hw))
+                pmask = jnp.maximum(pmask, trace_masks(grid))
             feats = encode_with_masks(pixels, mask, pmask)
             ret = self.caption_tokens(feats, compute_scores=compute_scores)
             outs["set_controllable_capts"] = ret[0] if compute_scores else ret
@@ -2366,7 +2387,7 @@ class Patchioner:
 
         if traces is not None:
             feats = encode_with_masks(
-                pixels, trace_masks(traces, hw), trace_masks(traces, grid)
+                pixels, trace_masks(hw), trace_masks(grid)
             )
             ret = self.caption_tokens(feats, compute_scores=compute_scores)
             if compute_scores:

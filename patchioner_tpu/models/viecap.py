@@ -92,13 +92,26 @@ class ViecapConfig:
 
 
 def init_mapping_network(key: jax.Array, cfg: ViecapConfig, d_model: int) -> dict:
+    """Init matches the reference's torch modules: every linear is a plain
+    nn.Linear (src/viecap/ClipCap.py:52-78,122-155), i.e. DEFAULT
+    kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)) weights and
+    U(±1/sqrt(fan_in)) biases; prefix_const is torch.randn (standard
+    normal, ClipCap.py:152). The mapper trains from scratch
+    (train/prefix_cli.py), so init IS training semantics (round 4;
+    previously normal/sqrt(fan_in) weights + zero biases)."""
     import math
 
-    ks = iter(jax.random.split(key, 3 + 5 * cfg.num_layers))
+    ks = iter(jax.random.split(key, 3 + 10 * cfg.num_layers))
 
     def dense(k, fi, fo, bias=True):
-        p = {"w": jax.random.normal(k, (fi, fo)) / math.sqrt(fi)}
-        p["b"] = jnp.zeros((fo,)) if bias else None
+        kw, kb = jax.random.split(k)
+        bound = 1.0 / math.sqrt(fi)
+        p = {"w": jax.random.uniform(kw, (fi, fo), jnp.float32,
+                                     -bound, bound)}
+        p["b"] = (
+            jax.random.uniform(kb, (fo,), jnp.float32, -bound, bound)
+            if bias else None
+        )
         return p
 
     params = {
