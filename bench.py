@@ -127,8 +127,6 @@ def _naive_reference_port(model, batch: int):
     # batch, never pays either). On-chip per-step cost is what the
     # algorithm-for-algorithm ratio needs.
     def naive_decode_time(prefix, iters):
-        import numpy as np
-
         from patchioner_tpu.eval import chain_bench
 
         b = prefix.shape[0]
@@ -209,7 +207,9 @@ def _sync(out):
     393 KB f32 prefix costs ~7-40 ms on the 10-55 MB/s tunnel where the
     fused side's 15 KB token leaf costs ~1 ms, biasing the ratio)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0])
+    # ONE indexing program + host copy — a ravel()[0] pair dispatches two
+    # device programs per sync (~2x the per-sync RPC floor on the tunnel)
+    np.asarray(leaf[(0,) * leaf.ndim])
     return out
 
 
@@ -321,6 +321,16 @@ def main():
     _apply_platform_override()
     _wait_for_backend()
     on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu and os.environ.get("PATCHIONER_PLATFORM") != "cpu":
+        # the subprocess probe succeeded but the IN-PROCESS init landed on
+        # CPU (tunnel degraded in the gap): a normal-looking headline JSON
+        # with tiny CPU shapes would poison the round artifact — fail loud
+        # (_wait_for_backend's docstring names exactly this hazard)
+        raise RuntimeError(
+            "backend probe passed but in-process init fell back to CPU; "
+            "refusing to emit a CPU-shaped bench record (set "
+            "PATCHIONER_PLATFORM=cpu for an explicit CPU run)"
+        )
     batch = int(os.environ.get("PATCHIONER_BENCH_BATCH", 128 if on_tpu else 2))
     bank_size = int(
         os.environ.get("PATCHIONER_BENCH_BANK", 591753 if on_tpu else 2048)
@@ -396,6 +406,9 @@ def main():
         "batch": batch,
         "mfu": mfu,
         "mfu_flop_source": flop_source,
+        # explicit platform stamp: a record produced on an unexpected
+        # backend must be identifiable in the artifact
+        "backend": jax.default_backend(),
     }
     if baseline_note is not None:
         # why vs_baseline is null (infeasible baseline / flaky transport)

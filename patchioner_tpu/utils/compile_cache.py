@@ -36,6 +36,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         # cache everything that took meaningful compile time; the default
         # threshold (1 s) already skips trivial programs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
+    except Exception as e:
+        # never silent: a disabled cache means every process re-pays
+        # multi-minute flagship compiles and looks exactly like a miss
+        import sys
+
+        print(
+            f"warning: persistent compile cache disabled "
+            f"({type(e).__name__}: {e}) — compiles will not be reused "
+            f"across processes",
+            file=sys.stderr,
+        )
         return None
     return path

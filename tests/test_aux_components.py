@@ -404,7 +404,13 @@ def test_chain_bench_times_op():
 
     w = jnp.ones((8, 8)) * 0.5
     res = chain_time(lambda x, w: x @ w, jnp.ones((4, 8)), w, chain=4, reps=2)
-    assert res["per_op_ms"] > 0 and len(res["times_ms"]) == 2
+    # floor-subtracted (round 4): a trivial op can legitimately measure 0
+    # once the dispatch+sync floor is removed; the floor itself is real
+    assert res["per_op_ms"] >= 0 and len(res["times_ms"]) == 2
+    assert res["floor_ms"] > 0
+    raw = chain_time(lambda x, w: x @ w, jnp.ones((4, 8)), w, chain=4,
+                     reps=2, subtract_floor=False)
+    assert raw["per_op_ms"] > 0 and raw["floor_ms"] == 0
 
 
 def test_prefetch_preserves_order_and_propagates_errors():
