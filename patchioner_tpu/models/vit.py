@@ -242,9 +242,13 @@ def _dense_w8a8(x, p):
     x: (..., Ci) bf16/f32; p: {'w_q': (Ci, Co) int8,
     'w_scale': (1, Co), 'b': (Co,)}.
     """
+    # ONE activation-quant formula across every W8A8 path
+    # (ops/mlp.quantize_symmetric_int8 and _w8_kernel use the identical
+    # max(amax/127, 1e-12) scale) — a drifted epsilon here once put the
+    # XLA and fused-kernel int8 encoders on subtly different numerics
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xs = jnp.maximum(amax / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, p["w_q"],
@@ -381,6 +385,16 @@ def _attention(x_norm, blk, cfg: ViTConfig, return_qkv: bool,
         merged = _fused_qkv_merged(qkv, cfg, num_real_k)
         out = _dense(merged, blk["proj"])
         return (out, qkv) if return_qkv else (out, None)
+    if not cfg.softmax_f32 and cfg.attn_impl != "xla":
+        # same contract as the fusedqkv impls (see _fused_qkv_merged): all
+        # Pallas kernels run an f32 softmax unconditionally, so an explicit
+        # softmax_f32=False request must fail rather than silently report
+        # f32 numbers under the bf16-softmax name
+        raise ValueError(
+            f"attn_impl={cfg.attn_impl!r} always runs an f32 softmax "
+            "in-kernel; softmax_f32=False has no effect there — use "
+            "attn_impl='xla' for a compute-dtype softmax"
+        )
     q, k, v = jnp.split(qkv.reshape(b, n, 3, nh, hd), 3, axis=2)
     q = q.squeeze(2).transpose(0, 2, 1, 3)  # (B, H, N, hd)
     k = k.squeeze(2).transpose(0, 2, 1, 3)
@@ -545,9 +559,21 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
         nh = cfg.num_heads
         qkv = _qkv_activation(x, blk, cfg)
         ls1 = blk["ls1"] if cfg.layerscale else jnp.ones((d,), x.dtype)
+        # dtype-aware q-block cap: the kernel's own 704 default overflows
+        # the 16 MB scoped-VMEM limit in the WHOLE-MODEL compile even at
+        # bf16 (measured round 4: 17.69 MB at N=1408 — the epilogue's
+        # x/out/w/accumulator blocks ride on top of the (block_q, N)
+        # logits), and f32 doubles the logits again
+        n_tok = x.shape[1]
+        pbq = (
+            min(n_tok, 512) if qkv.dtype == jnp.bfloat16
+            else min(n_tok, 256)
+        )
+        pbq = next(b for b in (pbq, 512, 352, 256, 128) if n_tok % b == 0)
         x = fused_qkv_attention_proj(
             qkv, x, blk["proj"]["w"], blk["proj"]["b"], ls1,
             num_heads=nh, scale=(d // nh) ** -0.5, num_real_k=num_real_k,
+            block_q=pbq,
         )
         qkv = qkv if return_qkv else None
     elif (cfg.attn_impl == "fusedqkv" and cfg.proj_fused

@@ -245,6 +245,57 @@ def _quantize_chunk(b):
     return rows, scale, inv
 
 
+def _mem_proj_step(
+    f, bank, inv, out_ref, m_ref, d_ref, acc_ref, *,
+    inv_temperature: float, normalize: bool, num_real: int, block_m: int,
+):
+    """Shared online-softmax body for BOTH projection kernels (f32 and
+    int8): init, masked cosine sim, running max/denom/accumulator update,
+    final normalize+write. The kernels differ ONLY in how `bank` is
+    materialized (plain cast vs int8 dequant) — one body means a masking
+    or rescale fix can never apply to one dtype path and not the other."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        d_ref[:] = jnp.zeros_like(d_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Cosine sim against normalized rows, scaled by 1/T.
+    sim = (
+        jax.lax.dot_general(
+            f,
+            bank * inv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_temperature
+    )  # (BB, BM)
+
+    # Mask padded bank rows (zero rows would otherwise land at sim == 0,
+    # above real negative-cosine entries).
+    col = j * block_m + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    sim = jnp.where(col < num_real, sim, -1e30)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(sim, axis=-1, keepdims=True))
+    rescale = jnp.exp(m_prev - m_new)
+    p = jnp.exp(sim - m_new)  # (BB, BM)
+    d_ref[:] = d_ref[:] * rescale + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
+        p, bank, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        out = acc_ref[:] / d_ref[:]
+        if normalize:
+            out = out * jax.lax.rsqrt(jnp.sum(out * out, axis=-1, keepdims=True))
+        out_ref[:] = out
+
+
 def _mem_proj_kernel_q(
     f_ref,  # (BB, D)   normalized features tile, f32
     bank_ref,  # (BM, D)   int8 rows
@@ -260,43 +311,12 @@ def _mem_proj_kernel_q(
     num_real: int,
     block_m: int,
 ):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        d_ref[:] = jnp.zeros_like(d_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    f = f_ref[:]
-    bank = bank_ref[:].astype(jnp.float32) * scale_ref[:]  # dequantized rows
-    sim = (
-        jax.lax.dot_general(
-            f, bank * inv_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv_temperature
+    _mem_proj_step(
+        f_ref[:], bank_ref[:].astype(jnp.float32) * scale_ref[:], inv_ref[:],
+        out_ref, m_ref, d_ref, acc_ref,
+        inv_temperature=inv_temperature, normalize=normalize,
+        num_real=num_real, block_m=block_m,
     )
-    col = j * block_m + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    sim = jnp.where(col < num_real, sim, -1e30)
-
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(sim, axis=-1, keepdims=True))
-    rescale = jnp.exp(m_prev - m_new)
-    p = jnp.exp(sim - m_new)
-    d_ref[:] = d_ref[:] * rescale + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
-        p, bank, preferred_element_type=jnp.float32
-    )
-    m_ref[:] = m_new
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _finish():
-        out = acc_ref[:] / d_ref[:]
-        if normalize:
-            out = out * jax.lax.rsqrt(jnp.sum(out * out, axis=-1, keepdims=True))
-        out_ref[:] = out
 
 
 @functools.partial(
@@ -416,48 +436,12 @@ def _mem_proj_kernel(
     num_real: int,
     block_m: int,
 ):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        d_ref[:] = jnp.zeros_like(d_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    f = f_ref[:]
-    bank = bank_ref[:].astype(jnp.float32)
-    # Cosine sim against normalized rows, scaled by 1/T.
-    sim = (
-        jax.lax.dot_general(
-            f,
-            bank * inv_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv_temperature
-    )  # (BB, BM)
-
-    # Mask padded bank rows (zero rows would otherwise land at sim == 0,
-    # above real negative-cosine entries).
-    col = j * block_m + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    sim = jnp.where(col < num_real, sim, -1e30)
-
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(sim, axis=-1, keepdims=True))
-    rescale = jnp.exp(m_prev - m_new)
-    p = jnp.exp(sim - m_new)  # (BB, BM)
-    d_ref[:] = d_ref[:] * rescale + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
-        p, bank, preferred_element_type=jnp.float32
+    _mem_proj_step(
+        f_ref[:], bank_ref[:].astype(jnp.float32), inv_ref[:],
+        out_ref, m_ref, d_ref, acc_ref,
+        inv_temperature=inv_temperature, normalize=normalize,
+        num_real=num_real, block_m=block_m,
     )
-    m_ref[:] = m_new
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _finish():
-        out = acc_ref[:] / d_ref[:]
-        if normalize:
-            out = out * jax.lax.rsqrt(jnp.sum(out * out, axis=-1, keepdims=True))
-        out_ref[:] = out
 
 
 @functools.partial(
@@ -597,7 +581,20 @@ def memory_project(
         else bank.shape[-1]
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    use_pallas = use_pallas and d % 128 == 0
+    if use_pallas and d % 128 != 0:
+        # an explicitly requested fused path must not silently benchmark
+        # the two-pass XLA fallback under the kernel's name (the same rule
+        # vit._warn_fusion_unusable enforces for the encoder fusions)
+        import warnings
+
+        warnings.warn(
+            f"memory_project: use_pallas requested but d={d} is not a "
+            f"multiple of 128 (TPU lane width) — falling back to the "
+            f"two-pass XLA path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        use_pallas = False
     if isinstance(bank, QuantizedBank):
         if use_pallas:
             return memory_project_int8(
