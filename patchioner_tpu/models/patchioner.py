@@ -475,7 +475,15 @@ class Patchioner:
                 # ViT-L/14 with registers. Banks slice [:, 1024:] at load.
                 backbone_type = "DINO"
                 variant = "dinov2_vitl14_reg"
-            vit_cfg = vit_mod.config_for(variant, img_size=crop_dim, dtype=dtype)
+            # extension over the reference schema: 'dino_geometry' overrides
+            # the variant's tower geometry (embed_dim/depth/num_heads/...)
+            # — lets from-scratch-trained towers (train/align.py, the
+            # convergence proof) and CPU-scale tests flow through the SAME
+            # builder as the flagship instead of a side-door constructor
+            geom = dict(config.get("dino_geometry") or {})
+            vit_cfg = vit_mod.config_for(
+                variant, img_size=crop_dim, dtype=dtype, **geom
+            )
             # extensions over the reference schema — measured encoder
             # variants (PERF.md): opt-in, defaults match the reference
             if (
@@ -496,7 +504,20 @@ class Patchioner:
                     proj_fused=bool(config.get("proj_fused", vit_cfg.proj_fused)),
                 )
             dino_weights = config.get("dino_weights", None)
-            if dino_weights and os.path.exists(dino_weights):
+            if dino_weights and str(dino_weights).endswith(".npz") and \
+                    os.path.exists(dino_weights):
+                # native-format tower weights (io/checkpoints.save_params_npz)
+                # — how train/align.py's from-scratch towers load back in;
+                # torch .pth porting stays the path for reference checkpoints
+                from patchioner_tpu.io import checkpoints
+
+                template = jax.eval_shape(
+                    lambda k: vit_mod.init_vit(k, vit_cfg), k_vit
+                )
+                vit_params = checkpoints.load_params_npz(
+                    dino_weights, template
+                )
+            elif dino_weights and os.path.exists(dino_weights):
                 import torch
 
                 from patchioner_tpu.io import torch_port
@@ -797,8 +818,20 @@ class Patchioner:
         # --- decoder (the DeCap 4L/4H/768 architecture; dtype follows the
         # model-wide dtype so bf16 flagships decode in bf16 with f32 logits)
         prefix_size = int(config["prefix_size"])
-        gpt2_cfg = gpt2_mod.GPT2Config(n_layer=4, n_head=4, n_embd=768,
-                                       dtype=dtype)
+        # extension over the reference schema: 'decap_arch' overrides the
+        # DeCap decoder geometry (reference hard-codes 4L/4H/768 via its
+        # decoder_config.pkl, src/decap/decap.py:46-58) — CPU-scale
+        # convergence tests train and load tiny decoders through the same
+        # train/cli.py -> from_config round-trip as the real one
+        da = dict(config.get("decap_arch") or {})
+        gpt2_cfg = gpt2_mod.GPT2Config(
+            n_layer=int(da.get("n_layer", 4)),
+            n_head=int(da.get("n_head", 4)),
+            n_embd=int(da.get("n_embd", 768)),
+            vocab_size=int(da.get("vocab_size",
+                                  gpt2_mod.GPT2Config.vocab_size)),
+            dtype=dtype,
+        )
         decoder = None
         if not calculate_argmax_text:
             weights = config.get("decap_weights", None)
