@@ -712,11 +712,13 @@ def _block(x, blk, cfg: ViTConfig, return_qkv: bool = False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "return_block_input", "keep_qkv_padded")
+    jax.jit, static_argnames=("cfg", "return_block_input", "keep_qkv_padded",
+                              "keep_tokens_padded")
 )
 def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
                 return_block_input: bool = False,
-                keep_qkv_padded: bool = False) -> dict:
+                keep_qkv_padded: bool = False,
+                keep_tokens_padded: bool = False) -> dict:
     """Run the encoder.
 
     Args:
@@ -732,6 +734,11 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
         the hot caption paths do this, PERF.md profile: the unpad slice
         costs ~3 ms/batch at flagship scale). No-op when nothing is
         padded.
+      keep_tokens_padded: same idea for the OUTPUT tokens — skip the final
+        (B, N, D) unpad slice and return `x_norm_patchtokens` with the
+        padded token axis; pool with
+        `region_pooling.trace_pool_padded` (the zero-extended pooling
+        weights absorb the slice). No-op when nothing is padded.
 
     Returns dict:
       x_norm_clstoken (B, D), x_norm_regtokens (B, R, D),
@@ -790,7 +797,8 @@ def vit_forward(params: dict, pixels: jax.Array, cfg: ViTConfig,
             qkv_last = qkv
 
     if pad_n:
-        x = x[:, :num_real]
+        if not keep_tokens_padded:
+            x = x[:, :num_real]
         if not keep_qkv_padded:
             qkv_last = qkv_last[:, :num_real]
         last_input = last_input[:, :num_real]

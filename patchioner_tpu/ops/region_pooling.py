@@ -389,6 +389,28 @@ def trace_pool(
     return jnp.einsum("byx,byxd->bd", w, grid) / (g * g)
 
 
+def trace_pool_padded(
+    patch_tokens: jax.Array,
+    trace_grid: jax.Array,
+    self_attn: Optional[jax.Array] = None,
+) -> jax.Array:
+    """`trace_pool` over a PADDED patch-token axis (P >= G*G; the fusedqkv
+    encoder's lane-padded tokens, vit_forward(keep_tokens_padded=True)).
+
+    The grid weights are zero-extended over the padding rows, so the
+    pooling contraction itself masks them out — bitwise the same result as
+    slicing the tokens first, without materializing the (B, N, D) unpad
+    copy (~3.3 ms/batch at flagship scale, PERF.md round-3 profile)."""
+    b, p, d = patch_tokens.shape
+    g = trace_grid.shape[-1]
+    w = trace_grid.reshape(b, g * g)
+    if self_attn is not None:
+        w = w * self_attn[:, : g * g]
+    if p > g * g:
+        w = jnp.pad(w, ((0, 0), (0, p - g * g)))
+    return jnp.einsum("bp,bpd->bd", w, patch_tokens) / (g * g)
+
+
 def boxes_to_pixel_masks(bboxes: jax.Array, size: int) -> jax.Array:
     """Pixel-resolution binary masks for AlphaCLIP region conditioning.
 

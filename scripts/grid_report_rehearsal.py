@@ -185,13 +185,23 @@ def build_tiny_model(name: str, settings=None):
     )
 
 
-def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
+def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None,
+                  model_builder=None, data_overrides=None, tasks=None,
+                  header_note: str = "") -> str:
     """Grid -> CSVs -> collected report. Returns the report markdown.
 
     `models`: optional model-name subset — the regeneration test slices the
     grid to a few representative models (runs in minutes, produces rows
     byte-identical to the full committed report since pixels/seeds are
-    keyed per name/path, not per run order)."""
+    keyed per name/path, not per run order).
+
+    `model_builder` / `data_overrides` / `tasks`: override hooks for the
+    TRAINED rehearsal slice (scripts/convergence_proof.py): a real trained
+    model + real on-disk data drive the same grid->CSV->collector->table
+    pipeline, producing non-zero discriminative cells where the committed
+    random-init rehearsal scores 0.0 by design. `data_overrides` maps
+    task -> evaluate-kwarg dict replacing the synthetic stage_data block;
+    `tasks` restricts each experiment to the named tasks."""
     from patchioner_tpu.eval.collect_results import (
         ResultsCollector, format_rows_with_std, latex_table,
     )
@@ -204,6 +214,10 @@ def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
             e for e in grid["experiments"]
             if (e.get("model_name") or e.get("model")) in models
         ]
+    if tasks is not None:
+        for e in grid["experiments"]:
+            e["tasks"] = {t: s for t, s in e["tasks"].items() if t in tasks}
+    if models is not None or tasks is not None:
         # the collector re-reads the grid file for its variant enumeration
         sliced = os.path.join(out_dir, "grid_slice.json")
         os.makedirs(out_dir, exist_ok=True)
@@ -211,6 +225,8 @@ def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
             json.dump(grid, f)
         grid_path = sliced
     data_kwargs = stage_data(os.path.join(out_dir, "data"))
+    if data_overrides:
+        data_kwargs = {**data_kwargs, **data_overrides}
     grid["output_directory"] = os.path.join(out_dir, "results")
     # inject the synthetic data as a nested evaluate block per variant —
     # dict-valued settings stay OUT of the CSV row key and the collector's
@@ -222,7 +238,8 @@ def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
                 v["evaluate"] = dict(data_kwargs[task])
     runner = ExperimentRunner(
         grid,
-        model_builder=lambda name, s: build_tiny_model(name, s),
+        model_builder=model_builder
+        or (lambda name, s: build_tiny_model(name, s)),
         allow_tokenizer_fallback=True,  # whitespace tok; plumbing-only run
     )
     logs = runner.run()
@@ -233,11 +250,12 @@ def run_rehearsal(out_dir: str, grid_path: str = GRID, models=None) -> str:
     lines = [
         f"# Grid report rehearsal — {grid_name}",
         "",
-        "Generated by `scripts/grid_report_rehearsal.py` (seeded tiny "
-        "models, synthetic data, CPU). Scores are random-init gibberish; "
-        "this artifact proves the grid -> CSV -> collector -> table "
-        "pipeline composes at full grid scale "
-        f"({sum(1 for _ in logs)} rows executed).",
+        (header_note or (
+            "Generated by `scripts/grid_report_rehearsal.py` (seeded tiny "
+            "models, synthetic data, CPU). Scores are random-init "
+            "gibberish; this artifact proves the grid -> CSV -> collector "
+            "-> table pipeline composes at full grid scale"
+        )) + f" ({sum(1 for _ in logs)} rows executed).",
         "",
         "```",
         collector.summary_report(results),

@@ -396,3 +396,33 @@ def test_bbox_single_attention_mode_dummy_boxes_finite(data):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(got_clean),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_trace_pool_padded_matches_unpadded():
+    """trace_pool_padded over a lane-padded token axis is bitwise the
+    unpadded trace_pool: the zero-extended pooling weights absorb the
+    unpad slice the fusedqkv encoder path otherwise pays (PERF.md r5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from patchioner_tpu.ops import region_pooling as rp
+
+    rng = np.random.default_rng(0)
+    b, g, d, pad = 3, 4, 16, 128 - 16  # 16 real patches padded to a lane
+    tokens = rng.standard_normal((b, g * g, d)).astype(np.float32)
+    garbage = rng.standard_normal((b, pad, d)).astype(np.float32) * 100
+    padded = np.concatenate([tokens, garbage], axis=1)
+    grid = rng.random((b, g, g)).astype(np.float32)
+    attn = rng.random((b, g * g)).astype(np.float32)
+
+    want = rp.trace_pool(jnp.asarray(tokens), jnp.asarray(grid),
+                         jnp.asarray(attn))
+    got = rp.trace_pool_padded(jnp.asarray(padded), jnp.asarray(grid),
+                               jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # and without attention weighting
+    want0 = rp.trace_pool(jnp.asarray(tokens), jnp.asarray(grid))
+    got0 = rp.trace_pool_padded(jnp.asarray(padded), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               rtol=1e-6, atol=1e-6)
