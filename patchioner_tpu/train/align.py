@@ -161,8 +161,10 @@ def train_align(
         optax.cosine_decay_schedule(cfg.lr, cfg.steps), b1=0.9, b2=0.98,
         weight_decay=cfg.weight_decay,
     )
-    params = init_align(jax.random.PRNGKey(seed), cfg)
-    opt_state = tx.init(params)
+    # jit the inits: eager per-layer RNG/zeros are hundreds of individual
+    # dispatches — minutes over a remote-device tunnel (CLAUDE.md rule)
+    params = jax.jit(lambda k: init_align(k, cfg))(jax.random.PRNGKey(seed))
+    opt_state = jax.jit(tx.init)(params)
     step_fn = make_align_step(cfg, tx)
 
     rng = np.random.default_rng(seed + 1)

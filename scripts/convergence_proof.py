@@ -162,6 +162,11 @@ def run_proof(out_dir: str, scale: ProofScale, *, seed: int = 0,
     from patchioner_tpu.train import align, synthetic
     from patchioner_tpu.train import cli as train_cli
 
+    from patchioner_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # the align fwd+bwd compile is ~10+ min over the
+    # dev tunnel; persist it (train_cli enables the cache too, but only
+    # after the align stage already paid the compile)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     info: dict = {"scale": scale.name, "backend": jax.default_backend()}
@@ -387,10 +392,14 @@ def run_proof(out_dir: str, scale: ProofScale, *, seed: int = 0,
     info["eval_scores"] = {k: float(v) for k, v in scores.items()}
 
     # shuffled-caption control: same predictions scored against a DERANGED
-    # GT assignment — the floor a broken pipeline would also hit
+    # GT assignment — the floor a broken pipeline would also hit. Roll by
+    # a full combo's worth of samples: rolling by 1 would pair a combo's
+    # second rendering with its own first (identical caption), inflating
+    # the control by construction.
     preds = [p["pred"] for p in result["predictions"]]
     gts = [p["gt"] for p in result["predictions"]]
-    shuffled = list(np.roll(np.asarray(gts, object), 1))
+    shuffled = list(np.roll(np.asarray(gts, object),
+                            scale.eval_samples_per_combo))
     from patchioner_tpu.eval import harness
 
     control = harness.score_and_log(preds, [[g] for g in shuffled])
