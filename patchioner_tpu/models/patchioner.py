@@ -1444,8 +1444,15 @@ class Patchioner:
             if pixels.dtype == jnp.uint8:
                 pixels = (pixels.astype(jnp.float32) / 255.0
                           - state["mean"]) / state["std"]
-            outs = vit_mod.vit_forward(state["vit"], pixels, vit_cfg,
-                                       keep_qkv_padded=True)
+            outs = vit_mod.vit_forward(
+                state["vit"], pixels, vit_cfg,
+                keep_qkv_padded=True,
+                # trace pooling absorbs the unpad slice into its weights
+                # (trace_pool_padded); the bbox/cls/region pools reshape to
+                # the exact grid and need the sliced tokens
+                keep_tokens_padded=getattr(pool, "wants_padded_tokens",
+                                           False),
+            )
 
             def extract_attn():
                 a, _ = vit_mod.process_self_attention(
@@ -1777,8 +1784,17 @@ class Patchioner:
         def pool(outs, extract_attn, pts, valid):
             grid = rp.traces_to_grid(pts, valid, g)
             attn = extract_attn() if use_attention else None
-            return rp.trace_pool(outs["x_norm_patchtokens"], grid, attn)
+            # padded variant: on the fusedqkv TPU path the token axis stays
+            # lane-padded (wants_padded_tokens below) and the zero-extended
+            # pooling weights absorb the (B, N, D) unpad slice — measured
+            # +3.1 ms/batch at flagship geometry, token-identical
+            # (PERF.md round 5). Identical math when nothing is padded.
+            return rp.trace_pool_padded(
+                outs["x_norm_patchtokens"], grid, attn
+            )
 
+        # ask the encoder to skip the final unpad slice for this pool
+        pool.wants_padded_tokens = True
         return self._make_fused_step(key, pool)
 
     def caption_traces_fused(self, imgs, pts, valid, *,
