@@ -109,3 +109,23 @@ def test_superseded_ratios_not_presented_as_current():
             re.search(rf"\*\*[^*]*{re.escape(f'{r:g}')}", head)
             for r in ratios
         ), f"{doc}'s lead bolds none of the recent ratios {ratios}"
+
+
+def test_family_artifact_parses_and_is_sane():
+    """reports/bench_family_r5.json (VERDICT r4 weak #4) must stay a
+    machine-readable record: every row a successful bench run with a
+    two-sided ratio > 1 and MFU in (0, 1)."""
+    path = os.path.join(REPO, "reports", "bench_family_r5.json")
+    if not os.path.exists(path):
+        pytest.skip("family artifact not generated yet this round")
+    art = json.load(open(path))
+    rows = art["rows"]
+    assert {r["model"] for r in rows} >= {
+        "dinov2_vits14_reg", "dinov2_vitb14_reg", "dinov2_vitl14_reg",
+        "dinov2_vitg14_reg",
+    }
+    for r in rows:
+        assert r["rc"] == 0, f"{r['model']} bench failed: {r.get('error')}"
+        assert r["value"] > 0 and 0 < r["mfu"] < 1
+        assert r["vs_baseline"] is None or r["vs_baseline"] > 1.0
+        assert r["backend"] == "tpu"
