@@ -91,6 +91,10 @@ TINY = ProofScale(
     decoder_repeats=8, decoder_epochs=16, decoder_bs=32,
     decoder_lr=1e-3, decoder_warmup=50,
     eval_samples_per_combo=1, eval_batch=16,
+    # small frozen LM for the mapper stage: the 12L/768 default is a
+    # CPU-scale trap (~30 min of mapper training for a loss-level signal)
+    mapper_epochs=4, mapper_lr=5e-4,
+    lm_arch=dict(n_layer=2, n_head=2, n_embd=128),
 )
 
 # what tests/test_convergence.py runs: a smaller world + batch so the whole
